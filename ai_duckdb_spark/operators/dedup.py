@@ -1,0 +1,235 @@
+"""Deduplication operators (SURVEY.md §2.9 X6 [D] — north-star scope).
+
+Four tiers, each a pure DataFrame composition:
+
+  * exact            — dropDuplicates / hash-groupBy (one shuffle);
+  * normalized exact — canonicalize (sorted distinct token set) then group;
+  * n-gram Jaccard   — EXACT near-dup pairs via an inverted-index
+                       self-join (deterministic; the oracle-checkable
+                       ground truth for the approximate tiers);
+  * MinHash + LSH    — banded signatures → bucket join → verify; the
+                       100 TB path: candidate generation cost is
+                       O(docs × bands), not O(docs²);
+  * SimHash          — 64-bit fingerprints for hamming-distance near-dup.
+
+Scale notes: the inverted-index join explodes postings, so its shuffle is
+bounded by sum(postings²) per token — fine for selective tokens, quadratic
+for stopword-like tokens. That is exactly why the MinHash/LSH tier exists;
+the exact tier is kept for verification and for bounded inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def normalized_token_set_key(text_col: str = "text") -> F.Column:
+    """Canonical dedup key: sorted distinct whitespace tokens re-joined."""
+    return F.array_join(F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
+    """Group rows by a dedup key; keep min-id as the canonical survivor."""
+    return (
+        df.groupBy(key.alias("dedup_key"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__tokens"),
+    )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold, via inverted index.
+
+    explode(tokens) → self-join on token → per-pair intersection size →
+    join set sizes → Jaccard filter. Deterministic (exact), used as the
+    verification tier and the DuckDB-oracle-checkable entry.
+    """
+    toks = _token_sets(df, id_col, text_col)
+    sizes = toks.select("__id", F.size("__tokens").alias("__sz"))
+    postings = toks.select("__id", F.explode("__tokens").alias("__tok"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("__id").alias("id1"), F.col("__sz").alias("sz1"))
+    s2 = sizes.select(F.col("__id").alias("id2"), F.col("__sz").alias("sz2"))
+    raw = F.col("n_common").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(raw >= threshold)  # threshold on the raw ratio (oracle parity)
+        .select("id1", "id2", raw.alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """Per-row MinHash signature over the distinct-token set.
+
+    Hash family: murmur3(token, seed_i) via the built-in ``hash`` —
+    JVM-side, deterministic across runs/executors. Signature is computed
+    with one explode + one groupBy (num_hashes mins in a single
+    aggregation pass), not num_hashes passes.
+    """
+    postings = _token_sets(df, id_col, text_col).select(
+        "__id", F.explode("__tokens").alias("__tok")
+    )
+    mins = postings.groupBy("__id").agg(
+        *[F.min(F.hash(F.col("__tok"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
+    """Band the signatures; rows sharing any band bucket become candidates.
+
+    Bucket join is an equi-join on (band_id, band_slice) — shuffles by
+    bucket, never enumerates the O(n²) pair space.
+    """
+    # slice() is 1-based; rows per band derived from the signature length.
+    banded = signatures.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col("signature"),
+                    b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                    (F.size(F.col("signature")) / bands).cast("int"),
+                ),
+            )
+        ).alias("band_id", "band_slice"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_slice") == F.col("b.band_slice"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash→LSH candidates, verified with exact Jaccard (no false
+    positives; recall governed by (1/bands)^(rows/band))."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    candidates = lsh_candidate_pairs(sigs, bands)
+
+    toks = _token_sets(df, id_col, text_col)
+    t1 = toks.select(F.col("__id").alias("id1"), F.col("__tokens").alias("toks1"))
+    t2 = toks.select(F.col("__id").alias("id2"), F.col("__tokens").alias("toks2"))
+    raw = F.size(F.array_intersect("toks1", "toks2")).cast("double") / F.size(
+        F.array_union("toks1", "toks2")
+    )
+    return (
+        candidates.join(t1, "id1")
+        .join(t2, "id2")
+        .filter(raw >= threshold)
+        .select("id1", "id2", raw.alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per row: xxhash64 token bits, majority-vote per bit.
+
+    One explode + one 64-column aggregation (single shuffle); the bit
+    recombination is a JVM-side fold — no Python.
+    """
+    postings = (
+        _token_sets(df, id_col, text_col)
+        .select("__id", F.explode("__tokens").alias("__tok"))
+        .select("__id", F.xxhash64(F.col("__tok")).alias("__h"))
+    )
+
+    bit_votes = postings.groupBy("__id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    # Recombine: bit i set iff vote > 0. Built as a sum of powers of two
+    # (each term is 0 or 2^i, all non-negative, max < 2^63 via signed-safe
+    # handling of bit 63 through a negative offset).
+    acc = F.lit(0).cast("long")
+    for i in range(63):
+        acc = acc + F.when(F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    # bit 63 would overflow signed long as +2^63; encode it by sign.
+    acc = acc + F.when(F.col("__b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_votes.select(F.col("__id").alias("doc_id"), acc.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6) -> DataFrame:
+    """Pairs within a hamming radius of each other's SimHash.
+
+    Pairing strategy: block on the 4 16-bit quarters of the fingerprint
+    (pigeonhole: any pair within hamming<=6 shares at least one exact
+    quarter when 6 < 4 quarters), then verify with bit_count(xor).
+    """
+    sigs = simhash64(df, id_col, text_col)
+    quarters = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))
+                    for q in range(4)
+                ]
+            )
+        ).alias("q_id", "q_val"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators (SURVEY.md §2.9 X8 [D] — north-star scope):
+token counting, quality scoring, heuristic language ID, document
+fingerprinting. All built-in column expressions (split / filter /
+aggregate / transform) — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English-ish stopword list used by the quality/lang-id heuristics.
+#: Fixed here so the Spark plan and any SQL oracle share one definition.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+FINGERPRINT_PRIME = 1_000_000_007
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def stopword_count(text_col: str = "text") -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.array_intersect(F.array_distinct(tokens(text_col)), stop_arr)).cast("long")
+
+
+def stopword_token_ratio(text_col: str = "text") -> Column:
+    """Share of token OCCURRENCES that are stopwords (not distinct)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens(text_col), lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / F.size(tokens(text_col))
+
+
+def avg_token_length(text_col: str = "text") -> Column:
+    total = F.aggregate(
+        tokens(text_col), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(tokens(text_col))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Score heuristic (deterministic, documented so the oracle can mirror
+    it): docs with mid-range length, non-degenerate vocabulary, and a
+    plausible stopword ratio score higher.
+    """
+    n_tokens = token_count(text_col)
+    n_distinct = F.size(F.array_distinct(tokens(text_col))).cast("long")
+    stop_ratio = stopword_token_ratio(text_col)
+    avg_len = avg_token_length(text_col)
+    vocab_ratio = n_distinct.cast("double") / n_tokens
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.1).otherwise(0.5)
+        + F.when((F.col("__stop_ratio") >= 0.05) & (F.col("__stop_ratio") <= 0.5), 0.25).otherwise(0.0)
+        + F.when(F.col("__vocab_ratio") >= 0.3, 0.25).otherwise(0.0)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct_tokens"),
+            stop_ratio.alias("__stop_ratio"),
+            avg_len.alias("avg_token_len"),
+            vocab_ratio.alias("__vocab_ratio"),
+        )
+        .withColumn("quality_score", score)
+        .withColumnRenamed("__stop_ratio", "stop_ratio")
+        .withColumnRenamed("__vocab_ratio", "vocab_ratio")
+    )
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Heuristic language ID.
+
+    Rule (deterministic, SQL-mirrorable): CJK codepoints → zh; else a
+    stopword-occurrence ratio ≥ 5% → en; else unknown. A char-n-gram
+    profile model would drop in here behind the same column contract.
+    """
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    return (
+        F.when(has_cjk, "zh")
+        .when(stopword_token_ratio(text_col) >= 0.05, "en")
+        .otherwise("unknown")
+    )
+
+
+def bag_fingerprint(text_col: str = "text") -> Column:
+    """Order-insensitive document signature (BIGINT).
+
+    Sum over tokens of ascii(first char) * length(token) — commutative,
+    so engines may reduce in any order and still agree. Collision-prone
+    by design tradeoff; pair with n_distinct for triage.
+    """
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (F.ascii(t) * F.length(t)).cast("long"),
+    )
+
+
+def rolling_fingerprint(text_col: str = "text") -> Column:
+    """Order-SENSITIVE polynomial rolling hash mod a large prime.
+
+    fold(acc = (acc * 31 + ascii(first) * len) % p). Distinguishes
+    reordered documents that share a bag fingerprint. (Not offered to the
+    SQL oracle: an ordered fold needs list_reduce-style semantics.)
+    """
+    word_val = lambda t: (F.ascii(t) * F.length(t)).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + word_val(t)) % FINGERPRINT_PRIME,
+    )

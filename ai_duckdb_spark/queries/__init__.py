@@ -1,0 +1,17 @@
+"""Judged query/operator catalog.
+
+Each module registers ``QuerySpec`` entries into ``catalog.REGISTRY``;
+``__spark_entry__.py`` exposes them to the driver as ``queries()`` /
+``oracle_sql()``. Import order defines catalog order.
+"""
+
+from . import catalog  # noqa: F401
+from . import tpch  # noqa: F401
+from . import relational  # noqa: F401
+from . import functions_q  # noqa: F401
+from . import events_q  # noqa: F401
+from . import text_q  # noqa: F401
+from . import dedup_q  # noqa: F401
+from . import similarity_q  # noqa: F401
+
+REGISTRY = catalog.REGISTRY

@@ -1,0 +1,114 @@
+"""Deduplication queries over the documents fixture (SURVEY.md §2.9 X6
+[D]): exact, normalized-exact, exact n-gram Jaccard (oracle-checked), and
+the approximate scale tiers MinHash+LSH / SimHash (rows-only — their hash
+families are Spark-internal murmur3/xxhash64, not expressible in portable
+oracle SQL; the exact Jaccard entry is their ground-truth check instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..tables import load
+from .catalog import register
+
+
+@register(
+    "dedup_exact_fulltext",
+    oracle="""
+    SELECT count(*)                             AS n_rows,
+           count(DISTINCT text)                 AS n_distinct_text,
+           count(*) - count(DISTINCT text)      AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text dedup accounting (hash-groupBy distinct)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dedup_exact_token_set",
+    oracle="""
+    SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS dedup_key,
+           min(doc_id) AS keep_id,
+           count(*)    AS dup_count
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: canonical key = sorted distinct token set.
+
+    Deterministic survivor rule (min doc_id) so the result is a stable
+    relation, not an arbitrary dropDuplicates pick.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs, "doc_id", dedup.normalized_token_set_key("text"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+        WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON inter.id1 = s1.doc_id
+    JOIN sizes s2 ON inter.id2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.9
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs (token-set Jaccard >= 0.9) via an
+    inverted-index self-join — ground truth for the approximate tiers.
+
+    Bounded to doc_id < 1000: the exact pair join is quadratic in
+    postings, which is precisely why MinHash/LSH is the unbounded path.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.9)
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidates, verified to Jaccard >= 0.8.
+
+    The 100 TB dedup path: candidate generation is linear in docs × bands
+    (bucket equi-join), never the O(n²) pair space. Rows-only check —
+    murmur3 seeds are Spark-internal; recall is pytest-checked against
+    the exact tier instead (tests/test_dedup.py).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
+    ).orderBy("id1", "id2")
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (xxhash64 bit votes).
+
+    Rows-only: the fingerprint value depends on Spark's xxhash64. Pair
+    extraction at hamming distance <= 6 is exercised in
+    tests/test_dedup.py via simhash_near_duplicates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,246 @@
+"""Temporal / event-stream queries over the events fixture (SURVEY.md
+§2.9 X1 [D]): tumbling + sliding windows, sessionization, as-of join,
+time-bucketed dedup — batch forms the DuckDB oracle can verify, plus one
+entry that executes genuinely through Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..functions.exact import exact_sum
+from ..operators.sessionize import session_stats
+from ..streaming.windows import tumbling_counts_stream
+from ..tables import load
+from .catalog import register
+
+# DuckDB-side 10-minute bucket, written as epoch arithmetic so alignment
+# (unix epoch origin) is explicit and engine-neutral.
+_BUCKET_10M = "to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP"
+_BUCKET_30M = "to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP"
+
+
+@register(
+    "events_tumbling_10min",
+    oracle=f"""
+    SELECT strftime({_BUCKET_10M}, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type.
+
+    ``F.window`` buckets align to the unix epoch, matching the oracle's
+    explicit epoch-floor arithmetic. Map-side partial aggregation means
+    the shuffle carries one row per (window, type) per partition.
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH starts AS (
+        SELECT {_BUCKET_30M} AS win_start, value FROM events
+        UNION ALL
+        SELECT {_BUCKET_30M} - INTERVAL 30 MINUTE AS win_start, value FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)             AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h wide, 30 min slide): each event lands in two
+    windows. The oracle enumerates the same two window starts per event."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('millisecond', prev_ts, ts) > 1800 * 1000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_seq, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           max(session_seq)           AS n_sessions,
+           avg(n_events)              AS avg_session_events,
+           CAST(sum(n_events) AS BIGINT) AS n_total_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min max gap) per user: count + mean size."""
+    events = load(spark, sf_dir, "events")
+    return session_stats(events, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id                                   AS purchase_id,
+           p.user_id,
+           c.event_id                                   AS click_id,
+           date_diff('millisecond', c.ts, p.ts)         AS ms_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no native ASOF JOIN; this uses the union+window operator
+    (operators/asof.py — one shuffle, JVM-only), checked against DuckDB's
+    native ASOF LEFT JOIN.
+    """
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("c_event_id")
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        payload={"click_id": "c_event_id", "matched_click_ts": "click_ts"},
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("matched_click_ts")).alias("ms_since_click"),
+    )
+
+
+@register(
+    "events_daily_type_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'error') AS DOUBLE) / count(*) AS error_rate
+    FROM events
+    GROUP BY 1
+    ORDER BY event_date
+    """,
+)
+def events_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type breakdown + error rate (conditional aggregation)."""
+    events = load(spark, sf_dir, "events")
+
+    def n_of(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return (
+        events.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            n_of("view").alias("n_view"),
+            n_of("click").alias("n_click"),
+            n_of("purchase").alias("n_purchase"),
+            n_of("error").alias("n_error"),
+            (n_of("error").cast("double") / F.count("*")).alias("error_rate"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "events_dedup_minute",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_bucket,
+           min(event_id) AS kept_event_id
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed dedup: one survivor per (user, type, minute).
+
+    Batch analogue of streaming ``dropDuplicatesWithinWatermark``
+    (streaming/windows.py) with a deterministic min-id survivor rule so
+    the oracle can verify it.
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "minute_bucket"
+        ),
+    ).agg(F.min("event_id").alias("kept_event_id"))
+
+
+@register(
+    "streaming_tumbling_10min",
+    oracle=f"""
+    SELECT strftime({_BUCKET_10M}, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed through Structured
+    Streaming (readStream file source → watermark → window agg → memory
+    sink), verified against the same SQL oracle as the batch form."""
+    return tumbling_counts_stream(spark, sf_dir, window_duration="10 minutes")

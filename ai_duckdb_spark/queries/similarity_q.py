@@ -1,0 +1,145 @@
+"""Similarity-search queries over the embeddings fixture (SURVEY.md §2.9
+X7 [D]): exact brute-force cosine top-k (oracle-checked in double
+precision), the LSH-bucketed approximate path (rows-only), per-label
+centroids and norm statistics (array-op parity), plus the multimodal
+binary-column pipeline (X9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+from ..operators.multimodal import attach_binary_payload, extract_features
+from ..tables import load
+from .catalog import register
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1))      AS pos,
+               CAST(unnest(embedding) AS DOUBLE)         AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.val * c.val) AS dp
+        FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               dp / sqrt(nq.sq * nc.sq) AS sim_raw,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dp / sqrt(nq.sq * nc.sq) DESC, neighbor_id
+               ) AS rank
+        FROM dots
+        JOIN norms nq ON dots.query_id = nq.vec_id
+        JOIN norms nc ON dots.neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(sim_raw, 4) AS similarity
+    FROM scored
+    WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10.
+
+    Queries broadcast against a single corpus scan; per-pair dot product
+    is a JVM zip_with/aggregate fold in double precision (matches the
+    oracle's double math — DuckDB's own list_cosine_similarity computes
+    in float32 and would NOT hash-match).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register("knn_lsh_cosine", oracle=None)
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucketing (scale path).
+
+    Candidates limited to the query's bit-bucket: the per-query corpus
+    scan becomes a bucket equi-join (expected 1/2^planes of the corpus).
+    Rows-only: approximate recall by construction; accuracy vs the exact
+    tier is pytest-checked (tests/test_similarity.py).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_lsh(emb, queries, k=5, dim=64, num_planes=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)                    AS val
+        FROM embeddings
+    )
+    SELECT label, pos, round(avg(val), 6) AS centroid_val
+    FROM e
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector, one row per (label, dimension)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.label_centroids(emb)
+
+
+@register(
+    "vector_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum'))), 6) AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (array fold parity)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = sim.l2_norm(F.col("embedding").cast("array<double>"))
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg(norm), 6).alias("avg_l2_norm"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)              AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER)              AS first_byte,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER)    AS fake_width,
+           CAST(ascii(substr(text, 1, 1)) % 48 + 1 AS INTEGER)     AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline (X9): opaque binary payload →
+    mapInPandas feature extraction (Arrow batches).
+
+    The distributed plumbing — binary schema, partition-wise pandas
+    batches, typed output schema — is real; the codec is the documented
+    deterministic stub (operators/multimodal.py decode_image), which is
+    what makes the pipeline oracle-checkable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs, "doc_id", "text"))

@@ -1,0 +1,170 @@
+"""Text-analysis queries over the documents fixture (SURVEY.md §2.9 X8
+[D]): token statistics, quality scoring, heuristic language ID,
+fingerprinting, token frequencies. Thin catalog wrappers over
+operators/textstats.py; every oracle mirrors the exact heuristic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textstats as ts
+from ..tables import load
+from .catalog import register
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in ts.STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                                AS n_docs,
+           avg(len(string_split(text, ' ')))                       AS avg_tokens,
+           avg(n_chars)                                            AS avg_chars,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT)       AS max_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token counting, X8)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = ts.token_count()
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(n_tokens).alias("avg_tokens"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.max(n_tokens).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT)                 AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)  AS n_distinct_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS stop_ratio_raw,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                        x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS avg_token_len_raw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS vocab_ratio_raw
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_distinct_tokens,
+           stop_ratio_raw      AS stop_ratio,
+           avg_token_len_raw   AS avg_token_len,
+           vocab_ratio_raw     AS vocab_ratio,
+           CASE WHEN n_tokens < 5 THEN 0.1 ELSE 0.5 END
+               + CASE WHEN stop_ratio_raw BETWEEN 0.05 AND 0.5 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN vocab_ratio_raw >= 0.3 THEN 0.25 ELSE 0.0 END
+                               AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (X8).
+
+    Length, vocabulary diversity, and stopword-plausibility heuristics —
+    all JVM array expressions (split/filter/aggregate), no UDF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return ts.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "stop_ratio",
+        "avg_token_len",
+        "vocab_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+                ELSE 'unknown' END AS predicted_lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column (confusion counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", ts.predicted_lang().alias("predicted_lang"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprint_bag",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    x -> CAST(ascii(x) * length(x) AS BIGINT)), 'sum') AS BIGINT) AS signature,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)            AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag fingerprint per document (X8 fingerprinting).
+
+    The order-SENSITIVE rolling hash variant exists in
+    operators/textstats.py (pytest-verified; an ordered fold is not
+    expressible in portable oracle SQL).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.bag_fingerprint().alias("signature"),
+        F.size(F.array_distinct(ts.tokens())).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "token_frequency_top20",
+    oracle="""
+    SELECT tok   AS token,
+           count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode → count → top-k).
+
+    The canonical wordcount: partial aggregation collapses each partition
+    to its distinct tokens before the shuffle, so shuffle volume is
+    vocabulary-bounded, not corpus-bounded.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ts.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

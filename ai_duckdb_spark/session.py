@@ -1,0 +1,84 @@
+"""SparkSession factory.
+
+The reference opens a fresh duckdb connection per query
+(reference doc.py:241-243); the Spark-native equivalent is one shared
+SparkSession with per-file temp views (SURVEY.md §3 "Spark restatement").
+
+Tuned for two regimes:
+  * local[N] test/bench runs (shuffle partitions ~= cores, AQE coalesce),
+  * large-cluster runs (AQE on, skew-join handling, broadcast thresholds) —
+    the same declarative plans scale because partitioning decisions are
+    left to Catalyst/AQE rather than hand-scheduled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "ai_duckdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    All settings are declarative-plan friendly: AQE re-plans shuffles at
+    runtime (partition coalescing, skew-join splitting), Arrow accelerates
+    the JVM<->Python edge for the pandas-UDF operators, and UTC pins
+    timestamp semantics so results match the UTC-naive parquet fixtures.
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_defaults(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on an externally created session.
+
+    The driver hands ``queries()`` callables an arbitrary SparkSession;
+    UTC + adaptive execution are runtime-settable, so enforce them here
+    instead of trusting the caller's builder config.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # the Spark default (200) over-parallelizes local runs; AQE coalesces
+    # post-shuffle but the initial map still pays the fan-out
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    return spark

@@ -1,0 +1,123 @@
+"""Structured Streaming window aggregations over the events table.
+
+``readStream`` from the same parquet fixtures drives a real streaming
+query (file source → watermark → windowed agg → memory sink). In
+production the source line swaps for Kafka and the sink for a
+parquet/Delta ``writeStream`` with checkpointing; the transformation
+graph is unchanged — that is the point of the Structured Streaming model.
+
+The reference has NO streaming (roadmap-only: reference README.md:110
+"实时数据: 支持 Kafka、Redis" unchecked); semantics here are Spark
+defaults (event-time windows, watermark-bounded state).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import convert_event_ts, table_path
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema from a batch peek).
+
+    ``ts`` arrives as nanos-since-epoch long (see tables.load) and is
+    converted to a timestamp inside the streaming plan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the fixture is a single parquet file; stream its directory with a
+    # glob filter so the file source gets a directory basePath
+    return convert_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts, executed as a streaming query.
+
+    Complete output mode so a bounded fixture yields every window (the
+    append-mode variant would withhold windows above the final
+    watermark); the returned DataFrame is the drained memory sink.
+    """
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)")).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"tumbling_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows via the native session_window operator."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"session_sink_{uuid.uuid4().hex[:8]}"
+    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, minute) within the watermark."""
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .withColumn("minute_bucket", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute_bucket", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    query = deduped.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink)
