@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark the query catalog at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Protocol (BASELINE.md): warm measurement — one JIT warm-up action first,
+then each headline query timed build→collect. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total warm sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Headline set = every oracle-checked catalog query except the
+Structured-Streaming duplicate (streaming_tumbling_10min measures
+micro-batch framework overhead, not engine throughput; its computation
+is benched as events_tumbling_10min).
+
+Env:
+    SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+    BENCH_DUCKDB=1       also time the DuckDB oracle side (stderr only)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_duckdb_spark.queries import catalog  # noqa: E402
+from ai_duckdb_spark.session import get_spark  # noqa: E402
+from ai_duckdb_spark.tables import TABLE_NAMES, table_path  # noqa: E402
+
+EXCLUDE = {"streaming_tumbling_10min"}
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _headline_specs():
+    return [
+        s for s in catalog.REGISTRY.values() if s.oracle is not None and s.name not in EXCLUDE
+    ]
+
+
+def bench_spark(sf_dir: str) -> tuple[dict[str, float], float, float]:
+    """Cold+warm per query (BASELINE.md protocol: gate on warm).
+
+    Materialization is Arrow ``toPandas`` — symmetric with the DuckDB
+    side's ``fetchdf`` so both engines pay a pandas result, and the
+    JVM→Python edge uses columnar batches instead of per-Row pickling.
+    """
+    spark = get_spark(app_name="ai_duckdb_spark_bench")
+    specs = _headline_specs()
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).toPandas()
+        cold[spec.name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).toPandas()
+        warm[spec.name] = round(time.perf_counter() - t0, 4)
+    return warm, round(sum(warm.values()), 4), round(sum(cold.values()), 4)
+
+
+def bench_duckdb(sf_dir: str) -> tuple[dict[str, float], float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    specs = _headline_specs()
+    timings: dict[str, float] = {}
+    for spec in specs:
+        con.sql(spec.oracle).fetchdf()  # cold pass (file cache + plans)
+        t0 = time.perf_counter()
+        con.sql(spec.oracle).fetchdf()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+    return timings, round(sum(timings.values()), 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings, total, cold_total = bench_spark(sf_dir)
+
+    if os.environ.get("BENCH_DUCKDB"):
+        d_timings, d_total = bench_duckdb(sf_dir)
+        slowest = sorted(
+            ((timings[k] / max(d_timings[k], 1e-4), k) for k in timings), reverse=True
+        )[:10]
+        print(
+            f"duckdb total={d_total}s spark total={total}s ratio={total / max(d_total, 1e-9):.2f}x",
+            file=sys.stderr,
+        )
+        for ratio, k in slowest:
+            print(
+                f"  {k}: spark {timings[k]}s vs duck {d_timings[k]}s ({ratio:.1f}x)",
+                file=sys.stderr,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+                "cold_total": cold_total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
