@@ -1,0 +1,34 @@
+"""Data profiling (SURVEY.md §2.5 G7 / §1.1 "data_info").
+
+Mirrors the reference's profile record (doc.py:104-110) — same keys, same
+shapes — so the prompt builder and formatter consume it unchanged:
+
+    {"行数": n, "列数": n, "列名": [...], "数据类型": {col: dtype},
+     "前5行数据": [row-dicts], "table_name": <registered view>}
+
+Differences, by design:
+  * dtypes are Spark simpleString names (bigint/double/string/...), not
+    pandas dtype strings — the engine's real types;
+  * ``table_name`` replaces the reference's ``db_path`` (per-file .duckdb
+    file, doc.py:113-119): the Spark-native equivalent of a persisted
+    per-file table is a registered temp view over a shared session.
+
+Scale note: ``count()`` is a full-scan aggregate and ``limit(5)`` a
+cheap head; both are distributed actions — no driver materialization of
+the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def profile_dataframe(df: DataFrame) -> dict:
+    head = [row.asDict() for row in df.limit(5).collect()]
+    return {
+        "行数": df.count(),
+        "列数": len(df.columns),
+        "列名": list(df.columns),
+        "数据类型": dict(df.dtypes),
+        "前5行数据": head,
+    }

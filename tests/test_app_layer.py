@@ -1,0 +1,347 @@
+"""App-layer tests: ingestion fallback matrix (FIXTURES.md §C), SQL
+sanitation + enforced SELECT-only gate, result shaping, markdown
+formatter, metadata CRUD, NL→SQL stub, and the end-to-end engine flow
+with independently computed golden values."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from ai_duckdb_spark.engine import AnalyticsEngine
+from ai_duckdb_spark.executor import (
+    UnsafeSqlError,
+    clean_sql_response,
+    ensure_select_only,
+    execute_sql,
+)
+from ai_duckdb_spark.formatter import format_analysis_result
+from ai_duckdb_spark.metadata import ChatDatabase
+from ai_duckdb_spark.nl2sql import StubSqlGenerator, build_prompt
+from ai_duckdb_spark.profile import profile_dataframe
+from ai_duckdb_spark.sources.io import (
+    ERR_BAD_TYPE,
+    ERR_EMPTY,
+    ERR_NOT_FOUND,
+    load_data_from_file,
+)
+
+# ---------------------------------------------------------------------------
+# A synthetic sales fixture in the reference's shape (FIXTURES.md §A1),
+# with golden values computed here, independently of the engine.
+# ---------------------------------------------------------------------------
+SALES_ROWS = [
+    # id, product, category, price, quantity, rep
+    (1, "Widget", "Electronics", 100.50, 3, "alice"),
+    (2, "Gadget", "Electronics", 250.00, 1, "bob"),
+    (3, "Mug", "Home", 12.75, 10, "alice"),
+    (4, "Lamp", "Home", 45.20, 2, "carol"),
+    (5, "Cable", "Electronics", 9.99, 20, "bob"),
+    (6, "Chair", "Home", 89.00, 4, "carol"),
+    (7, "Phone", "Electronics", 699.99, 1, "alice"),
+]
+SALES_COLS = ["id", "product_name", "category", "price", "quantity", "sales_rep"]
+
+
+def _sales_pdf() -> pd.DataFrame:
+    return pd.DataFrame(SALES_ROWS, columns=SALES_COLS)
+
+
+@pytest.fixture(scope="module")
+def sales_csv(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "sales.csv"
+    _sales_pdf().to_csv(path, index=False)
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# Ingestion matrix (reference doc.py:16-83 semantics)
+# ---------------------------------------------------------------------------
+class TestSources:
+    def test_missing_file(self, spark):
+        df, err = load_data_from_file(spark, "/nonexistent/file.csv")
+        assert df is None and err == ERR_NOT_FOUND
+
+    def test_bad_extension(self, spark, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("hello")
+        df, err = load_data_from_file(spark, str(p))
+        assert df is None and err == ERR_BAD_TYPE
+
+    def test_empty_csv(self, spark, tmp_path):
+        p = tmp_path / "empty.csv"
+        p.write_text("a,b,c\n")
+        df, err = load_data_from_file(spark, str(p))
+        assert df is None and err == ERR_EMPTY
+
+    def test_csv(self, spark, sales_csv):
+        df, err = load_data_from_file(spark, sales_csv)
+        assert err is None
+        assert df.count() == len(SALES_ROWS)
+        assert df.columns == SALES_COLS
+
+    def test_parquet(self, spark, tmp_path):
+        p = tmp_path / "t.parquet"
+        _sales_pdf().to_parquet(p)
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None and df.count() == len(SALES_ROWS)
+
+    def test_json_tier1_jsonl(self, spark, tmp_path):
+        p = tmp_path / "tier1.json"
+        p.write_text("\n".join(json.dumps({"a": i, "b": f"x{i}"}) for i in range(3)))
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None and df.count() == 3 and set(df.columns) == {"a", "b"}
+
+    def test_json_tier2_array(self, spark, tmp_path):
+        p = tmp_path / "tier2.json"
+        p.write_text(json.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}], indent=2))
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None and df.count() == 2
+
+    def test_json_tier3_dict_of_lists(self, spark, tmp_path):
+        # pretty-printed (multi-line) dict-of-lists → columns, 3 rows —
+        # matches the reference's pandas tier-2 behavior
+        p = tmp_path / "tier3cols.json"
+        p.write_text(json.dumps({"col1": [1, 2, 3], "col2": ["a", "b", "c"]}, indent=2))
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None
+        assert df.count() == 3 and set(df.columns) == {"col1", "col2"}
+
+    def test_json_single_line_dict_of_lists_is_one_row(self, spark, tmp_path):
+        # single-LINE dict-of-lists: the reference's tier 1
+        # (pd.read_json lines=True) yields ONE row of array cells —
+        # verified against pandas; our JSONL tier matches it
+        p = tmp_path / "oneline.json"
+        p.write_text(json.dumps({"col1": [1, 2, 3], "col2": ["a", "b", "c"]}))
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None
+        assert df.count() == 1
+        assert dict(df.dtypes)["col1"].startswith("array")
+
+    def test_json_tier3_single_dict(self, spark, tmp_path):
+        p = tmp_path / "tier3row.json"
+        p.write_text(json.dumps({"a": 1, "b": "x"}))
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None and df.count() == 1
+
+    def test_json_scalar_rejected(self, spark, tmp_path):
+        p = tmp_path / "scalar.json"
+        p.write_text("42")
+        df, err = load_data_from_file(spark, str(p))
+        assert df is None and "不支持的JSON格式" in err
+
+    def test_excel_gated(self, spark, tmp_path):
+        # engines absent in this environment → clean gated error, not a crash
+        p = tmp_path / "t.xlsx"
+        p.write_bytes(b"PK\x03\x04 fake")
+        df, err = load_data_from_file(spark, str(p))
+        assert df is None and "文件加载失败" in err
+
+
+# ---------------------------------------------------------------------------
+# Executor: fence strip + REAL select-only enforcement (X4/X5)
+# ---------------------------------------------------------------------------
+class TestExecutor:
+    def test_fence_strip(self):
+        assert clean_sql_response("```sql\nSELECT 1\n```") == "SELECT 1"
+        assert clean_sql_response("  SELECT 2  ") == "SELECT 2"
+        assert clean_sql_response("```sql SELECT 3```") == "SELECT 3"
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "DROP TABLE data_table",
+            "DELETE FROM data_table",
+            "INSERT INTO data_table VALUES (1)",
+            "UPDATE data_table SET a = 1",
+            "CREATE TABLE x AS SELECT 1",
+            "TRUNCATE TABLE data_table",
+            "SELECT 1; DROP TABLE data_table",
+        ],
+    )
+    def test_gate_blocks_writes(self, spark, bad):
+        with pytest.raises(UnsafeSqlError):
+            ensure_select_only(spark, bad)
+
+    @pytest.mark.parametrize(
+        "good",
+        [
+            "SELECT 1 AS x",
+            "WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+            "VALUES (1, 'a')",
+        ],
+    )
+    def test_gate_allows_queries(self, spark, good):
+        ensure_select_only(spark, good)  # must not raise
+
+    def test_execute_caps_but_counts_all(self, spark):
+        result = execute_sql(spark, "SELECT id FROM range(100) AS t(id)", row_cap=7)
+        assert result["row_count"] == 100
+        assert len(result["data"]) == 7
+        assert result["truncated"] is True
+
+    def test_execute_fenced(self, spark):
+        result = execute_sql(spark, "```sql\nSELECT 1 AS one\n```")
+        assert result["data"] == [{"one": 1}] and result["row_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Formatter (K3 — reference app.py:35-107 observable contract)
+# ---------------------------------------------------------------------------
+class TestFormatter:
+    RESULT = {
+        "question": "总销售额是多少？",
+        "sql_query": "SELECT sales_rep, SUM(price*quantity) AS total FROM data_table GROUP BY sales_rep",
+        "data_info": {"行数": 1234567, "列数": 6, "列名": SALES_COLS},
+        "result": {
+            "columns": ["sales_rep", "total"],
+            "data": [
+                {"sales_rep": "alice", "total": 1128.74},
+                {"sales_rep": None, "total": 42},
+                {"sales_rep": "x" * 60, "total": 1000000},
+            ],
+            "row_count": 3,
+        },
+    }
+
+    def test_markdown_shape(self):
+        md = format_analysis_result(self.RESULT)
+        assert "```sql" in md
+        assert "- **行数**: 1,234,567" in md  # thousands separator
+        assert "| 1128.74 |" in md  # float %.2f
+        assert "| null |" in md  # None → null
+        assert "| 1,000,000 |" in md  # int thousands sep
+        assert ("x" * 47 + "...") in md  # 50-char truncation
+
+    def test_footer_on_big_results(self):
+        big = dict(self.RESULT)
+        big["result"] = {
+            "columns": ["a"],
+            "data": [{"a": i} for i in range(15)],
+            "row_count": 15,
+        }
+        md = format_analysis_result(big)
+        assert "*显示前 10 行，共 15 行*" in md
+        assert md.count("| ") <= 2 + 11 * 1 + 24  # header+sep+10 rows (loose bound)
+
+    def test_error_shape(self):
+        assert format_analysis_result({"error": "boom"}) == "❌ **错误**: boom"
+
+    def test_empty_result(self):
+        empty = dict(self.RESULT)
+        empty["result"] = {"columns": ["a"], "data": [], "row_count": 0}
+        assert "没有找到匹配的数据。" in format_analysis_result(empty)
+
+
+# ---------------------------------------------------------------------------
+# Metadata store (§2.10)
+# ---------------------------------------------------------------------------
+class TestMetadata:
+    def test_crud_roundtrip(self, tmp_path):
+        db = ChatDatabase(str(tmp_path / "chat.db"))
+        db.create_session("s1")
+        assert db.session_exists("s1") and not db.session_exists("nope")
+
+        db.save_file_info("s1", {
+            "id": "f1", "filename": "sales.csv", "filepath": "/tmp/sales.csv",
+            "data_info": {"行数": 7, "列数": 6, "列名": SALES_COLS},
+        })
+        files = db.get_files("s1")
+        assert [f["id"] for f in files] == ["f1"]
+        detail = db.get_file_detail("f1")
+        assert detail["data_info"]["行数"] == 7
+
+        db.save_chat_record("s1", "f1", {
+            "id": "c1", "timestamp": "2026-08-13T10:00:00",
+            "question": "q1?", "result": {"row_count": 1}, "markdown_result": "md1",
+        })
+        db.save_chat_record("s1", "f1", {
+            "id": "c2", "timestamp": "2026-08-13T11:00:00",
+            "question": "q2?", "result": {"row_count": 2}, "markdown_result": "md2",
+        })
+        history = db.get_chat_history("s1")
+        assert [h["id"] for h in history] == ["c1", "c2"]
+        assert history[0]["filename"] == "sales.csv"
+
+        sessions = db.get_all_sessions()
+        assert len(sessions) == 1  # one row per session (reference bug fixed)
+        assert sessions[0]["chat_count"] == 2
+        assert sessions[0]["latest_question"] == "q2?"
+
+        db.delete_session("s1")
+        assert not db.session_exists("s1")
+        assert db.get_chat_history("s1") == []
+
+
+# ---------------------------------------------------------------------------
+# NL→SQL stub + prompt contract
+# ---------------------------------------------------------------------------
+class TestNl2Sql:
+    INFO = {
+        "行数": 7, "列数": 6, "列名": SALES_COLS,
+        "数据类型": {
+            "id": "bigint", "product_name": "string", "category": "string",
+            "price": "double", "quantity": "bigint", "sales_rep": "string",
+        },
+        "前5行数据": [dict(zip(SALES_COLS, SALES_ROWS[0]))],
+    }
+
+    def test_prompt_contract(self):
+        prompt = build_prompt("sales.csv", self.INFO, "哪个类别的总销售额最高？")
+        assert "data_table" in prompt
+        assert "Spark SQL兼容" in prompt
+        assert "sales.csv" in prompt
+        assert "price" in prompt
+
+    def test_stub_rules(self):
+        gen = StubSqlGenerator()
+        assert "LIMIT 3" in gen.generate("f", self.INFO, "top 3 by price")
+        assert "SUM(price)" in gen.generate("f", self.INFO, "sum of price by category")
+        assert "GROUP BY category" in gen.generate("f", self.INFO, "average price by category")
+        assert "WHERE quantity > 2" in gen.generate("f", self.INFO, "rows with quantity > 2")
+        assert gen.generate("f", self.INFO, "tell me a joke") == "SELECT * FROM data_table"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end engine flow (E1-E3 restated)
+# ---------------------------------------------------------------------------
+class TestEngine:
+    def test_analyze_file_profile(self, spark, sales_csv):
+        engine = AnalyticsEngine(spark)
+        out = engine.analyze_file(sales_csv)
+        info = out["data_info"]
+        assert info["行数"] == len(SALES_ROWS)
+        assert info["列数"] == len(SALES_COLS)
+        assert info["列名"] == SALES_COLS
+        assert len(info["前5行数据"]) == 5
+        assert info["table_name"].startswith("data_table_")
+
+    def test_question_end_to_end_golden(self, spark, sales_csv):
+        engine = AnalyticsEngine(spark)
+        out = engine.analyze_data_with_ai(sales_csv, "sum of price by sales_rep")
+        assert "error" not in out, out
+        # golden: compute independently with pandas
+        expected = _sales_pdf().groupby("sales_rep")["price"].sum().to_dict()
+        got = {r["sales_rep"]: r["total_price"] for r in out["result"]["data"]}
+        assert got == pytest.approx(expected)
+        md = format_analysis_result(out)
+        assert "数据分析结果" in md and "```sql" in md
+
+    def test_unsafe_generator_blocked(self, spark, sales_csv):
+        class EvilGen:
+            def generate(self, *_args):
+                return "DROP TABLE data_table"
+
+        engine = AnalyticsEngine(spark, generator=EvilGen())
+        out = engine.analyze_data_with_ai(sales_csv, "boom")
+        assert "error" in out and "SELECT" in out["error"]
+        # the data must still be there
+        assert spark.table("data_table").count() == len(SALES_ROWS)
+
+    def test_profile_matches_spark_dtypes(self, spark, sales_csv):
+        df, _ = load_data_from_file(spark, sales_csv)
+        info = profile_dataframe(df)
+        assert info["数据类型"]["price"] == "double"
+        assert info["数据类型"]["sales_rep"] == "string"
