@@ -13,5 +13,6 @@ from . import events_q  # noqa: F401
 from . import text_q  # noqa: F401
 from . import dedup_q  # noqa: F401
 from . import similarity_q  # noqa: F401
+from . import extras_q  # noqa: F401
 
 REGISTRY = catalog.REGISTRY

@@ -1,0 +1,152 @@
+"""Catalog extras: exact percentiles (G10), the approximate-aggregate
+family (rows-only — approximation is engine-specific by definition),
+Arrow-vectorized UDF execution (X2), interval/range join (J5), and
+map-typed JSON functions (F5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udf import register_engine_udfs
+from ..tables import load, register_views
+from .catalog import register
+
+
+@register(
+    "percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (sort-based, shuffle on the
+    group key; for the approximate scale path see approx_stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("approx_stats", oracle=None)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregate family (G10): HyperLogLog distinct + t-digest
+    percentiles. Rows-only: sketches are engine-specific by definition —
+    the exact counterparts (distinct_counts, percentiles_quantity) are
+    the oracle-checked ground truth."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.approx_count_distinct("o_orderkey").alias("approx_orders"),
+        F.percentile_approx("o_totalprice", F.lit([0.5, 0.95]), F.lit(10000)).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "pandas_udf_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(*)                                          AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting THROUGH a registered Arrow-vectorized pandas UDF
+    (X2): the SQL string calls ``tok_count`` like any built-in. The
+    equivalent pure-JVM expression exists in text_token_stats; this entry
+    proves the Python-UDF execution path against the same oracle."""
+    register_engine_udfs(spark)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT lang,
+               sum(tok_count(text)) AS total_tokens,
+               count(*)             AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+        """
+    )
+
+
+@register(
+    "range_join_recent_activity",
+    oracle="""
+    SELECT e.event_id AS error_event_id,
+           e.user_id,
+           count(a.event_id) AS n_recent
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events a
+      ON a.user_id = e.user_id
+     AND a.event_id <> e.event_id
+     AND a.ts <= e.ts
+     AND a.ts >= e.ts - INTERVAL 5 MINUTE
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (J5): per error event, how many events the same
+    user produced in the preceding 5 minutes.
+
+    Planned as an equi-join on user_id with the range conditions as join
+    filters — the shuffle is keyed, never a cross product. For very hot
+    keys, bucketize ts and equi-join on (user, bucket) instead.
+    """
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    activity = events.select(
+        F.col("user_id").alias("a_user"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    joined = errors.join(
+        activity,
+        (F.col("a_user") == F.col("user_id"))
+        & (F.col("a_id") != F.col("error_event_id"))
+        & (F.col("a_ts") <= F.col("e_ts"))
+        & (F.col("a_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("error_event_id", "user_id").agg(
+        F.count("a_id").alias("n_recent")
+    )
+
+
+@register(
+    "props_map_functions",
+    oracle="""
+    SELECT 'k' AS prop_key,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_val
+    FROM events
+    """,
+)
+def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON functions (F5): parse props into map<string,bigint>,
+    explode to key/value rows, aggregate per key — the generic pipeline
+    for heterogeneous JSON payloads (the fixture has one key; the plan
+    shape is key-count-agnostic)."""
+    events = load(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "val")
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count("*").alias("n"), F.sum("val").alias("total_val")
+    )

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates (the 100-TB story, asserted).
+
+Each test pins a property of the executed plan that matters at scale:
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for the fixed-size dims, top-k planned as TakeOrderedAndProject
+(no global sort), two-phase aggregation, and shuffle counts. A regression
+here means a query silently got a worse plan even though its results
+still pass the oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_duckdb_spark.queries import catalog
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = catalog.REGISTRY[name].builder(spark, sf_dir)
+    df.collect()  # let AQE finalize so the string shows the real plan
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # adaptive plans append an "== Initial Plan ==" section — keep only
+    # the final one so node counts aren't doubled
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project_pushdown")
+    # note: toString truncates long filter lists — assert on the prefix
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_quan" in plan
+    # pruned read schema: projected + filter columns only, never all 11
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_tax" not in read_schema
+    assert "l_suppkey" not in read_schema
+
+
+def test_scan_prunes_columns_for_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_argmax")
+    read_schema = plan.split("ReadSchema:")[1]
+    # needs only suppkey, extendedprice, discount
+    assert "l_orderkey" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_dims_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "BroadcastExchange" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    for name in ("top10_expensive_orders", "flagship_revenue_argmax", "orders_multisort"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_aggregation_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+def test_window_latest_per_group_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "latest_order_per_customer")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rowlevel_projection_has_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "computed_projection")
+    assert "Exchange" not in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce_cosine")
+    assert "BroadcastExchange" in plan
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_asof_purchase_click")
+    # union + one window partitioning — never a join explosion
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_semi_anti_joins_planned_as_joins(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "customers_with_urgent_orders")
+    assert "LeftAnti" in _plan(spark, sf_dir, "customers_without_orders")
+
+
+@pytest.mark.parametrize("name", ["events_tumbling_10min", "events_sliding_1h_30m"])
+def test_window_aggs_partial_before_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,105 @@
+"""CLI and HTTP surface tests (reference E1-E3 route contract)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sales_csv_bytes() -> bytes:
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "category": ["a", "a", "b", "b"],
+            "price": [10.0, 20.0, 30.0, 40.0],
+            "quantity": [1, 2, 3, 4],
+        }
+    )
+    buf = io.StringIO()
+    pdf.to_csv(buf, index=False)
+    return buf.getvalue().encode()
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from ai_duckdb_spark.webapp import create_app
+
+    tmp = tmp_path_factory.mktemp("web")
+    app = create_app(upload_folder=str(tmp / "uploads"), db_path=str(tmp / "chat.db"))
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+class TestWebApp:
+    def test_upload_and_ask(self, client, sales_csv_bytes):
+        resp = client.post(
+            "/api/upload",
+            data={"file": (io.BytesIO(sales_csv_bytes), "sales.csv")},
+            content_type="multipart/form-data",
+        )
+        assert resp.status_code == 200, resp.get_json()
+        body = resp.get_json()
+        assert body["data_info"]["行数"] == 4
+        file_id = body["file_id"]
+
+        resp = client.post(
+            "/api/ask_question",
+            json={"question": "sum of price by category", "file_id": file_id},
+        )
+        assert resp.status_code == 200, resp.get_json()
+        md = resp.get_json()["markdown_result"]
+        assert "数据分析结果" in md and "```sql" in md
+        # a=30, b=70 must appear as %.2f cells
+        assert "30.00" in md and "70.00" in md
+
+        resp = client.get("/api/chat_history")
+        history = resp.get_json()["history"]
+        assert len(history) == 1 and history[0]["filename"] == "sales.csv"
+
+        resp = client.get("/api/files")
+        assert len(resp.get_json()["files"]) == 1
+
+    def test_upload_rejects_bad_type(self, client):
+        resp = client.post(
+            "/api/upload",
+            data={"file": (io.BytesIO(b"x"), "evil.exe")},
+            content_type="multipart/form-data",
+        )
+        assert resp.status_code == 400
+
+    def test_ask_missing_file(self, client):
+        resp = client.post("/api/ask_question", json={"question": "q", "file_id": "nope"})
+        assert resp.status_code == 404
+
+    def test_sessions_roundtrip(self, client):
+        resp = client.post("/api/new_session")
+        sid = resp.get_json()["session_id"]
+        assert client.post(f"/api/switch_session/{sid}").status_code == 200
+        assert client.post("/api/switch_session/ghost").status_code == 404
+        assert any(s["id"] == sid for s in client.get("/api/sessions").get_json()["sessions"])
+
+
+class TestCli:
+    def test_cli_end_to_end(self, spark, tmp_path, sales_csv_bytes, capsys):
+        # reuse the shared test SparkSession (getOrCreate inside run())
+        from ai_duckdb_spark.cli import run
+
+        path = tmp_path / "sales.csv"
+        path.write_bytes(sales_csv_bytes)
+        rc = run(str(path), "sum of price by category")
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "SQL:" in out and "结果" in out
+
+    def test_cli_missing_file(self, spark, capsys):
+        from ai_duckdb_spark.cli import run
+
+        rc = run("/does/not/exist.csv", "q")
+        assert rc == 1
+        assert "分析失败" in capsys.readouterr().out
