@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import avg_sql, dec, exact_avg, exact_sum, sum_sql
+from ..functions.exact import _finish, avg_sql, cents, dec, exact_avg, exact_sum, sum_sql
 from ..tables import load
 from .catalog import register
 
@@ -273,11 +273,16 @@ def join_customer_orders_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by region/nation: 4-way join, two explicit broadcasts.
+    """Revenue by region/nation: 4-way join, two explicit broadcasts,
+    eager pre-aggregation of the widest fact.
 
     nation (25 rows) and region (5 rows) are broadcast — fixed size at
-    ANY scale factor, so the only shuffles left are the fact-fact join
-    (orders ⋈ lineitem on orderkey) and the final small aggregation.
+    ANY scale factor. lineitem revenue is aggregated per orderkey BEFORE
+    the join (eager-aggregation rewrite): the fact-fact join then moves
+    one row per order instead of one per line item (~4x less shuffle at
+    TPC-H shape), and the COUNT(DISTINCT o_orderkey) collapses to a
+    plain count because orderkey is unique post-aggregation. Cents sums
+    are associative longs, so two-level summation is still bit-exact.
     """
     c = load(spark, sf_dir, "customer")
     n = F.broadcast(load(spark, sf_dir, "nation"))
@@ -286,16 +291,20 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = load(spark, sf_dir, "lineitem")
+    li_rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents(_disc_price(), 4)).alias("__rev_cents"))
+    )
     return (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(li_rev, li_rev.l_orderkey == o.o_orderkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            exact_sum(_disc_price(), 4).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            _finish(F.sum("__rev_cents"), 4).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
         .orderBy("region_name", "nation_name")
     )

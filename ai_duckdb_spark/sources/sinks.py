@@ -1,0 +1,43 @@
+"""Durable sinks (SURVEY.md §2.2 K1 durable variant) — partitioned and
+bucketed writes, and the co-located join they buy.
+
+The reference's only sink is a per-file DuckDB CTAS (doc.py:117-119).
+At cluster scale the equivalents are:
+
+  * ``write_partitioned`` — parquet partitioned by a column: partition
+    PRUNING at read time (a date filter skips whole directories);
+  * ``write_bucketed`` — ``bucketBy`` managed tables: two tables
+    bucketed on the same key join WITHOUT a shuffle on either side —
+    the 100 TB answer to "this join shuffles both facts every night".
+
+Bucketed tables need a metastore-backed ``saveAsTable``; callers own
+warehouse configuration (tests use a temp warehouse dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str, mode: str = "overwrite") -> None:
+    """Parquet partitioned by a (low-cardinality) column for pruning."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (optionally sorted) managed table.
+
+    Joins/aggregations on ``bucket_col`` between tables bucketed the
+    same way are planned WITHOUT an Exchange on the bucketed sides.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)

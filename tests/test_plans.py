@@ -11,16 +11,12 @@ from __future__ import annotations
 
 import pytest
 
+from ai_duckdb_spark.plans import executed_plan
 from ai_duckdb_spark.queries import catalog
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = catalog.REGISTRY[name].builder(spark, sf_dir)
-    df.collect()  # let AQE finalize so the string shows the real plan
-    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    # adaptive plans append an "== Initial Plan ==" section — keep only
-    # the final one so node counts aren't doubled
-    return plan.split("== Initial Plan ==")[0]
+    return executed_plan(catalog.REGISTRY[name].builder(spark, sf_dir))
 
 
 def test_filter_and_projection_reach_the_scan(spark, sf_dir):
