@@ -14,5 +14,6 @@ from . import text_q  # noqa: F401
 from . import dedup_q  # noqa: F401
 from . import similarity_q  # noqa: F401
 from . import extras_q  # noqa: F401
+from . import analytics_q  # noqa: F401
 
 REGISTRY = catalog.REGISTRY

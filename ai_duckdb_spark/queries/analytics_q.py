@@ -1,0 +1,217 @@
+"""Second breadth pass over the promised SELECT surface: full window
+analytics, extended string/date function families, ALL-variant set ops,
+UNPIVOT, recursive CTEs, and the skyline operator (EDBT 2023 pattern,
+PAPERS.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.skyline import skyline_2d
+from ..tables import load, register_views
+from .catalog import register
+
+
+@register(
+    "window_analytics_suite",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT)               AS price_dense_rank,
+           CAST(ntile(4) OVER w AS BIGINT)                   AS price_quartile,
+           lead(o_orderkey) OVER w                           AS next_orderkey,
+           first_value(o_orderkey) OVER w                    AS top_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / lead / first_value over one window spec
+    (single shuffle, all four computed in one Window operator)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("top_orderkey"),
+    )
+
+
+@register(
+    "string_funcs_extended",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')                       AS brand_padded,
+           reverse(p_name)                              AS name_rev,
+           CAST(instr(p_name, 'a') AS BIGINT)           AS first_a,
+           translate(p_type, 'aeiou', 'AEIOU')          AS type_vowels,
+           repeat(p_brand, 2)                           AS brand_twice,
+           split_part(p_type, ' ', 1)                   AS type_head
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad / reverse / instr / translate / repeat / split_part."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "date_funcs_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(weekofyear(o_orderdate) AS INTEGER)                 AS order_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER)                  AS order_doy,
+           round(CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS DOUBLE), 1)
+                                                                    AS months_since_epoch_floor,
+           strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d')       AS minus_week,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+    FROM orders
+    WHERE o_orderkey < 800
+    """,
+)
+def date_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weekofyear / dayofyear / whole-month difference / date_sub /
+    quarter truncation. Month difference is pinned to whole months
+    (date_diff counts boundary crossings; Spark's fractional
+    months_between is floored to match)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    return orders.select(
+        "o_orderkey",
+        F.weekofyear("o_orderdate").alias("order_week"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+        F.round(
+            F.floor(F.months_between("o_orderdate", F.lit("1995-01-01").cast("timestamp"))).cast("double"),
+            1,
+        ).alias("months_since_epoch_floor"),
+        F.date_format(F.date_sub(F.col("o_orderdate"), 7), "yyyy-MM-dd").alias("minus_week"),
+        F.date_format(F.date_trunc("quarter", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
+
+
+@register(
+    "setops_all_variants",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ORDER BY op
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity
+    preserved, unlike the distinct variants in setops_customer_cohorts."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    ia = a.intersectAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    ea = a.exceptAll(b).agg(F.count("*").alias("n")).select(F.lit("except_all").alias("op"), "n")
+    return ia.unionAll(ea).orderBy("op")
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    UNPIVOT (
+        SELECT c_custkey,
+               c_acctbal            AS acctbal,
+               CAST(c_nationkey AS DOUBLE) AS nationkey
+        FROM customer WHERE c_custkey < 200
+    ) ON acctbal, nationkey INTO NAME metric VALUE metric_value
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): one row per (entity, metric)."""
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    wide = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "metric_value")
+
+
+@register(
+    "recursive_cte_monthly_series",
+    oracle="""
+    WITH RECURSIVE months(month_start) AS (
+        SELECT TIMESTAMP '1996-01-01'
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM months
+        WHERE month_start < TIMESTAMP '1996-12-01'
+    )
+    SELECT strftime(m.month_start, '%Y-%m') AS ym,
+           count(o.o_orderkey)              AS n_orders
+    FROM months m
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
+    GROUP BY m.month_start
+    ORDER BY ym
+    """,
+)
+def recursive_cte_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4) generating a month spine,
+    left-joined to order counts — the gaps-filled time series pattern
+    (months with zero orders still appear)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+            SELECT TIMESTAMP '1996-01-01'
+            UNION ALL
+            SELECT month_start + INTERVAL 1 MONTH FROM months
+            WHERE month_start < TIMESTAMP '1996-12-01'
+        )
+        SELECT date_format(m.month_start, 'yyyy-MM') AS ym,
+               count(o.o_orderkey)                   AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
+        GROUP BY m.month_start
+        ORDER BY ym
+        """
+    )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS INTEGER) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline: parts Pareto-optimal under (min retail price, max size).
+
+    Spark side uses the distributed per-x-maxima + running-max algorithm
+    (operators/skyline.py, after EDBT 2023's Spark SQL skyline work);
+    the oracle is the quadratic NOT EXISTS dominance predicate.
+    """
+    part = load(spark, sf_dir, "part")
+    return skyline_2d(part, minimize="p_retailprice", maximize="p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
