@@ -47,16 +47,40 @@ def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def word_shingles(text_col: str, n: int = 2) -> F.Column:
+    """Distinct word n-gram shingles of a space-tokenized text column.
+
+    Shingles preserve local word ORDER, so shingle-Jaccard separates
+    reordered documents that unigram-set Jaccard scores as identical —
+    the standard trade chosen by MinHash-based web dedup.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__tokens"))
+
+
 def jaccard_pairs_exact(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 1
 ) -> DataFrame:
-    """All pairs with token-set Jaccard >= threshold, via inverted index.
+    """All pairs with token/shingle-set Jaccard >= threshold, via
+    inverted index.
 
     explode(tokens) → self-join on token → per-pair intersection size →
     join set sizes → Jaccard filter. Deterministic (exact), used as the
     verification tier and the DuckDB-oracle-checkable entry.
+    ``shingle_n > 1`` switches the set elements to word n-grams.
     """
-    toks = _token_sets(df, id_col, text_col)
+    if shingle_n > 1:
+        toks = _shingle_sets(df, id_col, text_col, shingle_n)
+    else:
+        toks = _token_sets(df, id_col, text_col)
     sizes = toks.select("__id", F.size("__tokens").alias("__sz"))
     postings = toks.select("__id", F.explode("__tokens").alias("__tok"))
 
@@ -232,4 +256,42 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
         cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (brief: the semantic
+    dedup tier — catches paraphrases that share no tokens).
+
+    Exact all-pairs via posexplode + pos-join in double precision: the
+    shuffle is keyed on the dimension index, so each of the ``dim``
+    reducers handles one coordinate of every vector — linear in corpus
+    size per reducer, quadratic only inside the per-pair aggregation.
+    For unbounded corpora, gate candidates with similarity.cosine_topk_lsh
+    buckets first; this exact tier doubles as its ground truth.
+    """
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+    )
+    norms = e.groupBy("__id").agg(F.sum(F.col("__val") * F.col("__val")).alias("__sq"))
+    a, b = e.alias("a"), e.alias("b")
+    dots = (
+        a.join(b, (F.col("a.__pos") == F.col("b.__pos")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+        .agg(F.sum(F.col("a.__val") * F.col("b.__val")).alias("__dp"))
+    )
+    n1 = norms.select(F.col("__id").alias("id1"), F.col("__sq").alias("__sq1"))
+    n2 = norms.select(F.col("__id").alias("id2"), F.col("__sq").alias("__sq2"))
+    raw = F.col("__dp") / F.sqrt(F.col("__sq1") * F.col("__sq2"))
+    return (
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .filter(raw >= threshold)
+        .select("id1", "id2", F.round(raw, 4).alias("cosine"))
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
+from ..operators.cluster import connected_components
 from ..tables import load
 from .catalog import register
 
@@ -112,3 +113,116 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_bigram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               ))) AS tok
+        FROM documents
+        WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON inter.id1 = s1.doc_id
+    JOIN sizes s2 ON inter.id2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.6
+    """,
+)
+def dedup_bigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-BIGRAM shingle Jaccard pairs (>= 0.6): order-sensitive
+    near-dup detection — reordered docs that tie at 1.0 on unigram sets
+    score low here. Same inverted-index plan, shingle alphabet."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.6, shingle_n=2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)    AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.val * b.val) AS dp
+        FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(dp / sqrt(n1.sq * n2.sq), 4) AS cosine
+    FROM dots
+    JOIN norms n1 ON dots.id1 = n1.vec_id
+    JOIN norms n2 ON dots.id2 = n2.vec_id
+    WHERE dp / sqrt(n1.sq * n2.sq) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4): the semantic dedup tier
+    — catches paraphrases sharing no surface tokens. Exact double-
+    precision all-pairs (operators/dedup.py embedding_cosine_pairs);
+    the LSH-bucketed variant (knn_lsh_cosine) is the unbounded path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nc
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM inter
+        JOIN sizes s1 ON inter.id1 = s1.doc_id
+        JOIN sizes s2 ON inter.id2 = s2.doc_id
+        WHERE CAST(nc AS DOUBLE) / (s1.sz + s2.sz - nc) >= 0.95
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL
+        SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components of the >=0.95 Jaccard graph
+    (operators/cluster.py min-label propagation). Pairs become GROUPS —
+    the form a dedup pipeline actually consumes (keep min doc_id per
+    component). Oracle: recursive-CTE reachability in DuckDB."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.95)
+    return connected_components(pairs, "id1", "id2").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )

@@ -244,3 +244,14 @@ def streaming_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming (readStream file source → watermark → window agg → memory
     sink), verified against the same SQL oracle as the batch form."""
     return tumbling_counts_stream(spark, sf_dir, window_duration="10 minutes")
+
+
+@register("streaming_stateful_user_totals", oracle=None)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState running
+    per-user totals (streaming/stateful.py). Rows-only by nature (the
+    driver can't re-run per-batch state in SQL); equality with the batch
+    groupBy is pytest-asserted (tests/test_operators.py)."""
+    from ..streaming.stateful import running_user_totals_stream
+
+    return running_user_totals_stream(spark, sf_dir).orderBy("user_id")

@@ -168,3 +168,32 @@ def token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "text_regex_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                                                          AS n_regex_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+    FROM documents
+    """,
+)
+def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (X8): whitespace split vs a BPE-ish regex
+    lexer (letter runs | digit runs | single other-chars) — the
+    pre-tokenization shape real BPE tokenizers apply before merges.
+    Both are JVM regexp built-ins; identical pattern both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias(
+            "n_number_tokens"
+        ),
+    )

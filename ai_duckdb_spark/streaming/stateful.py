@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9 X1 —
+``applyInPandasWithState``).
+
+Running per-user statistics maintained across micro-batches: the state
+holds (event_count, value_sum) per user_id and each batch emits the
+updated totals. This is the Structured Streaming shape for operators
+that windowed aggregation can't express (arbitrary per-key state
+machines — session scoring, fraud counters, CDC folding).
+
+State is partitioned by the grouping key across executors; the pandas
+function sees one key's rows per call with its own GroupState — no
+cross-key coordination, which is what lets state scale horizontally.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import _event_stream
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into the running state."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful running totals per user over the event stream."""
+    out = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"stateful_sink_{uuid.uuid4().hex[:8]}"
+    query = out.writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # update-mode memory sink appends each emission; keep the final state
+    # per user (max n_events is monotonically the latest)
+    from pyspark.sql import functions as F
+
+    emissions = spark.table(sink)
+    return emissions.groupBy("user_id").agg(
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max("n_events").alias("n_events"),
+    ).select("user_id", "n_events", "total_value")

@@ -192,3 +192,22 @@ class TestStreaming:
             .count()
         )
         assert total_unique == batch_unique
+
+
+class TestStatefulStreaming:
+    def test_running_user_totals_matches_batch(self, spark, sf_dir):
+        from ai_duckdb_spark.streaming.stateful import running_user_totals_stream
+
+        out = {r.user_id: (r.n_events, r.total_value)
+               for r in running_user_totals_stream(spark, sf_dir).collect()}
+        batch = {
+            r.user_id: (r.n, round(r.v, 2))
+            for r in load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .collect()
+        }
+        assert set(out) == set(batch)
+        for uid, (n, v) in batch.items():
+            assert out[uid][0] == n
+            assert abs(out[uid][1] - v) < 0.05  # float fold tolerance
