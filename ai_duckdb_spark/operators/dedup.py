@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
+
 MERSENNE_PRIME = (1 << 61) - 1
 
 
@@ -82,7 +84,13 @@ def jaccard_pairs_exact(
     else:
         toks = _token_sets(df, id_col, text_col)
     sizes = toks.select("__id", F.size("__tokens").alias("__sz"))
-    postings = toks.select("__id", F.explode("__tokens").alias("__tok"))
+    # the pair join is quadratic in postings-per-token: fan out by token
+    # explicitly — input splits reflect FILE size, not join cost, so a
+    # single small parquet file would otherwise run the join on one core
+    postings = (
+        toks.select("__id", F.explode("__tokens").alias("__tok"))
+        .repartition(default_parallelism(), "__tok")
+    )
 
     a = postings.alias("a")
     b = postings.alias("b")
@@ -278,7 +286,7 @@ def embedding_cosine_pairs(
     e = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
-    )
+    ).repartition(default_parallelism(), "__pos")  # dim-keyed fan-out (see above)
     norms = e.groupBy("__id").agg(F.sum(F.col("__val") * F.col("__val")).alias("__sq"))
     a, b = e.alias("a"), e.alias("b")
     dots = (
