@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): the exactness scheme, the
+formatter's total robustness, and the SQL safety gate under adversarial
+inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_duckdb_spark.executor import UnsafeSqlError, clean_sql_response
+from ai_duckdb_spark.formatter import _format_cell, format_analysis_result
+
+# ---------------------------------------------------------------------------
+# exact.py invariant: floor(x*10^s + 0.5) recovers the integer cents of any
+# 2-decimal value stored as a double — the per-row step the whole
+# cross-engine exactness scheme rests on.
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-(10**15), max_value=10**15))
+@settings(max_examples=500)
+def test_floor_cents_recovers_2dec_values(cents: int) -> None:
+    stored = cents / 100  # the double a 2-decimal value becomes
+    assert math.floor(stored * 100 + 0.5) == cents
+
+
+@given(st.integers(min_value=-(10**13), max_value=10**13))
+@settings(max_examples=500)
+def test_floor_cents_recovers_4dec_values(units: int) -> None:
+    stored = units / 10_000
+    assert math.floor(stored * 10_000 + 0.5) == units
+
+
+# ---------------------------------------------------------------------------
+# formatter: never crashes, always honors the cell contract
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=120),
+)
+
+
+@given(_cell)
+@settings(max_examples=300)
+def test_format_cell_contract(value) -> None:
+    out = _format_cell(value)
+    assert isinstance(out, str)
+    if value is None:
+        assert out == "null"
+    elif isinstance(value, str):
+        # the 50-char truncation applies to strings ONLY (reference
+        # app.py:96-99); numeric cells format at full width
+        assert len(out) <= 50
+        if len(value) > 50:
+            assert out.endswith("...")
+    elif isinstance(value, float) and not isinstance(value, bool):
+        assert out.endswith(tuple("0123456789")) and "." in out
+
+
+@given(
+    st.lists(
+        st.dictionaries(st.sampled_from(["a", "b"]), _cell, min_size=2, max_size=2),
+        max_size=15,
+    )
+)
+@settings(max_examples=100)
+def test_formatter_never_crashes(rows) -> None:
+    result = {
+        "question": "q",
+        "sql_query": "SELECT 1",
+        "data_info": {"行数": len(rows), "列数": 2, "列名": ["a", "b"]},
+        "result": {"columns": ["a", "b"], "data": rows, "row_count": len(rows)},
+    }
+    md = format_analysis_result(result)
+    assert "数据分析结果" in md
+
+
+# ---------------------------------------------------------------------------
+# safety gate: forbidden statements stay forbidden under noise —
+# whitespace/fence/case mangling must never smuggle a write through the
+# first-token gate.
+# ---------------------------------------------------------------------------
+
+_write_stmt = st.sampled_from(
+    [
+        "DROP TABLE data_table",
+        "delete from data_table",
+        "Insert into data_table values (1)",
+        "UPDATE data_table SET x=1",
+        "create table evil as select 1",
+        "TRUNCATE TABLE data_table",
+        "MERGE INTO data_table USING x ON true WHEN MATCHED THEN DELETE",
+    ]
+)
+_noise = st.text(alphabet=" \t\n", max_size=5)
+
+
+@given(_write_stmt, _noise, _noise, st.booleans())
+@settings(max_examples=200)
+def test_gate_blocks_mangled_writes(stmt, pre, post, fence) -> None:
+    import pytest
+
+    from ai_duckdb_spark.executor import ensure_select_only
+
+    sql = f"{pre}{stmt}{post}"
+    if fence:
+        sql = f"```sql\n{sql}\n```"
+    cleaned = clean_sql_response(sql)
+    # the first-token allowlist must reject BEFORE any parser involvement,
+    # so no SparkSession is needed (passing None proves the ordering)
+    with pytest.raises(UnsafeSqlError):
+        ensure_select_only(None, cleaned)
