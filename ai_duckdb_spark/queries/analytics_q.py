@@ -20,7 +20,7 @@ from .catalog import register
            o_orderkey,
            CAST(dense_rank() OVER w AS BIGINT)               AS price_dense_rank,
            CAST(ntile(4) OVER w AS BIGINT)                   AS price_quartile,
-           lead(o_orderkey) OVER w                           AS next_orderkey,
+           coalesce(lead(o_orderkey) OVER w, -1)             AS next_orderkey,
            first_value(o_orderkey) OVER w                    AS top_orderkey
     FROM orders
     WHERE o_custkey < 100
@@ -37,7 +37,7 @@ def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
         F.ntile(4).over(w).cast("long").alias("price_quartile"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_orderkey"),
         F.first("o_orderkey").over(w).alias("top_orderkey"),
     )
 

@@ -127,10 +127,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_asof_purchase_click",
     oracle="""
-    SELECT p.event_id                                   AS purchase_id,
+    SELECT p.event_id                                      AS purchase_id,
            p.user_id,
-           c.event_id                                   AS click_id,
-           date_diff('millisecond', c.ts, p.ts)         AS ms_since_click
+           coalesce(c.event_id, -1)                        AS click_id,
+           coalesce(date_diff('millisecond', c.ts, p.ts), -1) AS ms_since_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -161,8 +161,10 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id",
         "user_id",
-        "click_id",
-        (F.unix_millis("purchase_ts") - F.unix_millis("matched_click_ts")).alias("ms_since_click"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_millis("purchase_ts") - F.unix_millis("matched_click_ts"), F.lit(-1)
+        ).alias("ms_since_click"),
     )
 
 

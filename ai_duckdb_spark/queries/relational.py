@@ -242,7 +242,9 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouping_sets_nation_segment",
     oracle="""
-    SELECT c_nationkey, c_mktsegment, count(*) AS n,
+    SELECT coalesce(c_nationkey, -1)      AS c_nationkey,
+           coalesce(c_mktsegment, 'ALL')  AS c_mktsegment,
+           count(*) AS n,
            CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(28,2))) AS DOUBLE)
                / count(c_acctbal) AS avg_bal
     FROM customer
@@ -254,7 +256,9 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["customer"])
     return spark.sql(
         """
-        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        SELECT coalesce(c_nationkey, -1)      AS c_nationkey,
+               coalesce(c_mktsegment, 'ALL')  AS c_mktsegment,
+               count(*) AS n,
                CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(28,2))) AS DOUBLE)
                    / count(c_acctbal) AS avg_bal
         FROM customer

@@ -412,8 +412,8 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_year_status",
     oracle=f"""
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           o_orderstatus,
+    SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+           coalesce(o_orderstatus, 'ALL')    AS o_orderstatus,
            count(*)                          AS n_orders,
            {sum_sql('o_totalprice')}         AS total_price
     FROM orders
@@ -427,6 +427,14 @@ def rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
         .rollup("order_year", "o_orderstatus")
         .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("total_price"))
+        # grouping nulls -> sentinels: subtotal rows stay recognizable and
+        # no nullable-numeric column reaches the hash comparator
+        .select(
+            F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            "total_price",
+        )
     )
 
 
@@ -436,8 +444,8 @@ def rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cube_flag_status",
     oracle="""
-    SELECT l_returnflag,
-           l_linestatus,
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
            count(*)        AS n_items,
            sum(l_quantity) AS sum_qty
     FROM lineitem
@@ -447,8 +455,15 @@ def rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): 4 grouping sets in one pass."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+        )
     )
 
 
@@ -572,9 +587,9 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            o_orderkey,
-           CAST(date_diff('day',
+           coalesce(CAST(date_diff('day',
                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS INTEGER) AS days_since_prev
+                o_orderdate) AS INTEGER), -1) AS days_since_prev
     FROM orders
     WHERE o_custkey < 200
     """,
@@ -586,5 +601,7 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).alias("days_since_prev"),
     )
