@@ -31,8 +31,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in the edge set; component id is
     the minimum node id reachable from the node."""
-    undirected = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the edge list once — the loop below would otherwise
+    # re-evaluate the (potentially expensive) upstream pair-generation
+    # plan on BOTH join sides of EVERY iteration
+    undirected = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         undirected.select(F.col("a").alias("node"))

@@ -272,21 +272,48 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (brief: the semantic
     dedup tier — catches paraphrases that share no tokens).
 
-    Exact all-pairs via posexplode + pos-join in double precision: the
-    shuffle is keyed on the dimension index, so each of the ``dim``
-    reducers handles one coordinate of every vector — linear in corpus
-    size per reducer, quadratic only inside the per-pair aggregation.
-    For unbounded corpora, gate candidates with similarity.cosine_topk_lsh
-    buckets first; this exact tier doubles as its ground truth.
+    Two exact strategies:
+
+      * ``broadcast`` (default): nested-loop of the corpus against a
+        broadcast copy of itself; the per-pair dot product is a JVM
+        ``zip_with`` fold — NO shuffle at all (the pos-join alternative
+        moves corpus × dim rows through two shuffles and spills first).
+        Right choice whenever one side fits executor memory — which is
+        the sane boundary for exact all-pairs anyway.
+      * ``posjoin``: dimension-keyed explode + join; linear rows per
+        reducer, for corpora past broadcast size. Beyond THAT, exact
+        all-pairs is the wrong tool — gate candidates with
+        similarity.cosine_topk_lsh buckets and verify only those.
     """
+    from ..operators.similarity import dot, l2_norm
+
+    if strategy == "broadcast":
+        v = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        a = v.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1")).repartition(
+            default_parallelism()
+        )
+        b = v.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+        raw = dot(F.col("__v1"), F.col("__v2")) / (
+            l2_norm(F.col("__v1")) * l2_norm(F.col("__v2"))
+        )
+        return (
+            a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+            .withColumn("__raw", raw)
+            .filter(F.col("__raw") >= threshold)
+            .select("id1", "id2", F.round("__raw", 4).alias("cosine"))
+        )
+
     e = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
-    ).repartition(default_parallelism(), "__pos")  # dim-keyed fan-out (see above)
+    ).repartition(default_parallelism(), "__pos")  # dim-keyed fan-out
     norms = e.groupBy("__id").agg(F.sum(F.col("__val") * F.col("__val")).alias("__sq"))
     a, b = e.alias("a"), e.alias("b")
     dots = (
