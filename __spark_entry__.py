@@ -8,9 +8,10 @@ value-hash → CORRECTNESS_r{N}.json).
 The catalog itself lives in ``ai_duckdb_spark.queries`` — one QuerySpec
 per implemented operator from SURVEY.md §2, each pairing an idiomatic
 Spark DataFrame builder with an equivalent DuckDB oracle SQL string
-(oracle omitted only for ops whose hash families are Spark-internal:
-MinHash/SimHash/LSH — their ground truth is the exact oracle-checked
-tiers plus tests/).
+(oracle omitted only for ops that are approximate or use Spark-internal
+hash families — MinHash/SimHash/LSH/sketches/sampling — whose ground
+truth is the exact oracle-checked tiers plus tests/). The row-by-row
+SURVEY §2 -> implementation map is COVERAGE.md.
 """
 
 from __future__ import annotations

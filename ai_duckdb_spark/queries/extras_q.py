@@ -150,3 +150,18 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.groupBy("prop_key").agg(
         F.count("*").alias("n"), F.sum("val").alias("total_val")
     )
+
+
+@register("sampled_lineitem_stats", oracle=None)
+def sampled_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (TABLESAMPLE surface): 1% sample,
+    per-flag counts. Rows-only: sampling RNGs are engine-specific by
+    definition; determinism across reruns comes from the fixed seed,
+    which the driver's repeat-run check exercises."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.01, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
