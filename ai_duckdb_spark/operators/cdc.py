@@ -1,0 +1,70 @@
+"""SCD2 / CDC merge emulation (pyspark guide "CDC / SCD2" row: MERGE INTO
+needs Delta; in plain Spark emulate with anti-join + union + window).
+
+``apply_scd2_changes`` folds a change batch into a slowly-changing-
+dimension snapshot:
+
+  * every change row opens a new CURRENT version (valid_from = change ts,
+    valid_to = NULL, is_current = true);
+  * the previously-current version of a changed key is closed
+    (valid_to = change ts, is_current = false);
+  * unchanged keys pass through untouched.
+
+Pure DataFrame composition: one join of the snapshot against the (small,
+broadcastable) change batch plus a union — no driver loops, no Delta
+dependency. With Delta/Iceberg on the classpath the same contract maps
+to a single MERGE INTO; this operator is the portable fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_scd2_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "change_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Return the new SCD2 snapshot after applying one change batch.
+
+    ``snapshot`` columns: key, attributes..., valid_from, valid_to,
+    is_current. ``changes`` columns: key, attributes..., ts_col.
+    One change row per key per batch (dedupe upstream with
+    latest-per-group if needed).
+    """
+    attr_cols = [c for c in changes.columns if c not in (key, ts_col)]
+
+    changed_keys = changes.select(key, F.col(ts_col).alias("__close_ts"))
+
+    # close the currently-open version of changed keys
+    closed = (
+        snapshot.join(F.broadcast(changed_keys), key, "inner")
+        .filter(F.col(current_flag))
+        .withColumn(valid_to, F.col("__close_ts"))
+        .withColumn(current_flag, F.lit(False))
+        .drop("__close_ts")
+    )
+    # untouched rows: historical versions of changed keys + all rows of
+    # unchanged keys
+    untouched = snapshot.join(
+        F.broadcast(changed_keys.select(key)), key, "left_anti"
+    ).unionByName(
+        snapshot.join(F.broadcast(changed_keys.select(key)), key, "left_semi").filter(
+            ~F.col(current_flag)
+        )
+    )
+    # open new current versions from the change rows
+    opened = changes.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast(snapshot.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    return untouched.unionByName(closed).unionByName(opened)

@@ -165,3 +165,72 @@ def sampled_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "grouped_zscore_pandas",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS chars_zscore
+    FROM documents
+    """,
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (X2, the UDTF-like shape): per-language
+    z-score normalization computed inside applyInPandas — one pandas
+    frame per group, Arrow both ways. Oracle: the equivalent window
+    formulation (avg/stddev_samp OVER lang; pandas .std() is ddof=1 =
+    stddev_samp). The window form is what you'd use when built-ins
+    suffice; the grouped-map form is for logic they can't express."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("float64")
+        z = (x - x.mean()) / x.std()
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "chars_zscore": z.round(4)}
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, "doc_id bigint, lang string, chars_zscore double"
+    )
+
+
+@register(
+    "full_outer_nation_parties",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk)        AS nationkey,
+           coalesce(c.n_customers, 0)  AS n_customers,
+           coalesce(s.n_suppliers, 0)  AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the J3 join-type surface): per-nation
+    customer and supplier counts, nations missing from either side kept."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )

@@ -211,3 +211,58 @@ class TestStatefulStreaming:
         for uid, (n, v) in batch.items():
             assert out[uid][0] == n
             assert abs(out[uid][1] - v) < 0.05  # float fold tolerance
+
+
+class TestCdc:
+    def test_scd2_apply_changes(self, spark):
+        import datetime
+
+        from ai_duckdb_spark.operators.cdc import apply_scd2_changes
+
+        t0 = datetime.datetime(2024, 1, 1)
+        t1 = datetime.datetime(2024, 6, 1)
+        snapshot = spark.createDataFrame(
+            [
+                (1, "alice", "NYC", t0, None, True),
+                (2, "bob", "LA", t0, None, True),
+                (3, "carol", "SF", t0, None, True),
+            ],
+            "id long, name string, city string, valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+        changes = spark.createDataFrame(
+            [(1, "alice", "BOSTON", t1), (4, "dave", "CHI", t1)],
+            "id long, name string, city string, change_ts timestamp",
+        )
+        out = apply_scd2_changes(snapshot, changes, key="id")
+        rows = {(r.id, r.city, r.is_current): r for r in out.collect()}
+
+        assert len(rows) == 5  # 3 original (+1 closed) + 2 new current
+        # alice: old version closed at t1, new current in BOSTON
+        assert rows[(1, "NYC", False)].valid_to == t1
+        assert rows[(1, "BOSTON", True)].valid_from == t1
+        assert rows[(1, "BOSTON", True)].valid_to is None
+        # bob/carol untouched and current
+        assert rows[(2, "LA", True)].valid_to is None
+        assert rows[(3, "SF", True)].valid_to is None
+        # dave inserted as current
+        assert rows[(4, "CHI", True)].valid_from == t1
+
+    def test_scd2_idempotent_keys_only_close_once(self, spark):
+        import datetime
+
+        from ai_duckdb_spark.operators.cdc import apply_scd2_changes
+
+        t0, t1, t2 = (datetime.datetime(2024, m, 1) for m in (1, 3, 6))
+        snap = spark.createDataFrame(
+            [(1, "x", t0, None, True)],
+            "id long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+        snap = apply_scd2_changes(
+            snap, spark.createDataFrame([(1, "y", t1)], "id long, v string, change_ts timestamp"), key="id"
+        )
+        snap = apply_scd2_changes(
+            snap, spark.createDataFrame([(1, "z", t2)], "id long, v string, change_ts timestamp"), key="id"
+        )
+        rows = sorted(snap.collect(), key=lambda r: r.valid_from)
+        assert [(r.v, r.is_current) for r in rows] == [("x", False), ("y", False), ("z", True)]
+        assert [r.valid_to for r in rows] == [t1, t2, None]
