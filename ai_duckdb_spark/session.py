@@ -14,8 +14,39 @@ Tuned for two regimes:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``ai_duckdb_spark`` importable on executor Python workers.
+
+    cloudpickle serializes module-level functions (pandas-UDF bodies,
+    applyInPandasWithState callbacks) by reference, so workers must be able
+    to import this package. The driver harness may launch from any cwd with
+    only a driver-side ``sys.path`` tweak — that never reaches workers — so
+    zip the package once per SparkContext and distribute via ``addPyFile``
+    (the same mechanism used to ship code to a real cluster).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ai_duckdb_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"ai_duckdb_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._ai_duckdb_pkg_shipped = True
 
 
 def default_parallelism() -> int:
@@ -64,6 +95,7 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 
@@ -81,4 +113,5 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     # post-shuffle but the initial map still pays the fan-out
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    _ship_package(spark)
     return spark
