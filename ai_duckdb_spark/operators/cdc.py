@@ -30,6 +30,7 @@ def apply_scd2_changes(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Return the new SCD2 snapshot after applying one change batch.
 
@@ -37,14 +38,22 @@ def apply_scd2_changes(
     is_current. ``changes`` columns: key, attributes..., ts_col.
     One change row per key per batch (dedupe upstream with
     latest-per-group if needed).
+
+    ``broadcast_changes`` fits the normal CDC regime (a small tick
+    against a big dimension). Pass False for bulk backfills where the
+    batch rivals the snapshot — the joins then shuffle on the key, which
+    is the plan that survives at scale.
     """
     attr_cols = [c for c in changes.columns if c not in (key, ts_col)]
 
     changed_keys = changes.select(key, F.col(ts_col).alias("__close_ts"))
 
+    def hinted(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_changes else df
+
     # close the currently-open version of changed keys
     closed = (
-        snapshot.join(F.broadcast(changed_keys), key, "inner")
+        snapshot.join(hinted(changed_keys), key, "inner")
         .filter(F.col(current_flag))
         .withColumn(valid_to, F.col("__close_ts"))
         .withColumn(current_flag, F.lit(False))
@@ -53,9 +62,9 @@ def apply_scd2_changes(
     # untouched rows: historical versions of changed keys + all rows of
     # unchanged keys
     untouched = snapshot.join(
-        F.broadcast(changed_keys.select(key)), key, "left_anti"
+        hinted(changed_keys.select(key)), key, "left_anti"
     ).unionByName(
-        snapshot.join(F.broadcast(changed_keys.select(key)), key, "left_semi").filter(
+        snapshot.join(hinted(changed_keys.select(key)), key, "left_semi").filter(
             ~F.col(current_flag)
         )
     )

@@ -234,3 +234,89 @@ def full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "scd2_customer_price_history",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rf,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+        FROM orders
+    ),
+    f AS (SELECT o_custkey, o_totalprice AS price, o_orderdate AS d
+          FROM ranked WHERE rf = 1),
+    l AS (SELECT o_custkey, o_totalprice AS price, o_orderdate AS d
+          FROM ranked WHERE rl = 1),
+    changed AS (
+        SELECT f.o_custkey, f.price AS fp, f.d AS fd, l.price AS lp, l.d AS ld
+        FROM f JOIN l USING (o_custkey) WHERE l.d > f.d
+    )
+    SELECT o_custkey AS custkey, fp AS totalprice,
+           fd AS valid_from, ld AS valid_to, FALSE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT o_custkey, lp, ld, CAST(NULL AS DATE), TRUE FROM changed
+    UNION ALL
+    SELECT f.o_custkey, f.price, f.d, CAST(NULL AS DATE), TRUE
+    FROM f JOIN l USING (o_custkey) WHERE l.d = f.d
+    """,
+)
+def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/CDC fold (operators/cdc.py apply_scd2_changes): snapshot =
+    each customer's FIRST order as the open dimension version; change
+    batch = the latest order of every customer whose latest is strictly
+    later. One batch application closes the old version (valid_to =
+    change date) and opens the new current one. Oracle: the same
+    before/after relation written directly with window functions."""
+    from pyspark.sql import Window
+
+    from ..operators.cdc import apply_scd2_changes
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate", "o_orderkey"
+    )
+    w_first = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_last = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    first = (
+        orders.withColumn("rf", F.row_number().over(w_first))
+        .filter(F.col("rf") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderdate").alias("first_d"),
+        )
+    )
+    last = (
+        orders.withColumn("rl", F.row_number().over(w_last))
+        .filter(F.col("rl") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("last_price"),
+            F.col("o_orderdate").alias("last_d"),
+        )
+    )
+    snapshot = first.select(
+        "custkey",
+        "totalprice",
+        F.col("first_d").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        last.join(first.select("custkey", "first_d"), "custkey")
+        .filter(F.col("last_d") > F.col("first_d"))
+        .select(
+            "custkey",
+            F.col("last_price").alias("totalprice"),
+            F.col("last_d").alias("change_ts"),
+        )
+    )
+    # the batch here is ~one row per customer — a bulk fold, not a CDC
+    # tick — so shuffle on the key instead of broadcasting the batch
+    return apply_scd2_changes(snapshot, changes, key="custkey", broadcast_changes=False)
