@@ -82,3 +82,79 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_n_bytes", T.LongType()),
+        T.StructField("frame_byte_sum", T.LongType()),
+    ]
+)
+
+
+def decode_audio(data: bytes, *, fake: bool = False) -> tuple[int, int]:
+    """Decode an audio payload to (sample_rate, n_samples).
+
+    STUB: real decoding needs an audio codec library not present in this
+    environment; ``fake=True`` is the deterministic stand-in.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub decoder"
+        )
+    n = len(data)
+    return (8000 if n % 2 else 16000, n * 4)
+
+
+def resize_image(data: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """Resize an image payload to (width, height).
+
+    STUB: needs an image library; ``fake=True`` returns a deterministic
+    byte string of the target pixel count so batch shapes are testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub resizer"
+        )
+    return bytes((i + (data[0] if data else 0)) % 256 for i in range(width * height))
+
+
+def sample_frames(binary_df: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """Every-``every``-th fixed-size frame of a packed video payload.
+
+    The frame-sampling shape of a video pipeline: one input row fans out
+    to ~n_bytes/(frame_bytes·every) frame rows inside mapInPandas, so the
+    fan-out never materializes on the driver and downstream operators see
+    an ordinary (doc_id, frame_idx, ...) relation they can group/join.
+    With a real container format the fixed-stride slicing becomes
+    keyframe extraction; the distributed shape is identical.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            sums: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every):
+                    chunk = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(idx)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_n_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_byte_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_frames, FRAME_SCHEMA)

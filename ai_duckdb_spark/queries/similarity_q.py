@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import attach_binary_payload, extract_features, sample_frames
 from ..tables import load
 from .catalog import register
 
@@ -141,6 +141,35 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), F.round(F.avg(norm), 6).alias("avg_l2_norm"))
         .orderBy("label")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 1000
+    ),
+    f AS (
+        SELECT doc_id, n,
+               unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx
+        FROM d
+    )
+    SELECT doc_id, frame_idx,
+           least(64, n - frame_idx * 64) AS frame_n_bytes
+    FROM f
+    WHERE frame_idx % 4 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (X9): every 4th 64-byte frame of the
+    packed binary payload, fanned out INSIDE mapInPandas so the frame
+    explosion happens executor-side. Oracle checks the sampling geometry
+    (frame index + tail-frame truncation); frame CONTENT (byte sums) is
+    pytest-checked — a blob fold isn't portable SQL."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    frames = sample_frames(attach_binary_payload(docs, "doc_id", "text"))
+    return frames.select("doc_id", "frame_idx", "frame_n_bytes")
 
 
 @register(

@@ -193,6 +193,32 @@ class TestMultimodal:
         assert set(feats.columns) == {"doc_id", "n_bytes", "first_byte", "fake_width", "fake_height"}
         assert all(1 <= r.fake_width <= 64 for r in rows)
 
+    def test_audio_and_resize_stubs_gated(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"bytes")
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_image(b"bytes", 4, 4)
+        assert multimodal.decode_audio(b"abc", fake=True) == (8000, 12)
+        assert len(multimodal.resize_image(b"abc", 4, 4, fake=True)) == 16
+
+    def test_frame_sample_content_ground_truth(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a" * 200), (2, "xy")], ["doc_id", "text"]
+        )
+        frames = multimodal.sample_frames(
+            multimodal.attach_binary_payload(df, "doc_id", "text"),
+            frame_bytes=64,
+            every=2,
+        ).collect()
+        got = {(r.doc_id, r.frame_idx): (r.frame_n_bytes, r.frame_byte_sum) for r in frames}
+        # doc 1: 200 bytes -> frames 0..3, sampled 0 and 2; byte 'a' = 97
+        # doc 2: 2 bytes -> single (truncated) frame 0
+        assert got == {
+            (1, 0): (64, 64 * 97),
+            (1, 2): (64, 64 * 97),
+            (2, 0): (2, ord("x") + ord("y")),
+        }
+
 
 class TestStreaming:
     def test_tumbling_stream_matches_batch(self, spark, sf_dir):
