@@ -257,3 +257,67 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.stateful import running_user_totals_stream
 
     return running_user_totals_stream(spark, sf_dir).orderBy("user_id")
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('millisecond', prev_ts, ts) >= 1800 * 1000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` executed THROUGH Structured Streaming
+    (streaming/windows.py session_window_stream). Oracle: gaps-and-
+    islands SQL with the native operator's boundary rule — a gap of
+    exactly the 30-minute threshold STARTS a new session (window span is
+    [start, last_ts + gap)), hence ``>=`` where the custom batch
+    sessionizer (events_sessionization) uses ``>``."""
+    from ..streaming.windows import session_window_stream
+
+    return session_window_stream(spark, sf_dir, gap="30 minutes")
+
+
+@register(
+    "streaming_dedup_minute",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (
+        SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS mb
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` through a real streaming query:
+    exactly-once style dedup on (user, type, minute) with watermark-
+    bounded state — the unbounded-stream form of events_dedup_minute.
+    The bounded fixture replays as one microbatch, so the result equals
+    the global distinct the oracle computes."""
+    from ..streaming.windows import dedup_within_watermark_stream
+
+    return dedup_within_watermark_stream(spark, sf_dir)
