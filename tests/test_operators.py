@@ -41,6 +41,21 @@ class TestDedup:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.9, f"LSH recall too low: {recall}"
 
+    def test_prefix_filter_equals_inverted_index(self, spark, sf_dir):
+        """AllPairs prefix filtering is a pure planning change: the result
+        relation must be IDENTICAL to the inverted-index exact tier."""
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        for shingle_n, t in ((1, 0.9), (2, 0.6)):
+            exact = {
+                (r.id1, r.id2, round(r.jaccard, 9))
+                for r in dedup.jaccard_pairs_exact(docs, "doc_id", "text", t, shingle_n).collect()
+            }
+            pref = {
+                (r.id1, r.id2, round(r.jaccard, 9))
+                for r in dedup.jaccard_pairs_prefix(docs, "doc_id", "text", t, shingle_n).collect()
+            }
+            assert exact and pref == exact
+
     def test_simhash_identical_docs_collide(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "zz yy xx ww vv")],
