@@ -321,3 +321,26 @@ def streaming_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import dedup_within_watermark_stream
 
     return dedup_within_watermark_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/windows.py
+    stream_static_enrich): events stream enriched with the customer
+    dimension per microbatch, aggregated by market segment — the
+    standard way to attach a slowly-changing dimension to a stream.
+    Oracle: the equivalent batch join."""
+    from ..streaming.windows import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)

@@ -121,3 +121,37 @@ def dedup_within_watermark_stream(
     finally:
         query.stop()
     return spark.table(sink)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer market segment), then aggregated per segment.
+
+    The static side is a plain batch DataFrame joined with a broadcast
+    hint — Structured Streaming re-plans it per microbatch, which is how
+    slowly-changing dimensions are normally attached to a stream without
+    any stateful join machinery.
+    """
+    from ..tables import load
+
+    customers = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        _event_stream(spark, sf_dir)
+        .join(F.broadcast(customers), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
+    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink)
