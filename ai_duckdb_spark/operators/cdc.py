@@ -47,26 +47,28 @@ def apply_scd2_changes(
     attr_cols = [c for c in changes.columns if c not in (key, ts_col)]
 
     changed_keys = changes.select(key, F.col(ts_col).alias("__close_ts"))
+    if broadcast_changes:
+        changed_keys = F.broadcast(changed_keys)
 
-    def hinted(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast_changes else df
-
-    # close the currently-open version of changed keys
-    closed = (
-        snapshot.join(hinted(changed_keys), key, "inner")
-        .filter(F.col(current_flag))
-        .withColumn(valid_to, F.col("__close_ts"))
-        .withColumn(current_flag, F.lit(False))
-        .drop("__close_ts")
-    )
-    # untouched rows: historical versions of changed keys + all rows of
-    # unchanged keys
-    untouched = snapshot.join(
-        hinted(changed_keys.select(key)), key, "left_anti"
-    ).unionByName(
-        snapshot.join(hinted(changed_keys.select(key)), key, "left_semi").filter(
-            ~F.col(current_flag)
+    # ONE pass over the snapshot: a left join marks changed keys, and a
+    # conditional update closes their currently-open version in place.
+    # (The equivalent inner+anti+semi composition reads the snapshot
+    # three times — each DataFrame reference re-runs its lineage, which
+    # at scale means three scans of the big side instead of one.)
+    close_ts = F.col("__close_ts")
+    updated = (
+        snapshot.join(changed_keys, key, "left")
+        .withColumn(
+            valid_to,
+            F.when(F.col(current_flag) & close_ts.isNotNull(), close_ts).otherwise(
+                F.col(valid_to)
+            ),
         )
+        .withColumn(
+            current_flag,
+            F.when(close_ts.isNotNull(), F.lit(False)).otherwise(F.col(current_flag)),
+        )
+        .drop("__close_ts")
     )
     # open new current versions from the change rows
     opened = changes.select(
@@ -76,4 +78,4 @@ def apply_scd2_changes(
         F.lit(None).cast(snapshot.schema[valid_to].dataType).alias(valid_to),
         F.lit(True).alias(current_flag),
     )
-    return untouched.unionByName(closed).unionByName(opened)
+    return updated.unionByName(opened)

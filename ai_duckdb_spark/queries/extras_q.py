@@ -272,50 +272,41 @@ def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     later. One batch application closes the old version (valid_to =
     change date) and opens the new current one. Oracle: the same
     before/after relation written directly with window functions."""
-    from pyspark.sql import Window
-
     from ..operators.cdc import apply_scd2_changes
 
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice", "o_orderdate", "o_orderkey"
-    )
-    w_first = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_last = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    first = (
-        orders.withColumn("rf", F.row_number().over(w_first))
-        .filter(F.col("rf") == 1)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_totalprice").alias("totalprice"),
-            F.col("o_orderdate").alias("first_d"),
+    orders = load(spark, sf_dir, "orders")
+    order_key = F.struct("o_orderdate", "o_orderkey")
+    # first AND last order per customer in a single aggregation pass
+    # (one scan + one shuffle; the two-window formulation costs a scan
+    # and an exchange PER reference). localCheckpoint because snapshot
+    # and changes both derive from it — in a real pipeline these arrive
+    # as materialized tables anyway.
+    bounds = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min_by(F.struct("o_totalprice", "o_orderdate"), order_key).alias("f"),
+            F.max_by(F.struct("o_totalprice", "o_orderdate"), order_key).alias("l"),
         )
-    )
-    last = (
-        orders.withColumn("rl", F.row_number().over(w_last))
-        .filter(F.col("rl") == 1)
         .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_totalprice").alias("last_price"),
-            F.col("o_orderdate").alias("last_d"),
+            "custkey",
+            F.col("f.o_totalprice").alias("first_price"),
+            F.col("f.o_orderdate").alias("first_d"),
+            F.col("l.o_totalprice").alias("last_price"),
+            F.col("l.o_orderdate").alias("last_d"),
         )
+        .localCheckpoint()
     )
-    snapshot = first.select(
+    snapshot = bounds.select(
         "custkey",
-        "totalprice",
+        F.col("first_price").alias("totalprice"),
         F.col("first_d").alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    changes = (
-        last.join(first.select("custkey", "first_d"), "custkey")
-        .filter(F.col("last_d") > F.col("first_d"))
-        .select(
-            "custkey",
-            F.col("last_price").alias("totalprice"),
-            F.col("last_d").alias("change_ts"),
-        )
+    changes = bounds.filter(F.col("last_d") > F.col("first_d")).select(
+        "custkey",
+        F.col("last_price").alias("totalprice"),
+        F.col("last_d").alias("change_ts"),
     )
     # the batch here is ~one row per customer — a bulk fold, not a CDC
     # tick — so shuffle on the key instead of broadcasting the batch
