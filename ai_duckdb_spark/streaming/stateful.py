@@ -82,3 +82,69 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("total_value", "n_events").alias("total_value"),
         F.max("n_events").alias("n_events"),
     ).select("user_id", "n_events", "total_value")
+
+
+
+def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (explicit ValueState handles, timers,
+    RocksDB state store) that supersedes applyInPandasWithState.
+
+    Requires the RocksDB state store provider (the HDFS-backed default
+    does not support transformWithState); set per-session here, which
+    is also the provider you would run at scale for large state.
+    """
+    try:  # the API's state-server protocol needs protobuf at runtime
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "which is unavailable in this environment; use "
+            "running_user_totals_stream (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Processor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
+    query = out.writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    from pyspark.sql import functions as F
+
+    emissions = spark.table(sink)
+    return emissions.groupBy("user_id").agg(
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max("n_events").alias("n_events"),
+    ).select("user_id", "n_events", "total_value")

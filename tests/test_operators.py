@@ -282,6 +282,35 @@ class TestStatefulStreaming:
             assert abs(out[uid][1] - v) < 0.05  # float fold tolerance
 
 
+class TestTransformWithState:
+    def test_tws_matches_batch_or_is_gated(self, spark):
+        """Spark 4 transformWithStateInPandas: same totals as the batch
+        groupBy when the protobuf runtime exists, a clean gate when not."""
+        from ai_duckdb_spark.streaming.stateful import running_user_totals_tws
+
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                running_user_totals_tws(spark, "/root/testdata/sf0.001")
+            return
+        out = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in running_user_totals_tws(spark, "/root/testdata/sf0.001").collect()
+        }
+        batch = {
+            r.user_id: (r.n, round(r.v, 2))
+            for r in load(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .collect()
+        }
+        assert set(out) == set(batch)
+        for uid in batch:
+            assert out[uid][0] == batch[uid][0]
+            assert abs(out[uid][1] - batch[uid][1]) < 0.05
+
+
 class TestCdc:
     def test_scd2_apply_changes(self, spark):
         import datetime
