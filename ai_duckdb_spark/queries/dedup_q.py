@@ -226,3 +226,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id1", "id2").select(
         F.col("node").alias("doc_id"), F.col("component")
     )
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    survivors AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM keep)
+    ),
+    quality AS (
+        SELECT * FROM survivors
+        WHERE n_chars >= 200 AND len(string_split(text, ' ')) >= 30
+    )
+    SELECT lang,
+           count(*)                                            AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS total_tokens,
+           avg(n_chars)                                        AS avg_chars
+    FROM quality
+    GROUP BY lang
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: exact dedup (keep
+    min doc_id per identical text) → quality gate (length + token
+    floor) → per-language corpus accounting. The shape a pretraining
+    data pipeline actually runs; every stage is a catalogued operator
+    family (X6 dedup, X8 text analysis) composed into one declarative
+    plan Catalyst optimizes end to end — the dedup groupBy and the final
+    stats are the only two shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = survivors.filter((F.col("n_chars") >= 200) & (n_tokens >= 30))
+    return quality.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.avg("n_chars").alias("avg_chars"),
+    )

@@ -260,6 +260,30 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_sliding_1h_30m",
+    oracle=f"""
+    WITH starts AS (
+        SELECT {_BUCKET_30M} AS win_start, value FROM events
+        UNION ALL
+        SELECT {_BUCKET_30M} - INTERVAL 30 MINUTE AS win_start, value FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)             AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation executed THROUGH Structured
+    Streaming (streaming/windows.py sliding_counts_stream), same oracle
+    as the batch form events_sliding_1h_30m."""
+    from ..streaming.windows import sliding_counts_stream
+
+    return sliding_counts_stream(spark, sf_dir)
+
+
+@register(
     "streaming_session_windows",
     oracle="""
     WITH ordered AS (

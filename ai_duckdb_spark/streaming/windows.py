@@ -155,3 +155,37 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(sink)
+
+
+def sliding_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows through a streaming query — each event
+    contributes to duration/slide overlapping windows; state per open
+    window is bounded by the watermark."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"sliding_sink_{uuid.uuid4().hex[:8]}"
+    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
