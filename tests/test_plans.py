@@ -88,3 +88,29 @@ def test_semi_anti_joins_planned_as_joins(spark, sf_dir):
 def test_window_aggs_partial_before_shuffle(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_frame_sample_prunes_scan_and_pushes_bound(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_frame_sample")
+    # the doc_id bound reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,1000)" in plan
+    # only the two needed columns are read, never lang/source/n_chars
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_training_pipeline_is_two_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_training_corpus")
+    # dedup groupBy + final stats groupBy; the semi join must NOT add a
+    # third shuffle (AQE broadcasts the keep-list or reuses partitioning)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_scd2_fold_reads_bounds_once_per_branch_no_rescan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scd2_customer_price_history")
+    # bounds is localCheckpoint-ed: the orders parquet must not be
+    # re-scanned by the fold's branches
+    assert "Scan parquet" not in plan
+    assert "Union" in plan
