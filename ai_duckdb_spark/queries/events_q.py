@@ -368,3 +368,30 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           c.event_id AS click_id,
+           CAST(date_diff('millisecond', c.ts, p.ts) AS BIGINT) AS ms_since_click
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join through two readStream sources
+    (streaming/windows.py stream_stream_purchase_click_join): purchases
+    matched to the user's clicks in the last hour, watermark-bounded
+    state on both sides. Oracle: the equivalent batch interval join —
+    the many-rows counterpart of the as-of join (events_asof), which
+    keeps only the latest click."""
+    from ..streaming.windows import stream_stream_purchase_click_join
+
+    return stream_stream_purchase_click_join(spark, sf_dir)

@@ -189,3 +189,60 @@ def sliding_counts_stream(
         "n_events",
         "total_value",
     )
+
+
+def stream_stream_purchase_click_join(
+    spark: SparkSession, sf_dir: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase event joined to the same
+    user's click events within the preceding ``lookback``.
+
+    Both sides are real streams; the time-interval condition plus
+    watermarks bound the join state (clicks older than the lookback
+    window get evicted — without the interval the state would grow
+    forever). Inner joins emit within the microbatch, so a bounded
+    replay produces the complete result.
+    """
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        "purchase_id",
+        purchases.user_id.alias("user_id"),
+        "click_id",
+        # unix_millis truncates each side to ms before subtracting —
+        # DuckDB date_diff('millisecond') boundary-crossing semantics
+        (F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("c_ts"))).alias(
+            "ms_since_click"
+        ),
+    )
+    sink = f"ssjoin_sink_{uuid.uuid4().hex[:8]}"
+    query = joined.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink)
