@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents
 from ..operators.skyline import skyline_2d
 from ..tables import load, register_views
 from .catalog import register
@@ -214,4 +215,112 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     return skyline_2d(part, minimize="p_retailprice", maximize="p_size").select(
         "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+@register(
+    "string_agg_nations_by_region",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_list,
+           count(*) AS nation_count
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def string_agg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (DuckDB string_agg ... ORDER BY, promised
+    via the SELECT-surface contract, reference doc.py:186-188).
+
+    collect_list is unordered in a distributed engine, so determinism comes
+    from sort_array AFTER collection — one aggregation, no extra shuffle —
+    then concat_ws. Dimension join is broadcast (both tables are tiny).
+    """
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nation_list"),
+            F.count("*").alias("nation_count"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "stats_corr_qty_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sx,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                   * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sxx,
+               sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+             AS corr_qty_price,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (n - 1) * 100 AS DOUBLE) AS covar_samp_qty_price,
+           sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) AS stddev_samp_qty
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / stddev_samp, bit-identical cross-engine.
+
+    Native corr()/covar_samp() double accumulators are order-dependent, so
+    on price-scale magnitudes two correct engines disagree past the
+    driver's 1e-9 hash tolerance. Scheme (functions/exact.py): aggregate
+    the five moment sums in EXACT integer domains (quantity is integral,
+    price is 2-decimal -> cents; the price-squared sum alone exceeds
+    2^63 at sf>=1, so it runs as DECIMAL(38,0)), then finish the textbook
+    formulas with one decimal->double cast per group and IEEE-determined
+    sqrt/divide — identical operands, identical bits on both sides.
+    One shuffle total (partial moment aggregation map-side).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qx = cents("l_quantity", 0)
+    py = cents("l_extendedprice", 2)
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(d(py) * d(py)).alias("syy"),
+        F.sum(qx * py).alias("sxy"),
+    )
+    n, sx, sy = d(F.col("n")), d(F.col("sx")), d(F.col("sy"))
+    sxx, syy, sxy = d(F.col("sxx")), F.col("syy"), d(F.col("sxy"))
+    cov_num = (n * sxy - sx * sy).cast("double")
+    varx_num = (n * sxx - sx * sx).cast("double")
+    vary_num = (n * syy - sy * sy).cast("double")
+    pairs_x100 = (n * (n - F.lit(1).cast("decimal(19,0)")) * F.lit(100).cast("decimal(19,0)"))
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            (cov_num / (F.sqrt(varx_num) * F.sqrt(vary_num))).alias("corr_qty_price"),
+            (cov_num / pairs_x100.cast("double")).alias("covar_samp_qty_price"),
+            F.sqrt(
+                varx_num / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+            ).alias("stddev_samp_qty"),
+        )
+        .orderBy("l_returnflag")
     )
