@@ -114,3 +114,11 @@ def test_scd2_fold_reads_bounds_once_per_branch_no_rescan(spark, sf_dir):
     # re-scanned by the fold's branches
     assert "Scan parquet" not in plan
     assert "Union" in plan
+
+
+def test_moment_stats_single_shuffle_partial_agg(spark, sf_dir):
+    # the five exact moment sums must combine map-side: one data shuffle
+    # (the trailing rangepartitioning Exchange is the 3-row ORDER BY)
+    plan = _plan(spark, sf_dir, "stats_corr_qty_price")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
