@@ -16,4 +16,6 @@ from . import similarity_q  # noqa: F401
 from . import extras_q  # noqa: F401
 from . import analytics_q  # noqa: F401
 
+catalog.finalize_order()
+
 REGISTRY = catalog.REGISTRY

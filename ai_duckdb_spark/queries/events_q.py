@@ -248,12 +248,22 @@ def streaming_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir, window_duration="10 minutes")
 
 
-@register("streaming_stateful_user_totals", oracle=None)
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: applyInPandasWithState running
-    per-user totals (streaming/stateful.py). Rows-only by nature (the
-    driver can't re-run per-batch state in SQL); equality with the batch
-    groupBy is pytest-asserted (tests/test_operators.py)."""
+    per-user totals (streaming/stateful.py). The final state after the
+    replay equals the batch GROUP BY user_id totals, so the oracle is
+    that batch aggregate; state accumulates exact integer cents
+    (functions/exact.py scheme) so the hash matches bit-for-bit."""
     from ..streaming.stateful import running_user_totals_stream
 
     return running_user_totals_stream(spark, sf_dir).orderBy("user_id")

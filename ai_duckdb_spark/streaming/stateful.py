@@ -35,23 +35,42 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
+
+
+def _cents_total(pdf: pd.DataFrame) -> int:
+    """Exact integer-cents sum of this batch's 2-decimal values.
+
+    Same fixed-point scheme as functions/exact.py cents(): floating sums
+    are order-dependent across engines, integer sums are not, so state
+    holds exact cents and only the emission converts to double (via
+    decimal division — the identical nearest-double DuckDB produces
+    casting its DECIMAL sum)."""
+    import numpy as np
+
+    v = pdf["value"].to_numpy(dtype="float64")
+    return int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
+
+
+def _emit_total(key: tuple, n: int, cents: int) -> pd.DataFrame:
+    from decimal import Decimal
+
+    total = float(Decimal(cents) / Decimal(100))
+    return pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
 
 def _update_user_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold this batch's rows for one user into the running state."""
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+        cents += _cents_total(pdf)
+    state.update((n, cents))
+    yield _emit_total(key, n, cents)
 
 
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,14 +128,12 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-            )
+                cents += _cents_total(pdf)
+            self._totals.update((n, cents))
+            yield _emit_total(key, n, cents)
 
         def close(self) -> None:
             pass

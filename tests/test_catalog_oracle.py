@@ -40,6 +40,19 @@ def test_entry_smoke(spark):
     assert "total_revenue" in df.columns
 
 
+def test_driver_window_order():
+    """The driver verifies only the first 50 registry entries; every
+    LLM-pipeline operator (dedup/KNN/SCD2/multimodal/stats) must sit in
+    that window so it gets a driver-green CORRECTNESS row."""
+    names = list(catalog.REGISTRY)
+    first50 = set(names[:50])
+    assert set(catalog.DRIVER_WINDOW) <= first50
+    for name, spec in catalog.REGISTRY.items():
+        mod = spec.builder.__module__.rsplit(".", 1)[-1]
+        if mod in ("dedup_q", "similarity_q"):
+            assert name in first50, f"{name} ({mod}) outside driver window"
+
+
 def test_contract_shapes():
     import __spark_entry__ as entry_mod
 
