@@ -51,12 +51,27 @@ def clean_sql_response(sql: str) -> str:
     return sql.strip()
 
 
+# Fallback lexical blacklist, used ONLY when the Catalyst parser is
+# unreachable (Spark Connect, JVM accessor drift): word-boundary match on
+# write/DDL verbs anywhere in the statement. Coarser than the plan check
+# (a literal string 'insert' would false-positive) but fails CLOSED.
+_FALLBACK_WRITE_RE = re.compile(
+    r"\b(insert|delete|update|merge|drop|create|alter|truncate|grant|revoke|"
+    r"refresh|cache|uncache|analyze|msck|load\s+data|set|reset|use)\b",
+    re.IGNORECASE,
+)
+
+
 def ensure_select_only(spark: SparkSession, sql: str) -> None:
     """Reject anything that is not a read-only query (X5, enforced).
 
-    Raises UnsafeSqlError. Parse failures are NOT raised here — a
-    malformed query should surface as a normal execution error with the
-    engine's own message, not as a safety violation.
+    Raises UnsafeSqlError. Malformed SQL is NOT raised here — it should
+    surface as a normal execution error with the engine's own message.
+    The layer-2 plan check fails CLOSED: if the parser machinery itself
+    is unavailable (Spark Connect, private-API drift), a lexical
+    write-verb blacklist takes over instead of silently skipping the
+    check (a first-token-legal statement like
+    ``WITH t AS (SELECT 1) INSERT INTO ...`` must still be rejected).
     """
     stripped = sql.strip().rstrip(";").strip()
     if ";" in stripped:
@@ -66,16 +81,38 @@ def ensure_select_only(spark: SparkSession, sql: str) -> None:
         raise UnsafeSqlError(f"仅支持SELECT操作，拒绝执行: {first.upper() or '(empty)'}")
 
     try:
-        plan = (
-            spark._jsparkSession.sessionState().sqlParser().parsePlan(stripped)  # noqa: SLF001
-        )
-        plan_cls = plan.getClass().getSimpleName()
-    except UnsafeSqlError:
-        raise
+        parser = spark._jsparkSession.sessionState().sqlParser()  # noqa: SLF001
     except Exception:
-        return  # let spark.sql report the parse error naturally
-    if _FORBIDDEN_PLAN_RE.search(plan_cls):
-        raise UnsafeSqlError(f"仅支持SELECT操作，拒绝执行计划: {plan_cls}")
+        parser = None  # gate machinery unavailable → lexical fallback below
+
+    if parser is None:
+        if _FALLBACK_WRITE_RE.search(stripped):
+            raise UnsafeSqlError("仅支持SELECT操作 (parser unavailable; lexical gate)")
+        return
+
+    try:
+        plan = parser.parsePlan(stripped)
+        # Root class alone is not enough: `WITH t AS (...) INSERT INTO ...`
+        # parses to an UnresolvedWith ROOT with the InsertIntoStatement
+        # nested below, so scan every node name in the tree. treeString
+        # lines start with tree-art then the node class name; taking the
+        # first identifier avoids false positives on column/table names.
+        node_names = [
+            re.match(r"[\s:+\-'*]*([A-Za-z][A-Za-z0-9_]*)", line).group(1)
+            for line in plan.treeString().splitlines()
+            if re.match(r"[\s:+\-'*]*[A-Za-z]", line)
+        ]
+    except Exception as exc:
+        # Only a genuine parse error may pass through (spark.sql will
+        # report it); any other failure of the gate machinery fails closed.
+        if "ParseException" in str(type(exc)) or "ParseException" in str(exc):
+            return
+        if _FALLBACK_WRITE_RE.search(stripped):
+            raise UnsafeSqlError("仅支持SELECT操作 (plan check failed; lexical gate)") from exc
+        return
+    for name in node_names:
+        if _FORBIDDEN_PLAN_RE.search(name):
+            raise UnsafeSqlError(f"仅支持SELECT操作，拒绝执行计划: {name}")
 
 
 def execute_sql(

@@ -298,25 +298,43 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6) -> DataFrame:
     """Pairs within a hamming radius of each other's SimHash.
 
-    Pairing strategy: block on the 4 16-bit quarters of the fingerprint
-    (pigeonhole: any pair within hamming<=6 shares at least one exact
-    quarter when 6 < 4 quarters), then verify with bit_count(xor).
+    Pairing strategy: split the fingerprint into ``max_hamming + 1``
+    contiguous blocks and join on exact block match. Pigeonhole makes
+    this lossless: at most ``max_hamming`` bits differ, so at least one
+    of the ``max_hamming + 1`` blocks is untouched and the pair meets in
+    that block's bucket. (Blocking on fewer segments than
+    ``max_hamming + 1`` — e.g. 4 quarters for hamming 6 — silently drops
+    pairs whose differing bits spread across every segment.) Candidates
+    are then verified with bit_count(xor), so output has no false
+    positives either.
     """
-    sigs = simhash64(df, id_col, text_col)
-    quarters = sigs.select(
+    return simhash_pairs_from_sigs(simhash64(df, id_col, text_col), max_hamming)
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Blocked pairing stage over (doc_id, simhash) fingerprints.
+
+    Separated from fingerprinting so the lossless-blocking guarantee can
+    be tested with crafted bit patterns (bits spread across all blocks).
+    """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] (64-bit fingerprint blocking)")
+    n_blocks = max_hamming + 1
+    base, extra = divmod(64, n_blocks)
+    blocks, offset = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append(
+            F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(F.lit((1 << width) - 1))
+        )
+        offset += width
+    segments = sigs.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))
-                    for q in range(4)
-                ]
-            )
-        ).alias("q_id", "q_val"),
+        F.posexplode(F.array(*blocks)).alias("q_id", "q_val"),
     )
-    a = quarters.alias("a")
-    b = quarters.alias("b")
+    a = segments.alias("a")
+    b = segments.alias("b")
     cand = (
         a.join(
             b,

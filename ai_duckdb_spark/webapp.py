@@ -38,7 +38,15 @@ def create_app(upload_folder: str = "uploads", db_path: str = "chat_history.db")
     from werkzeug.utils import secure_filename
 
     app = Flask(__name__)
-    app.secret_key = os.environ.get("APP_SECRET_KEY", uuid.uuid4().hex)
+    app.secret_key = os.environ.get("APP_SECRET_KEY")
+    if not app.secret_key:
+        # Sessions won't survive restarts and multi-worker deployments
+        # will disagree on the key; fine for dev, loud for ops.
+        app.secret_key = uuid.uuid4().hex
+        app.logger.warning(
+            "APP_SECRET_KEY unset: using a per-process key; cookie sessions "
+            "will not survive restarts or span multiple workers"
+        )
     app.config["MAX_CONTENT_LENGTH"] = MAX_FILE_SIZE
     os.makedirs(upload_folder, exist_ok=True)
 
@@ -61,11 +69,12 @@ def create_app(upload_folder: str = "uploads", db_path: str = "chat_history.db")
             return jsonify({"error": "不支持的文件类型"}), 400
 
         filename = secure_filename(file.filename)
-        stamped = f"{datetime.now():%Y%m%d_%H%M%S}_{filename}"
+        file_id = str(uuid.uuid4())
+        # file_id in the stored name makes paths collision-free (two
+        # same-named uploads within one second must not overwrite).
+        stamped = f"{datetime.now():%Y%m%d_%H%M%S}_{file_id}_{filename}"
         file_path = os.path.join(upload_folder, stamped)
         file.save(file_path)
-
-        file_id = str(uuid.uuid4())
         analyzed = engine.analyze_file(file_path, file_id=file_id)
         if "error" in analyzed:
             return jsonify({"error": analyzed["error"]}), 400

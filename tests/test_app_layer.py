@@ -176,6 +176,29 @@ class TestExecutor:
     def test_gate_allows_queries(self, spark, good):
         ensure_select_only(spark, good)  # must not raise
 
+    def test_gate_blocks_cte_insert(self, spark):
+        """First token WITH is allowlisted; the plan layer must still
+        reject a trailing write."""
+        with pytest.raises(UnsafeSqlError):
+            ensure_select_only(spark, "WITH t AS (SELECT 1 AS x) INSERT INTO tbl SELECT * FROM t")
+
+    def test_gate_fails_closed_without_parser(self):
+        """When the Catalyst parser is unreachable (Spark Connect /
+        private-API drift) the gate must fall back to the lexical
+        blacklist, not silently pass writes."""
+
+        class NoJvmSession:
+            @property
+            def _jsparkSession(self):
+                raise AttributeError("no JVM (connect mode)")
+
+        with pytest.raises(UnsafeSqlError):
+            ensure_select_only(
+                NoJvmSession(), "WITH t AS (SELECT 1 AS x) INSERT INTO tbl SELECT * FROM t"
+            )
+        # plain reads still pass through the fallback
+        ensure_select_only(NoJvmSession(), "SELECT a FROM tbl WHERE b > 1")
+
     def test_execute_caps_but_counts_all(self, spark):
         result = execute_sql(spark, "SELECT id FROM range(100) AS t(id)", row_cap=7)
         assert result["row_count"] == 100

@@ -68,6 +68,29 @@ class TestDedup:
         pairs = dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=6).collect()
         assert {(p.id1, p.id2) for p in pairs} == {(1, 2)}
 
+    def test_simhash_blocking_lossless_spread_bits(self, spark):
+        """Pigeonhole guarantee: pairs at hamming<=max_hamming are found
+        even when the differing bits spread across every 16-bit quarter —
+        the case the old 4-quarter blocking silently dropped."""
+        base = 0x0123456789ABCDEF
+        # 6 flipped bits spread 2+2+1+1 across the four quarters
+        spread = base ^ ((1 << 1) | (1 << 9) | (1 << 17) | (1 << 25) | (1 << 33) | (1 << 49))
+        far = base ^ ((1 << 2) | (1 << 10) | (1 << 20) | (1 << 30) | (1 << 40) | (1 << 50) | (1 << 60))
+
+        def signed(v: int) -> int:
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        sigs = spark.createDataFrame(
+            [(1, signed(base)), (2, signed(spread)), (3, signed(far))],
+            "doc_id long, simhash long",
+        )
+        pairs = {
+            (p.id1, p.id2): p.hamming
+            for p in dedup.simhash_pairs_from_sigs(sigs, max_hamming=6).collect()
+        }
+        assert pairs.get((1, 2)) == 6  # found despite bits in all quarters
+        assert (1, 3) not in pairs  # hamming 7 > 6 correctly excluded
+
     def test_exact_token_set_groups(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c"), (2, "c b a"), (3, "a b c d")], ["doc_id", "text"]
