@@ -124,9 +124,70 @@ class GeminiSqlGenerator:
         return response.text or ""
 
 
+class OpenAICompatSqlGenerator:
+    """OpenAI-style chat-completions client over a configurable base URL.
+
+    Mirrors the reference's raw-HTTP alternate path (call_ai.py:7-35:
+    endpoint + key from env, requests.post, JSON body) but speaks the
+    OpenAI wire contract, so any compatible server (vLLM, llama.cpp,
+    LM Studio, a gateway) can serve NL→SQL. Offline tests inject
+    ``transport``; no request leaves the process.
+
+    Env: OPENAI_BASE_URL (e.g. http://localhost:8000/v1),
+         OPENAI_API_KEY, OPENAI_MODEL (default gpt-4o-mini).
+    """
+
+    def __init__(
+        self,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        model: str | None = None,
+        transport=None,
+        timeout: float = 60.0,
+    ):
+        self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL", "")).rstrip("/")
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.model = model or os.environ.get("OPENAI_MODEL", "gpt-4o-mini")
+        self.timeout = timeout
+        if not self.base_url:
+            raise RuntimeError("OPENAI_BASE_URL not set")
+        if transport is None:
+            import requests  # noqa: PLC0415  (app-layer dependency)
+
+            def transport(url: str, headers: dict, body: dict) -> dict:
+                resp = requests.post(url, headers=headers, json=body, timeout=self.timeout)
+                resp.raise_for_status()
+                return resp.json()
+
+        self._transport = transport
+
+    def generate(self, file_name: str, data_info: dict, question: str) -> str:
+        payload = self._transport(
+            f"{self.base_url}/chat/completions",
+            {
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            {
+                "model": self.model,
+                "messages": [
+                    {"role": "user", "content": build_prompt(file_name, data_info, question)}
+                ],
+                "temperature": 0,
+            },
+        )
+        choices = payload.get("choices") or []
+        if not choices:
+            return ""
+        return (choices[0].get("message") or {}).get("content") or ""
+
+
 def default_generator() -> SqlGenerator:
-    """Gemini when configured, offline stub otherwise."""
-    try:
-        return GeminiSqlGenerator()
-    except RuntimeError:
-        return StubSqlGenerator()
+    """Online generator when configured (OpenAI-compat endpoint first,
+    then Gemini — the reference's two paths), offline stub otherwise."""
+    for cls in (OpenAICompatSqlGenerator, GeminiSqlGenerator):
+        try:
+            return cls()
+        except RuntimeError:
+            continue
+    return StubSqlGenerator()

@@ -357,19 +357,30 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+# Auto-strategy boundary for exact cosine all-pairs: one corpus copy
+# must fit in every executor to broadcast (vectors are array<double>, so
+# ~8 bytes/dim/row + arrow overhead). 256 MB leaves headroom in a 4 GB
+# executor while covering ~1M rows at dim=32 or 80k at dim=384.
+COSINE_BROADCAST_BYTES_CAP = 256 << 20
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    broadcast_bytes_cap: int = COSINE_BROADCAST_BYTES_CAP,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (brief: the semantic
     dedup tier — catches paraphrases that share no tokens).
 
-    Two exact strategies:
+    ``strategy="auto"`` (default) picks by measured corpus size
+    (rows × dim × 8 bytes vs ``broadcast_bytes_cap``) — at 100× data the
+    default must flip to the shuffle path on its own rather than OOM on
+    a broadcast sized for the test fixture. Explicit strategies:
 
-      * ``broadcast`` (default): nested-loop of the corpus against a
+      * ``broadcast``: nested-loop of the corpus against a
         broadcast copy of itself; the per-pair dot product is a JVM
         ``zip_with`` fold — NO shuffle at all (the pos-join alternative
         moves corpus × dim rows through two shuffles and spills first).
@@ -381,6 +392,13 @@ def embedding_cosine_pairs(
         similarity.cosine_topk_lsh buckets and verify only those.
     """
     from ..operators.similarity import dot, l2_norm
+
+    if strategy == "auto":
+        n_rows, dim = df.select(
+            F.count("*"), F.first(F.size(F.col(vec_col)))
+        ).first()
+        est_bytes = (n_rows or 0) * (dim or 0) * 8
+        strategy = "broadcast" if est_bytes <= broadcast_bytes_cap else "posjoin"
 
     if strategy == "broadcast":
         v = df.select(

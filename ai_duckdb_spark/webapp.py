@@ -34,7 +34,7 @@ def allowed_file(filename: str) -> bool:
 
 
 def create_app(upload_folder: str = "uploads", db_path: str = "chat_history.db"):
-    from flask import Flask, jsonify, request, session  # app-layer import
+    from flask import Flask, jsonify, render_template, request, session  # app-layer import
     from werkzeug.utils import secure_filename
 
     app = Flask(__name__)
@@ -59,6 +59,11 @@ def create_app(upload_folder: str = "uploads", db_path: str = "chat_history.db")
             session["session_id"] = str(uuid.uuid4())
             db.create_session(session["session_id"])
         return session["session_id"]
+
+    @app.route("/")
+    def index():
+        """The chat frontend (reference app.py:109-111 serves index.html)."""
+        return render_template("index.html")
 
     @app.route("/api/upload", methods=["POST"])
     def upload():

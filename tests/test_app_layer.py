@@ -326,6 +326,32 @@ class TestNl2Sql:
         assert "WHERE quantity > 2" in gen.generate("f", self.INFO, "rows with quantity > 2")
         assert gen.generate("f", self.INFO, "tell me a joke") == "SELECT * FROM data_table"
 
+    def test_openai_compat_generator_with_faked_transport(self):
+        from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
+
+        seen = {}
+
+        def fake_transport(url, headers, body):
+            seen.update(url=url, headers=headers, body=body)
+            return {"choices": [{"message": {"content": "```sql\nSELECT 1 AS x\n```"}}]}
+
+        gen = OpenAICompatSqlGenerator(
+            base_url="http://fake.local/v1/", api_key="k", model="m", transport=fake_transport
+        )
+        out = gen.generate("sales.csv", self.INFO, "anything")
+        assert out == "```sql\nSELECT 1 AS x\n```"
+        assert seen["url"] == "http://fake.local/v1/chat/completions"
+        assert seen["headers"]["Authorization"] == "Bearer k"
+        assert seen["body"]["model"] == "m"
+        assert "data_table" in seen["body"]["messages"][0]["content"]
+
+    def test_openai_compat_requires_base_url(self, monkeypatch):
+        from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
+
+        monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+        with pytest.raises(RuntimeError):
+            OpenAICompatSqlGenerator()
+
 
 # ---------------------------------------------------------------------------
 # End-to-end engine flow (E1-E3 restated)

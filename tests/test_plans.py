@@ -116,6 +116,21 @@ def test_scd2_fold_reads_bounds_once_per_branch_no_rescan(spark, sf_dir):
     assert "Union" in plan
 
 
+def test_cosine_pairs_auto_strategy_switches_on_size(spark, sf_dir):
+    """auto must broadcast below the byte cap and flip to the shuffle
+    (posjoin) path above it — the flip a 100× corpus needs to not OOM."""
+    from ai_duckdb_spark.operators.dedup import embedding_cosine_pairs
+    from ai_duckdb_spark.plans import executed_plan
+    from ai_duckdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    small = executed_plan(embedding_cosine_pairs(emb, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" in small
+    big = executed_plan(embedding_cosine_pairs(emb, threshold=0.9, broadcast_bytes_cap=1024))
+    assert "BroadcastNestedLoopJoin" not in big
+    assert "Exchange hashpartitioning" in big  # dim-keyed posjoin fan-out
+
+
 def test_moment_stats_single_shuffle_partial_agg(spark, sf_dir):
     # the five exact moment sums must combine map-side: one data shuffle
     # (the trailing rangepartitioning Exchange is the 3-row ORDER BY)

@@ -37,6 +37,26 @@ def client(spark, tmp_path_factory):
 
 
 class TestWebApp:
+    def test_index_serves_chat_page(self, client):
+        """GET / returns the chat frontend (reference app.py:109-111);
+        the page must wire every API route the backend serves."""
+        resp = client.get("/")
+        assert resp.status_code == 200
+        html = resp.get_data(as_text=True)
+        assert "<!DOCTYPE html>" in html
+        for element in ("dragArea", "fileInput", "questionInput", "newSessionBtn", "chat"):
+            assert f'id="{element}"' in html, element
+        for route in (
+            "/api/upload",
+            "/api/ask_question",
+            "/api/chat_history",
+            "/api/new_session",
+            "/api/sessions",
+            "/api/files",
+            "/api/switch_session/",
+        ):
+            assert route in html, route
+
     def test_upload_and_ask(self, client, sales_csv_bytes):
         resp = client.post(
             "/api/upload",
