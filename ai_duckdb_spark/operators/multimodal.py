@@ -30,21 +30,123 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG frame-header (SOFn) markers that carry dimensions — every SOF
+# except DHT(0xC4)/JPG(0xC8)/DAC(0xCC), per ITU T.81 table B.1.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python (format, width, height) from real image header bytes.
+
+    PNG/GIF/BMP/JPEG dimensions live in fixed/markered header fields and
+    need no codec library: PNG IHDR big-endian u32 pair, GIF logical
+    screen little-endian u16 pair, BMP BITMAPINFOHEADER little-endian
+    i32 pair (height may be negative for top-down rows), JPEG SOFn
+    marker scan. Returns None for unrecognized/truncated payloads.
+    """
+    if len(data) >= 24 and data[:8] == _PNG_SIG and data[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+        )
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    if len(data) >= 26 and data[:2] == b"BM":
+        return (
+            "bmp",
+            abs(int.from_bytes(data[18:22], "little", signed=True)),
+            abs(int.from_bytes(data[22:26], "little", signed=True)),
+        )
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            if marker in _JPEG_SOF:
+                return (
+                    "jpeg",
+                    int.from_bytes(data[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(data[pos + 5 : pos + 7], "big"),
+                )
+            pos += 2 + seg_len
+    return None
+
+
+def make_image_header(fmt: str, width: int, height: int) -> bytes:
+    """Deterministic real header bytes for a given format and size.
+
+    Payloads carry the genuine on-disk header layout (signatures, field
+    offsets, endianness) so parse_image_header is exercised against the
+    same byte geometry a real file has; body/CRC bytes are zeroed (the
+    dimension fields don't depend on them).
+    """
+    if fmt == "png":
+        return (
+            _PNG_SIG
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + width.to_bytes(4, "big")
+            + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+            + b"\x00" * 4
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + b"\x00" * 3
+        )
+    if fmt == "bmp":
+        return (
+            b"BM"
+            + (26).to_bytes(4, "little")
+            + b"\x00" * 8
+            + (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+        )
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + (11).to_bytes(2, "big")
+            + bytes([8])
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([1, 0x11, 0x00])
+        )
+        return b"\xff\xd8" + app0 + sof0
+    raise ValueError(f"unknown format: {fmt}")
+
+
 def decode_image(data: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    STUB: real decoding needs an image codec library not present in this
-    environment. ``fake=True`` yields a deterministic synthetic size so
-    the distributed plumbing can be exercised and oracle-checked.
+    Real path: pure-Python header parsing (PNG/GIF/BMP/JPEG — dimensions
+    need no codec). Full pixel decode would need an image library not
+    present in this environment; ``fake=True`` keeps the deterministic
+    stub for synthetic non-image payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stub decoder"
-        )
-    n = len(data)
-    first = data[0] if n else 0
-    return (n % 64 + 1, first % 48 + 1)
+    if fake:
+        n = len(data)
+        first = data[0] if n else 0
+        return (n % 64 + 1, first % 48 + 1)
+    parsed = parse_image_header(data)
+    if parsed is not None:
+        return (parsed[1], parsed[2])
+    raise NotImplementedError(
+        "unrecognized image payload: full decode needs a codec library; "
+        "PNG/GIF/BMP/JPEG header parsing is the built-in path"
+    )
 
 
 def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -82,6 +184,66 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+_SYNTH_FORMATS = ("png", "gif", "bmp", "jpeg")
+
+
+def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with REAL header bytes, deterministic per id.
+
+    format = id % 4 over png/gif/bmp/jpeg, width = id % 300 + 1,
+    height = id*7 % 200 + 1 — closed-form in the id so an oracle can
+    recompute the expected parse results independently.
+    """
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_image_header(
+                            _SYNTH_FORMATS[i % 4], int(i % 300 + 1), int(i * 7 % 200 + 1)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_image_headers(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, format, width, height) via pure-Python header parsing
+    inside mapInPandas — the real (non-stub) decode tier of X9."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) or ("unknown", 0, 0) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": pd.Series([f for f, _, _ in parsed], dtype="object"),
+                    "width": pd.Series([w for _, w, _ in parsed], dtype="int32"),
+                    "height": pd.Series([h for _, _, h in parsed], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_parse, HEADER_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

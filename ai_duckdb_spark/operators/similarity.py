@@ -279,6 +279,91 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Train and PERSIST an IVF index: centroids parquet + the assigned
+    corpus partitioned by cluster id (sinks.write_partitioned layout).
+
+    This is the offline half of IVF at scale — the corpus is laid out so
+    a probe reads only its nprobe cluster directories (partition pruning
+    at the parquet scan), instead of re-assigning the corpus per search
+    call. Returns the trained centroids.
+    """
+    from ..sources.sinks import write_partitioned
+
+    centroids = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    spark = corpus.sparkSession
+    assigned = _nearest(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec")),
+        "neighbor_id",
+        "vec",
+        _centroids_df(spark, centroids),
+        1,
+    ).select("neighbor_id", "vec", "cid")
+    write_partitioned(assigned, f"{path}/corpus", "cid")
+    _centroids_df(spark, centroids).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def cosine_topk_ivf_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index (build_ivf_index layout).
+
+    The queries' nprobe cluster ids are resolved against the k×dim
+    centroid relation (driver-side — a search request's query set is
+    small by nature), then pushed as a STATIC ``cid IN (...)`` predicate
+    so the parquet scan reads only those partition directories
+    (PartitionFilters — plan-gated in tests/test_plans.py). Everything
+    after the pruned scan is the usual bucket equi-join + exact rerank.
+    """
+    centroid_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [list(r["cvec"]) for r in sorted(centroid_rows, key=lambda r: r["cid"])]
+    centroids_df = _centroids_df(spark, centroids)
+
+    q = _nearest(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qvec")),
+        "query_id",
+        "__qvec",
+        centroids_df,
+        nprobe,
+    ).withColumnRenamed("cid", "__cluster").drop("crank")
+    probe_cids = sorted({r["__cluster"] for r in q.select("__cluster").distinct().collect()})
+
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cid").isin(probe_cids))  # static partition pruning
+        .select("neighbor_id", F.col("vec").alias("__cvec"), F.col("cid").alias("__cluster"))
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "similarity",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (l2_norm(F.col("__qvec")) * l2_norm(F.col("__cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("similarity", 4).alias("similarity"))
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -71,6 +71,7 @@ DRIVER_WINDOW: list[str] = [
     "vector_norm_stats",
     "multimodal_frame_sample",
     "multimodal_image_features",
+    "multimodal_image_headers",
     "percentiles_quantity",
     "approx_stats",
     "pandas_udf_token_count",

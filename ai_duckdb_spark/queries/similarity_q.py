@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
-from ..operators.multimodal import attach_binary_payload, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    extract_image_headers,
+    sample_frames,
+    synthesize_image_payloads,
+)
 from ..tables import load
 from .catalog import register
 
@@ -194,3 +200,25 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs, "doc_id", "text"))
+
+
+@register(
+    "multimodal_image_headers",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(doc_id % 300 + 1 AS INTEGER)       AS width,
+           CAST((doc_id * 7) % 200 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (non-stub) image decode tier of X9: payloads carrying genuine
+    PNG/GIF/BMP/JPEG header byte layouts are parsed back to
+    (format, width, height) by the pure-Python header parser inside
+    mapInPandas (operators/multimodal.py parse_image_header — dimensions
+    need no codec library). Sizes are closed-form in doc_id, so the
+    oracle recomputes the expected parse independently."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_image_headers(synthesize_image_payloads(docs, "doc_id"))

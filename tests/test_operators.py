@@ -231,6 +231,24 @@ class TestMultimodal:
         assert set(feats.columns) == {"doc_id", "n_bytes", "first_byte", "fake_width", "fake_height"}
         assert all(1 <= r.fake_width <= 64 for r in rows)
 
+    def test_image_header_parse_roundtrip(self):
+        """Every synthesized format parses back to its exact dimensions;
+        decode_image's real path uses the parser (no codec needed)."""
+        for fmt in ("png", "gif", "bmp", "jpeg"):
+            payload = multimodal.make_image_header(fmt, 307, 123)
+            assert multimodal.parse_image_header(payload) == (fmt, 307, 123), fmt
+            assert multimodal.decode_image(payload) == (307, 123)
+
+    def test_image_header_parse_rejects_garbage(self):
+        assert multimodal.parse_image_header(b"") is None
+        assert multimodal.parse_image_header(b"not an image") is None
+        # truncated PNG: signature only, no IHDR
+        assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+        # BMP with top-down (negative) height still yields positive dims
+        bmp = multimodal.make_image_header("bmp", 10, 20)
+        neg = bmp[:22] + (-20).to_bytes(4, "little", signed=True)
+        assert multimodal.parse_image_header(neg) == ("bmp", 10, 20)
+
     def test_audio_and_resize_stubs_gated(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(b"bytes")

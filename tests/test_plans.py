@@ -10,6 +10,7 @@ still pass the oracle."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ai_duckdb_spark.plans import executed_plan
 from ai_duckdb_spark.queries import catalog
@@ -114,6 +115,32 @@ def test_scd2_fold_reads_bounds_once_per_branch_no_rescan(spark, sf_dir):
     # re-scanned by the fold's branches
     assert "Scan parquet" not in plan
     assert "Union" in plan
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """A probe against the persisted IVF index must read only the nprobe
+    cluster directories: cid is a partition column and the probe filter
+    shows up as PartitionFilters at the parquet scan."""
+    from ai_duckdb_spark.operators import similarity as sim
+    from ai_duckdb_spark.plans import executed_plan
+    from ai_duckdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    centroids = sim.build_ivf_index(emb, path, n_clusters=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    result = sim.cosine_topk_ivf_persisted(spark, path, queries, k=5, nprobe=2)
+    plan = executed_plan(result)
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:80]
+
+    # persisted search == in-memory IVF search with the same model
+    expected = sim.cosine_topk_ivf(
+        emb, queries, k=5, n_clusters=8, nprobe=2, centroids=centroids
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and got
 
 
 def test_cosine_pairs_auto_strategy_switches_on_size(spark, sf_dir):
