@@ -58,6 +58,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact_fulltext",
     "dedup_exact_token_set",
     "dedup_jaccard_pairs",
+    "dedup_prefix_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_bigram_jaccard_pairs",
