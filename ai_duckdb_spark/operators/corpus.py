@@ -1,0 +1,167 @@
+"""Training-corpus assembly operators (SURVEY.md §2.9 [D] north-star
+scope, beyond the reference): deterministic hash sampling, token-budget
+sequence packing, benchmark-contamination detection, and Gopher-style
+quality rules. The ops a pipeline runs AFTER dedup to turn a cleaned
+corpus into a training mix.
+
+All four are pure column expressions / window + groupBy shapes — zero
+Python in the row path — and deterministic in closed form so a SQL
+oracle can recompute them independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import STOPWORDS, avg_token_length, token_count, tokens
+
+# Deterministic sampling hash: a linear-congruential mix on the prime
+# field GF(1000003). Closed-form integer arithmetic (BIGINT-safe:
+# max intermediate ~1e10) so DuckDB reproduces it exactly — unlike
+# xxhash64/murmur3 which are engine-internal. Swap for xxhash64 when
+# cross-engine verification isn't needed; the distributional properties
+# here are adequate for rate sampling, not cryptography.
+_MIX_PRIME = 1_000_003
+_MIX_MULT = 10_007
+_MIX_ADD = 12_345
+
+
+def sample_bucket(id_col: str = "doc_id", buckets: int = 1000) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets)."""
+    m = F.col(id_col) % _MIX_PRIME
+    return ((m * _MIX_MULT + _MIX_ADD) % _MIX_PRIME) % buckets
+
+
+def sample_bucket_sql(id_col: str = "doc_id", buckets: int = 1000) -> str:
+    """DuckDB mirror of :func:`sample_bucket` (for oracle strings)."""
+    return (
+        f"((({id_col} % {_MIX_PRIME}) * {_MIX_MULT} + {_MIX_ADD})"
+        f" % {_MIX_PRIME}) % {buckets}"
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, rates_by_lang: dict[str, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language deterministic sampling at different rates — the
+    corpus-mixing primitive (e.g. upsample low-resource languages).
+
+    Row kept iff its hash bucket < rate*1000 for its language. Map-only
+    (no shuffle): the decision is a per-row expression, so the filter
+    rides the scan and composes with pushdown of other predicates.
+    """
+    rate_col = None
+    for lang, rate in rates_by_lang.items():
+        thresh = F.lit(int(rate * 1000))
+        rate_col = (
+            F.when(F.col("lang") == lang, thresh)
+            if rate_col is None
+            else rate_col.when(F.col("lang") == lang, thresh)
+        )
+    rate_col = rate_col.otherwise(F.lit(0))
+    return df.filter(sample_bucket(id_col) < rate_col)
+
+
+def pack_sequences(
+    df: DataFrame, budget: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Assign docs to fixed token-budget packs (training-sequence
+    chunking): per language, in deterministic doc-id order, pack_id =
+    floor(exclusive-running-token-sum / budget).
+
+    This is the distributed-friendly contiguous-chunk variant of greedy
+    sequence packing: one window shuffle keyed by language computes the
+    running sum; the assignment itself is a per-row expression. (True
+    bin-packing is order-dependent and serial; contiguous chunking is
+    what large pipelines actually run because it needs no global state.)
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(text_col)
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.col("lang"),
+        n_tok.alias("n_tokens"),
+        F.floor(cum_before / budget).cast("long").alias("pack_id"),
+    )
+
+
+def contaminated_docs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_common: int = 1,
+) -> DataFrame:
+    """Docs sharing >= ``min_common`` distinct word ``shingle_n``-grams
+    with any OTHER document of the benchmark set — the decontamination
+    check every training corpus runs against its eval benchmarks.
+
+    Shape: distinct-shingle explode on both sides, equi-join on the
+    shingle (the benchmark side is small by nature — broadcast), count
+    distinct matching shingles per (corpus doc, benchmark doc). Returns
+    (doc_id, n_matched_shingles, n_benchmark_docs_hit).
+    """
+    from .dedup import word_shingles
+
+    corpus_sh = df.select(
+        F.col(id_col).alias("__cid"), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    bench_sh = benchmark.select(
+        F.col(id_col).alias("__bid"), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "__sh")
+        .filter(F.col("__cid") != F.col("__bid"))
+        .groupBy("__cid", "__bid")
+        .agg(F.countDistinct("__sh").alias("__n"))
+        .filter(F.col("__n") >= min_common)
+    )
+    return hits.groupBy(F.col("__cid").alias(id_col)).agg(
+        F.sum("__n").alias("n_matched_shingles"),
+        F.countDistinct("__bid").alias("n_benchmark_docs_hit"),
+    )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style (Rae et al. 2021) per-document quality rule flags.
+
+    Deterministic thresholds on exact integer-ratio features (IEEE
+    division of ints — bit-identical cross-engine, so comparisons are
+    oracle-safe): token count in [5, 10000], mean token length in
+    [2, 12], stopword-occurrence ratio <= 0.6, distinct-token ratio
+    > 0.2. ``passes_all`` is the corpus-filter verdict.
+    """
+    n_tok = token_count(text_col)
+    avg_len = avg_token_length(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(tokens(text_col), lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.size(tokens(text_col))
+    )
+    distinct_ratio = F.size(F.array_distinct(tokens(text_col))).cast("double") / F.size(
+        tokens(text_col)
+    )
+    ok_count = (n_tok >= 5) & (n_tok <= 10_000)
+    ok_len = (avg_len >= 2.0) & (avg_len <= 12.0)
+    ok_stop = stop_ratio <= 0.6
+    ok_rep = distinct_ratio > 0.2
+    return df.select(
+        "doc_id",
+        "lang",
+        ok_count.alias("ok_token_count"),
+        ok_len.alias("ok_avg_token_len"),
+        ok_stop.alias("ok_stopword_ratio"),
+        ok_rep.alias("ok_repetition"),
+        (ok_count & ok_len & ok_stop & ok_rep).alias("passes_all"),
+    )

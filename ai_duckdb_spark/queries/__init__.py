@@ -12,6 +12,7 @@ from . import functions_q  # noqa: F401
 from . import events_q  # noqa: F401
 from . import text_q  # noqa: F401
 from . import dedup_q  # noqa: F401
+from . import corpus_q  # noqa: F401
 from . import similarity_q  # noqa: F401
 from . import extras_q  # noqa: F401
 from . import analytics_q  # noqa: F401

@@ -65,6 +65,10 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "dedup_components",
     "pipeline_training_corpus",
+    "corpus_hash_sample",
+    "corpus_pack_sequences",
+    "corpus_contamination",
+    "corpus_gopher_rules",
     "knn_bruteforce_cosine",
     "knn_ivf_cosine",
     "knn_lsh_cosine",

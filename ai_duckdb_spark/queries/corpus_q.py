@@ -1,0 +1,186 @@
+"""Training-corpus assembly queries (SURVEY.md §2.9 [D] north-star
+scope): deterministic stratified sampling, token-budget sequence
+packing, benchmark decontamination, Gopher-style quality rules. Thin
+catalog wrappers over operators/corpus.py; every oracle recomputes the
+closed-form semantics independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as cp
+from ..operators.textstats import STOPWORDS
+from ..tables import load
+from .catalog import register
+
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25, "fr": 1.0, "es": 0.1}
+_RATES_SQL = " ".join(
+    f"WHEN '{lang}' THEN {int(rate * 1000)}" for lang, rate in _SAMPLE_RATES.items()
+)
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+_BUCKET_SQL = cp.sample_bucket_sql("doc_id")
+
+
+@register(
+    "corpus_hash_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*)                                          AS n_sampled,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sampled_tokens
+    FROM documents
+    WHERE {_BUCKET_SQL} < CASE lang {_RATES_SQL} ELSE 0 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (corpus mixing:
+    upsample low-resource langs, downsample dominant ones). The keep
+    decision is a closed-form hash on doc_id — map-only, reproducible
+    across engines and runs, no RNG state to ship."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = cp.stratified_hash_sample(docs, _SAMPLE_RATES)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2000) AS BIGINT) AS pack_id,
+               n_tokens
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (2000-token packs per language):
+    contiguous chunking over a deterministic doc order — one window
+    shuffle keyed by language, then per-pack accounting. The
+    distributed-friendly form of training-sequence packing (true greedy
+    bin-packing is serial; contiguous chunking needs no global state)."""
+    docs = load(spark, sf_dir, "documents")
+    packed = cp.pack_sequences(docs, budget=2000)
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "corpus_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    hits AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bid, count(DISTINCT c.sh) AS n
+        FROM sh c
+        JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b
+          ON c.sh = b.sh AND c.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)  AS n_matched_shingles,
+           count(*)                AS n_benchmark_docs_hit
+    FROM hits
+    GROUP BY doc_id
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word trigrams with
+    any (other) doc of the benchmark set (stand-in: doc_id % 97 == 0).
+    Benchmark shingles broadcast — the eval set is small by nature — so
+    the check is one scan of the corpus, no shuffle of corpus text."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return cp.contaminated_docs(docs, benchmark, shingle_n=3, min_common=1)
+
+
+@register(
+    "corpus_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT)                 AS n_tokens,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                        x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS avg_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS stop_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' '))                           AS distinct_ratio
+        FROM documents
+    ),
+    flags AS (
+        SELECT lang,
+               (n_tokens >= 5 AND n_tokens <= 10000)    AS ok_token_count,
+               (avg_len >= 2.0 AND avg_len <= 12.0)     AS ok_avg_token_len,
+               (stop_ratio <= 0.6)                      AS ok_stopword_ratio,
+               (distinct_ratio > 0.2)                   AS ok_repetition
+        FROM feat
+    )
+    SELECT lang,
+           count(*)                                              AS n_docs,
+           CAST(sum(CASE WHEN ok_token_count THEN 1 ELSE 0 END) AS BIGINT)   AS n_ok_token_count,
+           CAST(sum(CASE WHEN ok_avg_token_len THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_avg_token_len,
+           CAST(sum(CASE WHEN ok_stopword_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopword_ratio,
+           CAST(sum(CASE WHEN ok_repetition THEN 1 ELSE 0 END) AS BIGINT)    AS n_ok_repetition,
+           CAST(sum(CASE WHEN ok_token_count AND ok_avg_token_len
+                          AND ok_stopword_ratio AND ok_repetition
+                     THEN 1 ELSE 0 END) AS BIGINT)                           AS n_passes_all
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule accounting per language: how many docs
+    pass each deterministic threshold rule and all of them together.
+    Features are exact integer ratios (bit-identical cross-engine), so
+    the boolean thresholds are oracle-safe."""
+    docs = load(spark, sf_dir, "documents")
+    flags = cp.gopher_quality_flags(docs)
+    as_n = lambda c: F.sum(F.col(c).cast("long")).alias(f"n_{c}")  # noqa: E731
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            as_n("ok_token_count"),
+            as_n("ok_avg_token_len"),
+            as_n("ok_stopword_ratio"),
+            as_n("ok_repetition"),
+            F.sum(F.col("passes_all").cast("long")).alias("n_passes_all"),
+        )
+        .orderBy("lang")
+    )

@@ -117,6 +117,18 @@ def test_scd2_fold_reads_bounds_once_per_branch_no_rescan(spark, sf_dir):
     assert "Union" in plan
 
 
+def test_corpus_ops_plan_quality(spark, sf_dir):
+    """Corpus-assembly ops keep their scale shapes: hash sampling is
+    map-only plus one accounting shuffle; packing is one window shuffle
+    + one agg shuffle; contamination broadcasts the benchmark side."""
+    plan = _plan(spark, sf_dir, "corpus_hash_sample")
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+    plan = _plan(spark, sf_dir, "corpus_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+    plan = _plan(spark, sf_dir, "corpus_contamination")
+    assert "BroadcastExchange" in plan  # benchmark shingles ship, corpus doesn't
+
+
 def test_persisted_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """A probe against the persisted IVF index must read only the nprobe
     cluster directories: cid is a partition column and the probe filter
