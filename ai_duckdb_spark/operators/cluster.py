@@ -30,7 +30,15 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in the edge set; component id is
-    the minimum node id reachable from the node."""
+    the minimum node id reachable from the node.
+
+    Convergence is O(component diameter) rounds — right for the shallow
+    star-ish clusters near-dup detection produces. For graphs that may
+    be DEEP (chains of borderline pairs, social graphs), use
+    :func:`connected_components_twophase`, which converges in
+    O(log n) rounds; this one raises if the iteration cap is hit with
+    labels still moving rather than return silently-wrong components.
+    """
     # materialize the edge list once — the loop below would otherwise
     # re-evaluate the (potentially expensive) upstream pair-generation
     # plan on BOTH join sides of EVERY iteration
@@ -45,6 +53,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             undirected.join(labels, undirected.b == labels.node)
@@ -61,9 +70,97 @@ def connected_components(
                 "label",
             )
         ).localCheckpoint()
-        changed = updated.filter(F.col("new_label") < F.col("label")).isEmpty()
+        converged = updated.filter(F.col("new_label") < F.col("label")).isEmpty()
         labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed:
+        if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the cap); raise max_iterations or use "
+            "connected_components_twophase (O(log n) rounds)"
+        )
 
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors attach to
+    the minimum of its closed neighborhood. Edges come back (larger,
+    smaller)-oriented."""
+    und = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = und.groupBy("a").agg(F.min("b").alias("__mb")).select(
+        "a", F.least(F.col("__mb"), F.col("a")).alias("__m")
+    )
+    return (
+        und.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node and its smaller neighbors attach to
+    the minimum of that set."""
+    oriented = (
+        edges.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("__m"))
+    children = (
+        oriented.join(mins, "a")
+        .filter(F.col("b") != F.col("__m"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+    )
+    selfs = mins.select("a", F.col("__m").alias("b"))
+    return children.unionAll(selfs).distinct()
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Each round is two join+groupBy rounds over the current edge set;
+    the edge set contracts toward star graphs rooted at component
+    minima, so round count is logarithmic in component size instead of
+    linear in diameter — the difference between 6 and 10⁶ rounds on a
+    chain-shaped component at web scale. Same output contract as
+    :func:`connected_components`.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    ).distinct().localCheckpoint()
+
+    converged = False
+    for _ in range(max_iterations):
+        stepped = _small_star(_large_star(e)).localCheckpoint()
+        converged = stepped.exceptAll(e).unionAll(e.exceptAll(stepped)).isEmpty()
+        e = stepped
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(
+            f"two-phase components did not converge in {max_iterations} rounds"
+        )
+
+    # converged edges are (child, root); roots map to themselves
+    child_labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = nodes.join(child_labels, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return child_labels.unionAll(roots)

@@ -84,17 +84,94 @@ def _load_json(spark: SparkSession, file_path: str) -> DataFrame:
     raise ValueError(ERR_BAD_JSON)
 
 
-def _load_excel(spark: SparkSession, file_path: str, suffix: str) -> DataFrame:
-    """Excel via pandas (engine split per reference doc.py:47-49).
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
-    openpyxl/xlrd are optional in this environment — gated behind
-    import-try; the 16 MB upload cap keeps the driver-side read sound.
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC12' -> 0-based column index 54."""
+    col = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return col - 1
+
+
+def _read_xlsx_stdlib(file_path: str) -> pd.DataFrame:
+    """Minimal .xlsx reader on the stdlib only (zipfile + ElementTree).
+
+    xlsx is a zip of SpreadsheetML XML; for the tabular
+    first-row-is-header files the upload surface accepts, the needed
+    subset is: the first worksheet's <row>/<c> cells, the shared-string
+    table, and the cell types s/str/b/inlineStr/numeric. Used only when
+    openpyxl is absent (this container) — pandas' reader takes priority
+    because it covers the long tail (dates, merged cells, multi-sheet).
+    """
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(file_path) as zf:
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet_name = next(
+            (n for n in ("xl/worksheets/sheet1.xml",) if n in names),
+            next((n for n in sorted(names) if n.startswith("xl/worksheets/")), None),
+        )
+        if sheet_name is None:
+            raise ValueError("xlsx has no worksheets")
+        root = ET.fromstring(zf.read(sheet_name))
+
+    rows: list[dict[int, object]] = []
+    for row_el in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row_el.iter(f"{_XLSX_NS}c"):
+            idx = _xlsx_cell_col(c.get("r", ""))
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                value: object = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
+            else:
+                v = c.find(f"{_XLSX_NS}v")
+                if v is None or v.text is None:
+                    continue
+                if ctype == "s":
+                    value = shared[int(v.text)]
+                elif ctype == "str":
+                    value = v.text
+                elif ctype == "b":
+                    value = v.text == "1"
+                else:  # numeric
+                    num = float(v.text)
+                    value = int(num) if num.is_integer() else num
+            cells[idx] = value
+        rows.append(cells)
+
+    if not rows:
+        return pd.DataFrame()
+    width = max(max(r) + 1 for r in rows if r)
+    header = [rows[0].get(i, f"col{i}") for i in range(width)]
+    data = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return pd.DataFrame(data, columns=[str(h) for h in header])
+
+
+def _load_excel(spark: SparkSession, file_path: str, suffix: str) -> DataFrame:
+    """Excel via pandas (engine split per reference doc.py:47-49), with a
+    stdlib SpreadsheetML fallback for .xlsx when openpyxl is absent.
+
+    .xls (binary BIFF) has no stdlib path and stays engine-gated. The
+    16 MB upload cap keeps the driver-side read sound.
     """
     engine = "openpyxl" if suffix == ".xlsx" else "xlrd"
     try:
         pdf = pd.read_excel(file_path, engine=engine)
     except ImportError as e:
-        raise RuntimeError(f"Excel 引擎不可用 ({engine}): {e}") from e
+        if suffix == ".xlsx":
+            pdf = _read_xlsx_stdlib(file_path)
+        else:
+            raise RuntimeError(f"Excel 引擎不可用 ({engine}): {e}") from e
     return _from_pandas(spark, pdf)
 
 

@@ -132,12 +132,45 @@ class TestSources:
         df, err = load_data_from_file(spark, str(p))
         assert df is None and "不支持的JSON格式" in err
 
-    def test_excel_gated(self, spark, tmp_path):
-        # engines absent in this environment → clean gated error, not a crash
+    def test_excel_corrupt_is_clean_error(self, spark, tmp_path):
+        # a broken zip → clean error tuple, not a crash
         p = tmp_path / "t.xlsx"
         p.write_bytes(b"PK\x03\x04 fake")
         df, err = load_data_from_file(spark, str(p))
         assert df is None and "文件加载失败" in err
+
+    def test_xlsx_stdlib_reader(self, spark, tmp_path):
+        """Without openpyxl, .xlsx loads via the stdlib SpreadsheetML
+        fallback: shared strings, numerics, bools, inline strings,
+        missing cells."""
+        import zipfile
+
+        ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        shared = (
+            f'<sst {ns} count="3" uniqueCount="3">'
+            "<si><t>name</t></si><si><t>score</t></si><si><t>alice</t></si></sst>"
+        )
+        sheet = (
+            f'<worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+            '<c r="C1" t="str"><v>flag</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12.5</v></c>'
+            '<c r="C2" t="b"><v>1</v></c></row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><t>bob</t></is></c>'
+            '<c r="B3"><v>7</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        p = tmp_path / "mini.xlsx"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("xl/sharedStrings.xml", shared)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None
+        rows = {r["name"]: r.asDict() for r in df.collect()}
+        assert set(df.columns) == {"name", "score", "flag"}
+        assert rows["alice"]["score"] == 12.5 and rows["alice"]["flag"] is True
+        assert rows["bob"]["score"] == 7.0 and rows["bob"]["flag"] is None
 
 
 # ---------------------------------------------------------------------------

@@ -405,3 +405,42 @@ class TestCdc:
         rows = sorted(snap.collect(), key=lambda r: r.valid_from)
         assert [(r.v, r.is_current) for r in rows] == [("x", False), ("y", False), ("z", True)]
         assert [r.valid_to for r in rows] == [t1, t2, None]
+
+
+class TestConnectedComponents:
+    """Both formulations agree; the two-phase one handles deep graphs the
+    min-label loop can't reach within its round cap."""
+
+    def _labels(self, df):
+        return {r.node: r.component for r in df.collect()}
+
+    def test_twophase_matches_minlabel_on_shallow_graph(self, spark):
+        from ai_duckdb_spark.operators.cluster import (
+            connected_components,
+            connected_components_twophase,
+        )
+
+        # two clusters + an isolated pair, star-ish (shallow)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 4), (10, 11), (11, 12), (20, 21)],
+            ["id1", "id2"],
+        )
+        a = self._labels(connected_components(edges))
+        b = self._labels(connected_components_twophase(edges))
+        assert a == b
+        assert b[4] == 1 and b[12] == 10 and b[21] == 20
+
+    def test_twophase_converges_on_deep_chain(self, spark):
+        from ai_duckdb_spark.operators.cluster import (
+            connected_components,
+            connected_components_twophase,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], ["id1", "id2"]
+        )
+        labels = self._labels(connected_components_twophase(chain))
+        assert set(labels.values()) == {0} and len(labels) == 121
+        # the linear-round formulation must refuse, not silently mislabel
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iterations=20)
