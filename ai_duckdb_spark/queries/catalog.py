@@ -64,6 +64,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_bigram_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_components",
+    "dedup_incremental",
+    "skew_salted_counts",
     "pipeline_training_corpus",
     "corpus_hash_sample",
     "corpus_pack_sequences",

@@ -298,3 +298,63 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
         F.avg("n_chars").alias("avg_chars"),
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k
+        FROM documents
+    )
+    SELECT n.doc_id AS new_doc_id,
+           min(e.doc_id) AS dup_of_existing
+    FROM keyed n
+    JOIN keyed e ON n.k = e.k AND e.doc_id % 10 <> 7
+    WHERE n.doc_id % 10 = 7
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: which docs of the NEW batch
+    (doc_id % 10 == 7 as the batch stand-in) duplicate the EXISTING
+    corpus, by normalized token-set key. The incremental shape matters
+    at scale: the new batch is small, so the key join broadcasts it and
+    the existing corpus is scanned once — no O(corpus) shuffle per
+    ingest."""
+    docs = load(spark, sf_dir, "documents")
+    key = dedup.normalized_token_set_key("text")
+    existing = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("e_id"), key.alias("k")
+    )
+    new = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("new_doc_id"), key.alias("k")
+    )
+    return (
+        existing.join(F.broadcast(new), "k")
+        .groupBy("new_doc_id")
+        .agg(F.min("e_id").alias("dup_of_existing"))
+    )
+
+
+@register(
+    "skew_salted_counts",
+    oracle="""
+    SELECT l_returnflag AS key, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY key
+    """,
+)
+def skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over a
+    low-cardinality (hot-key) grouping column: phase 1 shuffles on
+    (key, salt) so each hot key spreads across 16 reducers, phase 2
+    collapses the tiny partials. Result identical to the plain groupBy —
+    the oracle proves it — while removing the single-reducer straggler
+    a 3-distinct-values key creates at 100 TB."""
+    from ..operators.skew import salted_group_count
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_group_count(li.select("l_returnflag"), "l_returnflag").orderBy("key")
