@@ -55,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "text_fingerprint_bag",
     "token_frequency_top20",
     "text_regex_token_count",
+    "streaming_langid_counts",
     "dedup_exact_fulltext",
     "dedup_exact_token_set",
     "dedup_jaccard_pairs",

@@ -197,3 +197,28 @@ def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_number_tokens"
         ),
     )
+
+
+@register(
+    "streaming_langid_counts",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+                ELSE 'unknown' END AS predicted_lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, predicted_lang
+    """,
+)
+def streaming_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID confusion accounting executed THROUGH Structured
+    Streaming (file-source document stream → complete-mode agg → memory
+    sink) — the ingest-time flavor of text_langid_confusion, verified
+    against the same batch oracle."""
+    from ..streaming.windows import langid_confusion_stream
+
+    return langid_confusion_stream(spark, sf_dir)

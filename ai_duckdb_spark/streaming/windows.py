@@ -246,3 +246,32 @@ def stream_stream_purchase_click_join(
     finally:
         query.stop()
     return spark.table(sink)
+
+
+def langid_confusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest accounting: language-ID confusion counts
+    maintained over a document stream (file source over the documents
+    fixture). The ingest-time shape of the batch text_langid_confusion
+    query — a pipeline watching label drift as shards land. Complete
+    output mode; the heuristic itself is the shared textstats column
+    expression, so batch and stream share one definition.
+    """
+    from ..operators.textstats import predicted_lang
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = docs.groupBy("lang", predicted_lang().alias("predicted_lang")).agg(
+        F.count("*").alias("n")
+    )
+    sink = f"langid_sink_{uuid.uuid4().hex[:8]}"
+    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("lang", "predicted_lang")
