@@ -444,3 +444,78 @@ class TestConnectedComponents:
         # the linear-round formulation must refuse, not silently mislabel
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(chain, max_iterations=20)
+
+
+class TestCorpusOps:
+    def test_hash_sample_invariants(self, spark, sf_dir):
+        from ai_duckdb_spark.operators.corpus import stratified_hash_sample
+
+        docs = load(spark, sf_dir, "documents")
+        rates = {"en": 0.5, "de": 1.0, "es": 0.0}
+        out = stratified_hash_sample(docs, rates)
+        rows = out.collect()
+        again = {r.doc_id for r in stratified_hash_sample(docs, rates).collect()}
+        assert {r.doc_id for r in rows} == again  # deterministic
+        langs = {r.lang for r in rows}
+        assert "es" not in langs and "zh" not in langs  # rate 0 / unlisted drop
+        n_de_all = docs.filter(F.col("lang") == "de").count()
+        assert sum(1 for r in rows if r.lang == "de") == n_de_all  # rate 1.0 keeps all
+        n_en_all = docs.filter(F.col("lang") == "en").count()
+        n_en = sum(1 for r in rows if r.lang == "en")
+        assert 0 < n_en < n_en_all  # rate 0.5 is a strict sample
+
+    def test_pack_sequences_conserves_tokens_and_is_contiguous(self, spark, sf_dir):
+        from ai_duckdb_spark.operators.corpus import pack_sequences
+
+        docs = load(spark, sf_dir, "documents")
+        packed = pack_sequences(docs, budget=2000)
+        per_lang = {
+            r.lang: (r.total, r.max_pack)
+            for r in packed.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total"), F.max("pack_id").alias("max_pack"))
+            .collect()
+        }
+        truth = {
+            r.lang: r.total
+            for r in docs.groupBy("lang")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+            .collect()
+        }
+        for lang, (total, max_pack) in per_lang.items():
+            assert total == truth[lang]  # no doc lost or duplicated
+            # contiguous pack ids 0..max
+            ids = {r.pack_id for r in packed.filter(F.col("lang") == lang).collect()}
+            assert ids == set(range(max_pack + 1))
+
+    def test_contamination_flags_exact_copy(self, spark):
+        from ai_duckdb_spark.operators.corpus import contaminated_docs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps high"),
+                (2, "the quick brown fox jumps high"),  # copy of 1
+                (3, "completely different words entirely here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = docs.filter(F.col("doc_id") == 1)
+        hits = {r.doc_id: r.n_benchmark_docs_hit for r in contaminated_docs(docs, bench).collect()}
+        assert hits == {2: 1}  # the copy flags; self-match and doc 3 don't
+
+    def test_gopher_rules_hit_each_threshold(self, spark):
+        from ai_duckdb_spark.operators.corpus import gopher_quality_flags
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "the cat sat on the mat with a hat"),  # passes all
+                (2, "en", "one two"),  # too few tokens
+                (3, "en", "aaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb ccccccccccccccccc dddddddddddddddd eeeeeeeeeeeeeeeee"),  # avg len > 12
+                (4, "en", "the the the the the the the the the the"),  # stop ratio 1.0 + repetition
+            ],
+            ["doc_id", "lang", "text"],
+        )
+        flags = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+        assert flags[1].passes_all
+        assert not flags[2].ok_token_count
+        assert not flags[3].ok_avg_token_len
+        assert not flags[4].ok_stopword_ratio and not flags[4].ok_repetition
