@@ -61,6 +61,17 @@ _FALLBACK_WRITE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Quoted regions never carry statement verbs: single-quoted string
+# literals ('' = escaped quote), backquoted identifiers (`` = escaped),
+# and double-quoted identifiers. Blanking them before the lexical scan
+# removes the main false-positive class (WHERE note = 'for home use',
+# a column named `update`) while staying fail-closed on real verbs.
+_QUOTED_REGION_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`|\"(?:[^\"]|\"\")*\"")
+
+
+def _strip_quoted(stmt: str) -> str:
+    return _QUOTED_REGION_RE.sub(" ", stmt)
+
 
 def ensure_select_only(spark: SparkSession, sql: str) -> None:
     """Reject anything that is not a read-only query (X5, enforced).
@@ -86,7 +97,7 @@ def ensure_select_only(spark: SparkSession, sql: str) -> None:
         parser = None  # gate machinery unavailable → lexical fallback below
 
     if parser is None:
-        if _FALLBACK_WRITE_RE.search(stripped):
+        if _FALLBACK_WRITE_RE.search(_strip_quoted(stripped)):
             raise UnsafeSqlError("仅支持SELECT操作 (parser unavailable; lexical gate)")
         return
 
@@ -107,7 +118,7 @@ def ensure_select_only(spark: SparkSession, sql: str) -> None:
         # report it); any other failure of the gate machinery fails closed.
         if "ParseException" in str(type(exc)) or "ParseException" in str(exc):
             return
-        if _FALLBACK_WRITE_RE.search(stripped):
+        if _FALLBACK_WRITE_RE.search(_strip_quoted(stripped)):
             raise UnsafeSqlError("仅支持SELECT操作 (plan check failed; lexical gate)") from exc
         return
     for name in node_names:

@@ -57,7 +57,14 @@ def word_shingles(text_col: str, n: int = 2) -> F.Column:
     the standard trade chosen by MinHash-based web dedup.
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # docs shorter than n tokens have NO n-gram shingles: guard the index
+    # range explicitly — sequence(1, size-(n-1)) DESCENDS through 0 when
+    # size < n, and element_at on those indices is an error under ANSI
+    # mode (and silently-wrong shingles otherwise)
+    upper = F.size(toks) - (n - 1)
+    idx = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
@@ -142,7 +149,10 @@ def jaccard_pairs_prefix(
         toks = _shingle_sets(df, id_col, text_col, shingle_n)
     else:
         toks = _token_sets(df, id_col, text_col)
-    toks = toks.withColumn("__sz", F.size("__tokens"))
+    # materialize once: the token-set frame feeds BOTH the prefix/postings
+    # side and the two verification sides — without this the tokenization
+    # scan (split + array_distinct over the full corpus) runs three times
+    toks = toks.withColumn("__sz", F.size("__tokens")).localCheckpoint()
     postings = toks.select("__id", "__sz", F.explode("__tokens").alias("__tok"))
 
     freq = postings.groupBy("__tok").agg(F.count("*").alias("__df"))

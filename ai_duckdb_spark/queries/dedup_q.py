@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from ..operators.cluster import connected_components
+from ..operators.cluster import connected_components_twophase
 from ..tables import load
 from .catalog import register
 
@@ -250,12 +250,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components of the >=0.95 Jaccard graph
-    (operators/cluster.py min-label propagation). Pairs become GROUPS —
-    the form a dedup pipeline actually consumes (keep min doc_id per
-    component). Oracle: recursive-CTE reachability in DuckDB."""
+    via O(log n) two-phase large-star/small-star contraction
+    (operators/cluster.py:122) — the scale path, immune to chain-shaped
+    components that make the O(diameter) min-label loop unbounded.
+    Pairs become GROUPS — the form a dedup pipeline actually consumes
+    (keep min doc_id per component). Oracle: recursive-CTE reachability
+    in DuckDB."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     pairs = dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.95)
-    return connected_components(pairs, "id1", "id2").select(
+    return connected_components_twophase(pairs, "id1", "id2").select(
         F.col("node").alias("doc_id"), F.col("component")
     )
 

@@ -45,14 +45,16 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate family (G10): HyperLogLog distinct + t-digest
     percentiles. Rows-only: sketches are engine-specific by definition —
     the exact counterparts (distinct_counts, percentiles_quantity) are
-    the oracle-checked ground truth."""
+    the oracle-checked ground truth. The percentile array is projected
+    into scalar p50/p95 columns so the result is flat (harness
+    canonicalizers can't hash list-typed cells)."""
     orders = load(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", F.lit([0.5, 0.95]), F.lit(10000))
     return orders.agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.approx_count_distinct("o_orderkey").alias("approx_orders"),
-        F.percentile_approx("o_totalprice", F.lit([0.5, 0.95]), F.lit(10000)).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
     )
 
 

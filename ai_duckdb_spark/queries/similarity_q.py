@@ -89,6 +89,35 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+@register("knn_ivf_persisted", oracle=None)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the PERSISTED IVF index path (operators/similarity.py
+    build_ivf_index → cosine_topk_ivf_persisted): the corpus is written
+    partitioned by cluster id once, then each search resolves its nprobe
+    cluster ids against the centroid relation and reads ONLY those
+    partition directories (static partition pruning at the parquet scan
+    — PartitionFilters plan-gated in tests/test_plans.py). This is the
+    offline-index half of IVF at 100 TB: probe cost is nprobe/n_clusters
+    of the corpus I/O, not a full scan per search. Same quantizer
+    parameters as knn_ivf_cosine, so results are identical to the
+    in-memory tier (equality pytest-checked); rows-only + recall vs
+    knn_bruteforce_cosine."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    if sf_dir not in _IVF_INDEX_DIRS:  # index builds once per corpus
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        sim.build_ivf_index(emb, path, n_clusters=16, iters=3)
+        _IVF_INDEX_DIRS[sf_dir] = path
+    return sim.cosine_topk_ivf_persisted(
+        spark, _IVF_INDEX_DIRS[sf_dir], queries, k=5, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 @register("knn_lsh_cosine", oracle=None)
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (scale path).

@@ -85,6 +85,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ANSI mode (SURVEY §7 risk 1): error on bad casts / overflow /
+        # invalid array index like the DuckDB dialect does, instead of
+        # silently returning NULL — dialect fidelity for the NL→SQL path
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -109,6 +113,7 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # the Spark default (200) over-parallelizes local runs; AQE coalesces
     # post-shuffle but the initial map still pays the fan-out
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":

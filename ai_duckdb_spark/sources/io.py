@@ -128,8 +128,11 @@ def _read_xlsx_stdlib(file_path: str) -> pd.DataFrame:
     rows: list[dict[int, object]] = []
     for row_el in root.iter(f"{_XLSX_NS}row"):
         cells: dict[int, object] = {}
+        next_idx = 0  # ECMA-376 sequential placement when r is omitted
         for c in row_el.iter(f"{_XLSX_NS}c"):
-            idx = _xlsx_cell_col(c.get("r", ""))
+            ref = c.get("r")
+            idx = _xlsx_cell_col(ref) if ref else next_idx
+            next_idx = idx + 1
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
                 value: object = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
