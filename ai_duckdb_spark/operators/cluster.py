@@ -147,10 +147,15 @@ def connected_components_twophase(
     ).distinct().localCheckpoint()
 
     converged = False
+    n_edges = e.count()
     for _ in range(max_iterations):
         stepped = _small_star(_large_star(e)).localCheckpoint()
-        converged = stepped.exceptAll(e).unionAll(e.exceptAll(stepped)).isEmpty()
-        e = stepped
+        # both sides are DISTINCT edge sets, so |A|=|B| ∧ A\B=∅ ⟹ A=B;
+        # the count is a cheap agg on the checkpointed frame and skips
+        # the exceptAll job entirely on non-converged rounds
+        n_stepped = stepped.count()
+        converged = n_stepped == n_edges and stepped.exceptAll(e).isEmpty()
+        e, n_edges = stepped, n_stepped
         if converged:
             break
     if not converged:

@@ -161,20 +161,21 @@ def _read_xlsx_stdlib(file_path: str) -> pd.DataFrame:
 
 
 def _load_excel(spark: SparkSession, file_path: str, suffix: str) -> DataFrame:
-    """Excel via pandas (engine split per reference doc.py:47-49), with a
-    stdlib SpreadsheetML fallback for .xlsx when openpyxl is absent.
-
-    .xls (binary BIFF) has no stdlib path and stays engine-gated. The
-    16 MB upload cap keeps the driver-side read sound.
+    """Excel via pandas (engine split per reference doc.py:47-49), with
+    stdlib fallbacks when the engine package is absent: SpreadsheetML
+    (zipfile + ElementTree) for .xlsx, BIFF8/CFB (sources/xls.py) for
+    .xls. The 16 MB upload cap keeps the driver-side read sound.
     """
     engine = "openpyxl" if suffix == ".xlsx" else "xlrd"
     try:
         pdf = pd.read_excel(file_path, engine=engine)
-    except ImportError as e:
+    except ImportError:
         if suffix == ".xlsx":
             pdf = _read_xlsx_stdlib(file_path)
         else:
-            raise RuntimeError(f"Excel 引擎不可用 ({engine}): {e}") from e
+            from .xls import read_xls_stdlib
+
+            pdf = read_xls_stdlib(file_path)
     return _from_pandas(spark, pdf)
 
 

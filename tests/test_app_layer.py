@@ -57,7 +57,138 @@ def sales_csv(tmp_path_factory):
 
 
 # ---------------------------------------------------------------------------
-# Ingestion matrix (reference doc.py:16-83 semantics)
+# Hand-assembled BIFF8 (.xls) fixture writers, straight from the
+# documented [MS-XLS] record and [MS-CFB] container byte layouts — the
+# stdlib reader (sources/xls.py) is pinned against these, not against
+# its own output.
+# ---------------------------------------------------------------------------
+import struct as _struct
+
+
+def _rec(rid: int, payload: bytes) -> bytes:
+    return _struct.pack("<HH", rid, len(payload)) + payload
+
+
+def _bof_payload(dt: int) -> bytes:
+    # vers=0x0600 (BIFF8), dt, rupBuild, rupYear, bfh, sfo
+    return _struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0)
+
+
+def _xls_cell_records() -> bytes:
+    def labelsst(r, c, isst):
+        return _rec(0x00FD, _struct.pack("<HHHI", r, c, 0, isst))
+
+    def number(r, c, v):
+        return _rec(0x0203, _struct.pack("<HHHd", r, c, 0, v))
+
+    def rk_int(v, div100=False):
+        return ((v & 0x3FFFFFFF) << 2) | 2 | (1 if div100 else 0)
+
+    def rk_float(v):
+        (bits,) = _struct.unpack("<Q", _struct.pack("<d", v))
+        return (bits >> 32) & 0xFFFFFFFC
+
+    def rk(r, c, rkval):
+        return _rec(0x027E, _struct.pack("<HHHI", r, c, 0, rkval))
+
+    def boolerr(r, c, v):
+        return _rec(0x0205, _struct.pack("<HHHBB", r, c, 0, int(v), 0))
+
+    def label(r, c, s):
+        return _rec(
+            0x0204, _struct.pack("<HHHHB", r, c, 0, len(s), 0) + s.encode("latin-1")
+        )
+
+    header = labelsst(0, 0, 0) + labelsst(0, 1, 1) + label(0, 2, "flag") + label(0, 3, "note")
+    row1 = (
+        labelsst(1, 0, 2)  # alice
+        + number(1, 1, 12.5)
+        + boolerr(1, 2, True)
+        + label(1, 3, "inline")
+    )
+    row2 = labelsst(2, 0, 3) + rk(2, 1, rk_int(-3)) + boolerr(2, 2, False)  # bob
+    row3 = label(3, 0, "carol") + rk(3, 1, rk_int(125, div100=True))
+    # dave via MULRK (two columns: score=7.0 float-RK, flag col skipped)
+    mulrk = _rec(
+        0x00BD,
+        _struct.pack("<HH", 4, 1)
+        + _struct.pack("<HI", 0, rk_float(7.0))
+        + _struct.pack("<H", 1),
+    )
+    row4 = label(4, 0, "dave") + mulrk
+    return header + row1 + row2 + row3 + row4
+
+
+def _biff8_workbook(sst: list[str], sheet_cells: bytes, pad_to: int | None) -> bytes:
+    sst_payload = _struct.pack("<II", len(sst), len(sst))
+    for s in sst:
+        sst_payload += _struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+    globals_core = _rec(0x0809, _bof_payload(0x0005)) + _rec(0x00FC, sst_payload)
+    bs_stub = _struct.pack("<IHBB", 0, 0, 6, 0) + b"Sheet1"
+    globals_len = len(globals_core) + len(_rec(0x0085, bs_stub)) + len(_rec(0x000A, b""))
+    boundsheet = _struct.pack("<IHBB", globals_len, 0, 6, 0) + b"Sheet1"
+    sheet = _rec(0x0809, _bof_payload(0x0010)) + sheet_cells + _rec(0x000A, b"")
+    wb = globals_core + _rec(0x0085, boundsheet) + _rec(0x000A, b"") + sheet
+    if pad_to is not None and len(wb) < pad_to:
+        wb += b"\x00" * (pad_to - len(wb))
+    return wb
+
+
+def _make_cfb(stream: bytes, mini: bool) -> bytes:
+    """Wrap a Workbook stream in a minimal v3 OLE2 compound file."""
+    SS, MS = 512, 64
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+    def pad(b: bytes, size: int) -> bytes:
+        return b + b"\x00" * (-len(b) % size)
+
+    def direntry(name: str, otype: int, start: int, size: int) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        b = raw + b"\x00" * (64 - len(raw))
+        b += _struct.pack("<HBB", len(raw), otype, 1)
+        b += _struct.pack("<iii", -1, -1, -1)
+        b += b"\x00" * 36  # clsid + state + timestamps
+        b += _struct.pack("<II", start, size) + b"\x00" * 4
+        assert len(b) == 128
+        return b
+
+    if mini:
+        assert len(stream) < 4096, "mini-stream streams must be < cutoff"
+        cont = pad(stream, MS)
+        n_mini = len(cont) // MS
+        minifat = [i + 1 for i in range(n_mini - 1)] + [END]
+        minifat_sect = pad(_struct.pack(f"<{len(minifat)}I", *minifat), SS)
+        cont_padded = pad(cont, SS)
+        n_cont = len(cont_padded) // SS
+        # sectors: 0=FAT 1=dir 2=miniFAT 3..=mini-stream container
+        fat = [FATSECT, END, END] + [3 + i + 1 for i in range(n_cont - 1)] + [END]
+        root = direntry("Root Entry", 5, 3, len(cont))
+        wbent = direntry("Workbook", 2, 0, len(stream))
+        body = minifat_sect + cont_padded
+        minifat_start, n_minifat = 2, 1
+    else:
+        data = pad(stream, SS)
+        n_data = len(data) // SS
+        # sectors: 0=FAT 1=dir 2..=stream
+        fat = [FATSECT, END] + [2 + i + 1 for i in range(n_data - 1)] + [END]
+        root = direntry("Root Entry", 5, END, 0)
+        wbent = direntry("Workbook", 2, 2, len(stream))
+        body = data
+        minifat_start, n_minifat = FREE, 0
+
+    fat_sect = pad(_struct.pack(f"<{len(fat)}I", *fat), SS).ljust(SS, b"\xff")
+    fat_sect = _struct.pack(f"<{len(fat)}I", *fat) + b"\xff" * (SS - 4 * len(fat))
+    dir_sect = pad(root + wbent, SS)
+
+    header = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+    header += _struct.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)
+    header += b"\x00" * 6
+    header += _struct.pack(
+        "<IIIIIIIII", 0, 1, 1, 0, 4096, minifat_start, n_minifat, END, 0
+    )
+    header += _struct.pack("<I", 0) + b"\xff" * (108 * 4)  # DIFAT[0]=0, rest FREE
+    assert len(header) == 512
+    return header + fat_sect + dir_sect + body
 # ---------------------------------------------------------------------------
 class TestSources:
     def test_missing_file(self, spark):
@@ -171,6 +302,64 @@ class TestSources:
         assert set(df.columns) == {"name", "score", "flag"}
         assert rows["alice"]["score"] == 12.5 and rows["alice"]["flag"] is True
         assert rows["bob"]["score"] == 7.0 and rows["bob"]["flag"] is None
+
+    @pytest.mark.parametrize("mini", [False, True], ids=["fat-stream", "mini-stream"])
+    def test_xls_stdlib_reader(self, spark, tmp_path, mini):
+        """Without xlrd, .xls loads via the stdlib BIFF8/CFB fallback.
+        The fixture is hand-assembled from the documented [MS-CFB]/[MS-XLS]
+        byte layouts (both the regular-FAT and mini-stream container
+        placements) covering LABELSST, NUMBER, RK (int + div100 + float),
+        MULRK, BOOLERR, and inline LABEL cells."""
+        wb = _biff8_workbook(
+            sst=["name", "score", "alice", "bob"],
+            sheet_cells=_xls_cell_records(),
+            pad_to=None if mini else 4096,
+        )
+        p = tmp_path / "mini.xls"
+        p.write_bytes(_make_cfb(wb, mini=mini))
+
+        df, err = load_data_from_file(spark, str(p))
+        assert err is None
+        rows = {r["name"]: r.asDict() for r in df.collect()}
+        assert set(df.columns) == {"name", "score", "flag", "note"}
+        assert rows["alice"]["score"] == 12.5 and rows["alice"]["flag"] is True
+        assert rows["alice"]["note"] == "inline"
+        assert rows["bob"]["score"] == -3.0 and rows["bob"]["flag"] is False
+        assert rows["carol"]["score"] == 1.25  # RK div100 path (125/100)
+        assert rows["dave"]["score"] == 7.0  # MULRK path
+
+    def test_xls_sst_continue_split(self, tmp_path):
+        """An SST string split across a CONTINUE record boundary (with the
+        re-stated option byte) must reassemble — the layout Excel writes
+        for any realistically sized string table."""
+        import struct
+
+        from ai_duckdb_spark.sources.xls import read_xls_stdlib
+
+        sst_payload = struct.pack("<II", 2, 2)
+        sst_payload += struct.pack("<HB", 5, 0) + b"alpha"
+        sst_payload += struct.pack("<HB", 9, 0) + b"beta"  # splits here
+        continue_payload = b"\x00" + b"gamma"  # option byte + the rest
+        globals_recs = (
+            _rec(0x0809, _bof_payload(0x0005))
+            + _rec(0x00FC, sst_payload)
+            + _rec(0x003C, continue_payload)
+        )
+        bs = struct.pack("<IHBB", 0, 0, 3, 0) + b"Sh1"  # offset patched below
+        globals_len = len(globals_recs) + len(_rec(0x0085, bs)) + len(_rec(0x000A, b""))
+        bs = struct.pack("<IHBB", globals_len, 0, 3, 0) + b"Sh1"
+        sheet = (
+            _rec(0x0809, _bof_payload(0x0010))
+            + _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))  # header: alpha
+            + _rec(0x00FD, struct.pack("<HHHI", 1, 0, 0, 1))  # row: betagamma
+            + _rec(0x000A, b"")
+        )
+        wb = globals_recs + _rec(0x0085, bs) + _rec(0x000A, b"") + sheet
+        p = tmp_path / "cont.xls"
+        p.write_bytes(_make_cfb(wb, mini=True))
+        pdf = read_xls_stdlib(str(p))
+        assert list(pdf.columns) == ["alpha"]
+        assert pdf.iloc[0, 0] == "betagamma"
 
 
 # ---------------------------------------------------------------------------
