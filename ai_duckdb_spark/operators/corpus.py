@@ -131,6 +131,66 @@ def contaminated_docs(
     )
 
 
+# PII patterns kept to the RE2 ∩ Java-regex common subset so the Spark
+# plan and a DuckDB oracle compile the same automaton: no backrefs, no
+# lookaround. Redaction is regexp_replace chains — pure JVM row path.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, appending per-kind
+    match counts — the pre-training privacy pass. Map-only (zero
+    shuffles, zero Python): each pattern is one regexp_count + one
+    regexp_replace column expression, so the scrub rides the scan and
+    composes with pushdown.
+    """
+    out = df
+    cleaned = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        cleaned = F.regexp_replace(cleaned, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, cleaned)
+
+
+def rebalance_by_source(
+    df: DataFrame,
+    cap_permille: int = 300,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap any single source at ``cap_permille``/1000 of the corpus by
+    deterministic downsampling — the domain-mix rebalancing step of a
+    web-scale corpus (no source should dominate the training mix).
+
+    Keep rate per source (in thousandths, integer arithmetic end to end
+    so an oracle reproduces it exactly):
+        rate_s = min(1000, cap_permille * N_total / N_s)
+    and a row survives iff its closed-form hash bucket < rate_s. Two
+    jobs: a per-source count (tiny aggregate, broadcast back) and the
+    map-only keep decision — no shuffle of the corpus itself.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n_s"))
+    total = counts.agg(F.sum("__n_s").alias("__n"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.least(
+            F.lit(1000).cast("long"),
+            # floor explicitly: Spark's double→long cast truncates but
+            # other engines round, so the oracle mirrors FLOOR(...)
+            F.floor(F.lit(cap_permille) * F.col("__n") / F.col("__n_s")).cast("long"),
+        ).alias("__rate"),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        sample_bucket(id_col, buckets=1000) < F.col("__rate")
+    )
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style (Rae et al. 2021) per-document quality rule flags.
 

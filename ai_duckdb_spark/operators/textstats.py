@@ -104,6 +104,92 @@ def bag_fingerprint(text_col: str = "text") -> Column:
     )
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) per-document repetition
+    metrics over word bigrams: the fraction of the document covered by
+    its single most frequent bigram, and the fraction of bigram
+    occurrences that are repeats of an earlier one.
+
+    All ratios are integer/integer divisions (bit-identical
+    cross-engine). Shape: explode bigrams → count per (doc, bigram) —
+    one shuffle keyed by (doc, bigram), linear in corpus size — then a
+    per-doc max/sum rollup (second, tiny shuffle). Docs shorter than 2
+    tokens have no bigrams and report zero fractions.
+    """
+    from .dedup import word_shingles
+
+    n_tok = token_count(text_col)
+    base = df.select(
+        F.col(id_col), n_tok.alias("__n_tok"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = base.select(
+        id_col,
+        "__n_tok",
+        F.explode_outer(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__toks", i + 1), F.element_at("__toks", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__gram"),
+    )
+    per_gram = grams.groupBy(id_col, "__n_tok", "__gram").agg(
+        F.count("*").alias("__c")
+    )
+    agg = per_gram.groupBy(id_col, "__n_tok").agg(
+        F.max(F.when(F.col("__gram").isNotNull(), F.col("__c")).otherwise(0)).alias(
+            "__top"
+        ),
+        F.sum(F.when(F.col("__gram").isNotNull(), F.col("__c") - 1).otherwise(0)).alias(
+            "__dups"
+        ),
+        F.sum(F.when(F.col("__gram").isNotNull(), F.col("__c")).otherwise(0)).alias(
+            "__total"
+        ),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("__n_tok").alias("n_tokens"),
+        F.col("__top").cast("long").alias("top_bigram_count"),
+        F.when(F.col("__total") > 0, F.col("__top") * 2 / F.col("__n_tok"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_token_frac"),
+        F.when(F.col("__total") > 0, F.col("__dups") / F.col("__total"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def vocabulary_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Corpus vocabulary accounting per group: vocabulary size, hapax
+    legomena count (tokens appearing exactly once in the whole group),
+    and total token occurrences — the health metrics a tokenizer-training
+    run reads first.
+
+    One explode + one (group, token) count shuffle + a tiny rollup;
+    token postings never leave the executors.
+    """
+    toks = df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy("grp", "tok").agg(F.count("*").alias("df_"))
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum(F.when(F.col("df_") == 1, 1).otherwise(0)).cast("long").alias("hapax_count"),
+            F.sum("df_").cast("long").alias("total_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def rolling_fingerprint(text_col: str = "text") -> Column:
     """Order-SENSITIVE polynomial rolling hash mod a large prime.
 

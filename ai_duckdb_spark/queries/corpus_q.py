@@ -184,3 +184,199 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_EMAIL_RE = cp.PII_PATTERNS["email"]
+_PHONE_RE = cp.PII_PATTERNS["phone"]
+_IPV4_RE = cp.PII_PATTERNS["ipv4"]
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT lang,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+               len(regexp_extract_all(text, '{_IPV4_RE}'))  AS n_ipv4,
+               length(text)
+                 - length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                       '{_IPV4_RE}', '<IPV4>', 'g')) AS chars_delta
+        FROM seeded
+    )
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           CAST(sum(n_email) AS BIGINT)                    AS total_emails,
+           CAST(sum(n_phone) AS BIGINT)                    AS total_phones,
+           CAST(sum(n_ipv4) AS BIGINT)                     AS total_ipv4,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                    THEN 1 ELSE 0 END) AS BIGINT)          AS n_docs_with_pii,
+           CAST(sum(chars_delta) AS BIGINT)                AS redacted_chars_delta
+    FROM scrubbed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting (operators/corpus.py scrub_pii): the
+    privacy pass every training corpus runs. The fixture carries no PII,
+    so payloads are seeded deterministically from doc_id (emails on %3,
+    NANP-style phones on %5, IPv4 on %7 — the synthesize-then-verify
+    pattern the multimodal tier uses); the scrub itself is the real
+    operator — regexp_count + regexp_replace chains, map-only, zero
+    Python. The oracle re-seeds and re-scrubs independently with the
+    same RE2∩Java-safe patterns."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 3) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = cp.scrub_pii(seeded)
+    any_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+            F.sum(any_pii.cast("long")).alias("n_docs_with_pii"),
+            F.sum(F.length("text") - F.length("clean_text")).cast("long").alias(
+                "redacted_chars_delta"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_source_rebalance",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM counts),
+    rates AS (
+        SELECT source,
+               least(1000, CAST(floor(30 * t.n / c.n_s) AS BIGINT)) AS keep_permille
+        FROM counts c, tot t
+    ),
+    kept AS (
+        SELECT d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_BUCKET_SQL} < r.keep_permille
+    ),
+    kept_counts AS (SELECT source, count(*) AS n_after FROM kept GROUP BY 1)
+    SELECT c.source,
+           c.n_s                        AS n_before,
+           COALESCE(k.n_after, 0)       AS n_after,
+           r.keep_permille
+    FROM counts c
+    JOIN rates r USING (source)
+    LEFT JOIN kept_counts k USING (source)
+    ORDER BY c.source
+    """,
+)
+def corpus_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (operators/corpus.py rebalance_by_source):
+    cap every source at 30‰ of the corpus by deterministic closed-form
+    downsampling — integer keep-rates derived from a tiny per-source
+    count that broadcasts back, then a map-only keep decision (the
+    corpus itself never shuffles). Output is the before/after mix plus
+    the applied rate per source; the oracle recomputes the whole scheme
+    independently."""
+    docs = load(spark, sf_dir, "documents")
+    kept = cp.rebalance_by_source(docs, cap_permille=30)
+    before = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    after = kept.groupBy("source").agg(F.count("*").alias("n_after"))
+    total = before.agg(F.sum("n_before").alias("__n_total"))
+    keep_rate = F.least(
+        F.lit(1000).cast("long"),
+        F.floor(F.lit(30) * F.col("__n_total") / F.col("n_before")).cast("long"),
+    )
+    return (
+        before.crossJoin(F.broadcast(total))
+        .join(after, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            keep_rate.alias("keep_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_BUCKET_SQL} < 800 THEN 'train'
+                WHEN {_BUCKET_SQL} < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)                                          AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS split_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by the
+    closed-form doc_id hash bucket — reproducible across engines, runs,
+    and re-ingests (no RNG state), stratification read off per language.
+    Map-only split decision + one accounting shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = cp.sample_bucket("doc_id")
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+                "split_tokens"
+            ),
+        )
+        .orderBy("lang", "split")
+    )

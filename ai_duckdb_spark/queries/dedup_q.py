@@ -361,3 +361,123 @@ def skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return salted_group_count(li.select("l_returnflag"), "l_returnflag").orderBy("key")
+
+
+@register(
+    "skew_salted_join_flags",
+    oracle="""
+    WITH dim AS (
+        SELECT l_returnflag, count(*) AS flag_n FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag AS flag,
+           count(*)       AS n,
+           max(d.flag_n)  AS dim_n
+    FROM lineitem l
+    LEFT JOIN dim d ON l.l_returnflag = d.l_returnflag
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def skew_salted_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted broadcast left join (operators/skew.py
+    salted_broadcast_left_join) on a pathologically hot key: every
+    lineitem row joins a 3-row per-flag dimension. The dim is replicated
+    num_salts times and the fact side salted by a stable row hash, so
+    each hot key's rows fan out over 8 tasks instead of one straggler —
+    results identical to the plain left join, which is exactly what the
+    oracle recomputes (n == dim_n also proves one-match-per-row join
+    multiplicity)."""
+    from ..operators.skew import salted_broadcast_left_join
+
+    li = load(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(F.count("*").alias("flag_n"))
+    # include a high-cardinality column so the row-hash salt actually
+    # varies within a flag (salting a 1-column frame of the hot key
+    # alone would put each key's rows back on one salt)
+    fact = li.select("l_returnflag", "l_orderkey")
+    joined = salted_broadcast_left_join(fact, dim, on="l_returnflag", num_salts=8)
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count("*").alias("n"), F.max("flag_n").alias("dim_n"))
+        .orderBy("flag")
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nc
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM inter
+        JOIN sizes s1 ON inter.id1 = s1.doc_id
+        JOIN sizes s2 ON inter.id2 = s2.doc_id
+        WHERE CAST(nc AS DOUBLE) / (s1.sz + s2.sz - nc) >= 0.95
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL
+        SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           doc_id        AS survivor_id,
+           n_chars       AS survivor_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step AFTER clustering that a
+    dedup pipeline actually ships — per near-dup cluster (>=0.95 Jaccard
+    components), keep the highest-quality member (longest text,
+    deterministic doc_id tie-break) and record cluster size.
+
+    One max_by aggregation over the component labels joined back to the
+    doc metadata — no window materialization; the (quality, id) argmax
+    runs as a single-pass struct max."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.95)
+    comp = connected_components_twophase(pairs, "id1", "id2").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    member = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("n_chars")),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        member.groupBy("component")
+        .agg(
+            best.alias("__best"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "component",
+            F.col("__best.doc_id").alias("survivor_id"),
+            F.col("__best.n_chars").alias("survivor_chars"),
+            "n_members",
+        )
+    )

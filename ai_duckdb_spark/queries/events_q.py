@@ -405,3 +405,114 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_stream_purchase_click_join
 
     return stream_stream_purchase_click_join(spark, sf_dir)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click,
+           (SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v)
+               AS view_to_purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click): how many users advance through each stage in
+    event-time order — the product-analytics query shape a clickstream
+    warehouse runs constantly.
+
+    Each stage is a keyed aggregation joined forward on user_id; all
+    three joins shuffle on the same key, so at scale they co-locate
+    after the first exchange (no re-partitioning between stages), and
+    stage frames only ever carry (user_id, ts). The conversion ratio is
+    integer/integer division — oracle-exact."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    counts = v.agg(F.count("*").alias("n_viewed")).crossJoin(
+        c.agg(F.count("*").alias("n_clicked_after_view"))
+    ).crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        (F.col("n_purchased_after_click") * 1.0 / F.col("n_viewed")).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d')            AS cohort_day,
+           CAST(a.active_day - f.cohort_day AS BIGINT)   AS day_offset,
+           count(*)                                      AS n_active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-seen day, then
+    counted per (cohort, day-offset) of later activity — the standard
+    DAU-retention matrix.
+
+    Two shuffles on user_id (first-day agg + distinct activity) that
+    co-locate, then one tiny accounting shuffle on (cohort, offset).
+    user_id never leaves the executors; offsets are integer date
+    arithmetic, oracle-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -222,3 +222,100 @@ def streaming_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import langid_confusion_stream
 
     return langid_confusion_stream(spark, sf_dir)
+
+
+@register(
+    "text_repetition_metrics",
+    oracle="""
+    WITH docs_t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(t) AS n_tok,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM docs_t
+        WHERE len(t) >= 2
+    ),
+    pg AS (SELECT doc_id, n_tok, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    a AS (
+        SELECT doc_id, n_tok,
+               max(c)      AS top,
+               sum(c - 1)  AS dups,
+               sum(c)      AS total
+        FROM pg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT)          AS n_tokens,
+           CAST(top AS BIGINT)            AS top_bigram_count,
+           top * 2 / n_tok                AS top_bigram_token_frac,
+           CAST(dups AS DOUBLE) / total   AS dup_bigram_frac
+    FROM a
+    UNION ALL
+    SELECT doc_id, CAST(len(t) AS BIGINT), 0, 0.0, 0.0
+    FROM docs_t WHERE len(t) < 2
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1) per doc:
+    top-bigram token coverage and duplicate-bigram fraction — the
+    repetition filters a pretraining corpus runs next to the quality
+    rules. All ratios integer-derived (bit-identical cross-engine);
+    one (doc, bigram) count shuffle + a tiny per-doc rollup."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.repetition_metrics(docs)
+
+
+@register(
+    "text_vocabulary_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    pt AS (SELECT lang, tok, count(*) AS df FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           count(*)                                                AS vocab_size,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(sum(df) AS BIGINT)                                 AS total_tokens
+    FROM pt
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary accounting (X8): vocabulary size, hapax
+    legomena, total occurrences — what a tokenizer-training run reads
+    first. Token postings stay distributed; only per-language triples
+    reach the driver."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.vocabulary_stats(docs).orderBy("lang")
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(n_chars // 50 AS BIGINT)                      AS chars_bucket,
+           count(*)                                           AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)  AS bucket_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, chars_bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language (50-char integer buckets):
+    the length-distribution view used to pick packing budgets and spot
+    truncation artifacts. Pure integer bucketing — map-side expression +
+    one accounting shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.floor(F.col("n_chars") / 50).cast("long").alias("chars_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("bucket_tokens"),
+        )
+        .orderBy("lang", "chars_bucket")
+    )

@@ -519,3 +519,106 @@ class TestCorpusOps:
         assert not flags[2].ok_token_count
         assert not flags[3].ok_avg_token_len
         assert not flags[4].ok_stopword_ratio and not flags[4].ok_repetition
+
+
+class TestPipelineOpsR3:
+    def test_repetition_metrics_crafted(self, spark):
+        from ai_duckdb_spark.operators.textstats import repetition_metrics
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a"),            # bigram "a a" x3: top=3, dups=2, total=3
+                (2, "w x y z"),            # all bigrams unique
+                (3, "solo"),               # no bigrams at all
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+        assert rows[1].top_bigram_count == 3
+        assert rows[1].dup_bigram_frac == pytest.approx(2 / 3)
+        assert rows[1].top_bigram_token_frac == pytest.approx(6 / 4)
+        assert rows[2].top_bigram_count == 1 and rows[2].dup_bigram_frac == 0.0
+        assert rows[3].top_bigram_count == 0
+        assert rows[3].top_bigram_token_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
+
+    def test_vocabulary_stats_crafted(self, spark):
+        from ai_duckdb_spark.operators.textstats import vocabulary_stats
+
+        docs = spark.createDataFrame(
+            [(1, "en", "cat dog cat"), (2, "en", "dog bird"), (3, "de", "hund")],
+            ["doc_id", "lang", "text"],
+        )
+        rows = {r.lang: r for r in vocabulary_stats(docs).collect()}
+        assert rows["en"].vocab_size == 3  # cat dog bird
+        assert rows["en"].hapax_count == 1  # bird
+        assert rows["en"].total_tokens == 5
+        assert rows["de"].vocab_size == 1 and rows["de"].hapax_count == 1
+
+    def test_scrub_pii_redacts_and_counts(self, spark):
+        from ai_duckdb_spark.operators.corpus import scrub_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at bob@example.com or 555-123-4567 from 10.0.0.1 ok"),
+                (2, "no pii here at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+        assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 1)
+        assert "<EMAIL>" in rows[1].clean_text and "<PHONE>" in rows[1].clean_text
+        assert "<IPV4>" in rows[1].clean_text
+        assert "bob@example.com" not in rows[1].clean_text
+        assert rows[2].clean_text == rows[2].text
+        assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
+
+    def test_rebalance_by_source_caps_and_is_deterministic(self, spark, sf_dir):
+        from ai_duckdb_spark.operators.corpus import rebalance_by_source
+
+        docs = load(spark, sf_dir, "documents")
+        n_total = docs.count()
+        kept = rebalance_by_source(docs, cap_permille=30)
+        kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        again = {
+            r.doc_id
+            for r in rebalance_by_source(docs, cap_permille=30).select("doc_id").collect()
+        }
+        assert kept_ids == again and kept_ids  # deterministic, non-empty
+        # no source exceeds ~2x its expected cap share (hash-sampling variance)
+        per_source = kept.groupBy("source").count().collect()
+        cap_docs = 0.030 * n_total
+        assert all(r["count"] <= 2 * cap_docs for r in per_source)
+        # a source already under the cap is kept whole
+        small = docs.filter(F.col("source") == "src0").limit(3)
+        rest = docs.filter(F.col("source") != "src0")
+        out = rebalance_by_source(small.unionAll(rest), cap_permille=300)
+        assert out.filter(F.col("source") == "src0").count() == 3
+
+    def test_funnel_stage_ordering_enforced(self, spark):
+        import datetime as dt
+
+        from ai_duckdb_spark.queries.catalog import REGISTRY
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: full ordered funnel; user 2: click BEFORE view (must not
+        # count as click-after-view); user 3: view only
+        for uid, typ, offset in [
+            (1, "view", 0), (1, "click", 60), (1, "purchase", 120),
+            (2, "click", 0), (2, "view", 60),
+            (3, "view", 0),
+        ]:
+            rows.append((uid, typ, t0 + dt.timedelta(seconds=offset)))
+        ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+        v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("view_ts")
+        )
+        c = (
+            ev.filter(F.col("event_type") == "click")
+            .join(v, "user_id")
+            .filter(F.col("ts") >= F.col("view_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("click_ts"))
+        )
+        assert {r.user_id for r in c.collect()} == {1}  # user 2's early click excluded
