@@ -516,3 +516,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_peak_hourly_rate",
+    oracle="""
+    WITH rolling AS (
+        SELECT user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events
+    )
+    SELECT user_id, CAST(max(n_last_hour) AS BIGINT) AS peak_hourly_events
+    FROM rolling
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_peak_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME rolling window (RANGE frame over a 1-hour interval,
+    not a row count): each event's trailing-hour activity, rolled up to
+    the per-user peak — the rate-limiting / burst-detection shape.
+
+    Spark expresses interval RANGE frames as a rangeBetween over epoch
+    seconds — one window shuffle keyed by user_id, then a tiny max
+    rollup on the same key (co-located, no second exchange)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    rolling = ev.withColumn("n_last_hour", F.count("*").over(w))
+    return (
+        rolling.groupBy("user_id")
+        .agg(F.max("n_last_hour").cast("long").alias("peak_hourly_events"))
+        .orderBy("user_id")
+    )

@@ -176,3 +176,46 @@ def test_moment_stats_single_shuffle_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stats_corr_qty_price")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_dims_broadcast_and_dates_push(spark, sf_dir):
+    """Q5's region-pruned nation dim must broadcast (never shuffle 25
+    rows across a cluster) and the date range must reach the orders
+    scan as pushed filters."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+
+
+def test_rebalance_keep_decision_is_map_only(spark, sf_dir):
+    """Source rebalancing must broadcast the tiny rate table and never
+    shuffle the corpus: the only exchanges belong to the per-source
+    count aggregate, not the kept-rows side."""
+    from ai_duckdb_spark.operators.corpus import rebalance_by_source
+    from ai_duckdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = executed_plan(rebalance_by_source(docs, cap_permille=30))
+    assert "BroadcastExchange" in plan
+    # the corpus side reaches the join without a hash-partition exchange:
+    # every hashpartitioning exchange in the plan belongs to the rate
+    # aggregation subtree (operates on the 2-column count frame)
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_scrub_pii_stays_whole_stage_codegen(spark, sf_dir):
+    """The PII scrub is regexp column expressions — it must stay inside
+    WholeStageCodegen with no Python evaluation node."""
+    from ai_duckdb_spark.operators.corpus import scrub_pii
+    from ai_duckdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = executed_plan(scrub_pii(docs))
+    assert "*(1) Project" in plan  # codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
