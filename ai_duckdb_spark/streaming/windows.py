@@ -275,3 +275,46 @@ def langid_confusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(sink).orderBy("lang", "predicted_lang")
+
+
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: documents STREAM in (file source) and each
+    batch is checked against the static existing corpus by normalized
+    token-set key — the ingest-time twin of the batch dedup_incremental
+    entry (new batch = doc_id % 10 == 7, existing = the rest).
+
+    The join is stream-static: the static side's key frame builds once
+    and broadcasts per micro-batch; no stream state accumulates (exact
+    keys need no watermark). Complete-mode agg so the memory sink holds
+    the final accounting.
+    """
+    from ..operators.dedup import normalized_token_set_key
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    key = normalized_token_set_key("text")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select(F.col("doc_id").alias("new_doc_id"), key.alias("k"))
+    )
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") % 10 != 7)
+        .select(F.col("doc_id").alias("e_id"), key.alias("k"))
+    )
+    hits = (
+        stream.join(existing, "k")
+        .groupBy("new_doc_id")
+        .agg(F.min("e_id").alias("dup_of_existing"))
+    )
+    sink = f"incdedup_sink_{uuid.uuid4().hex[:8]}"
+    query = hits.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink).orderBy("new_doc_id")

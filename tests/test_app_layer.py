@@ -616,3 +616,27 @@ class TestEngine:
         info = profile_dataframe(df)
         assert info["数据类型"]["price"] == "double"
         assert info["数据类型"]["sales_rep"] == "string"
+
+
+class TestAnsiMode:
+    def test_bad_cast_errors_like_duckdb(self, spark):
+        """With spark.sql.ansi.enabled (SURVEY §7 risk 1), an invalid
+        cast raises — matching the DuckDB dialect the NL→SQL surface is
+        verified against — instead of silently returning NULL."""
+        import duckdb
+
+        with pytest.raises(Exception, match="CAST|cast"):
+            spark.sql("SELECT CAST('not a number' AS INT) AS x").collect()
+        with pytest.raises(Exception):
+            duckdb.connect().sql("SELECT CAST('not a number' AS INT) AS x").fetchall()
+
+    def test_try_cast_remains_available(self, spark):
+        """The permissive escape hatch stays: try_cast gives NULL, both
+        engines agree."""
+        import duckdb
+
+        got = spark.sql("SELECT try_cast('nope' AS INT) AS x").collect()[0]["x"]
+        con = duckdb.connect()
+        want = con.execute("SELECT try_cast('nope' AS INT) AS x").fetchone()[0]
+        con.close()
+        assert got is None and want is None

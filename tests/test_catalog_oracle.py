@@ -47,6 +47,7 @@ def test_entry_smoke(spark):
 _POST_FREEZE = {
     "skew_salted_join_flags",
     "dedup_survivors",
+    "streaming_incremental_dedup",
 }
 
 
