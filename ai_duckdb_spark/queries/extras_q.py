@@ -313,3 +313,90 @@ def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the batch here is ~one row per customer — a bulk fold, not a CDC
     # tick — so shuffle on the key instead of broadcasting the batch
     return apply_scd2_changes(snapshot, changes, key="custkey", broadcast_changes=False)
+
+
+_SINK_DIRS: dict[str, str] = {}
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*)                          AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) >= 1999
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable partitioned sink proven end-to-end (K1 durable variant):
+    orders written partitioned by year, read back through a partition
+    filter, accounted per year. The read plans PartitionFilters — whole
+    year directories are skipped at the scan, which is what the layout
+    buys at 100 TB (the plan gate lives in tests/test_scale_features).
+    The oracle recomputes the accounting straight from the source table,
+    proving the write→prune→read path loses and duplicates nothing."""
+    import tempfile
+
+    from ..sources.sinks import write_partitioned
+
+    if sf_dir not in _SINK_DIRS:
+        path = tempfile.mkdtemp(prefix="orders_by_year_")
+        orders = load(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate").cast("long")
+        )
+        write_partitioned(orders, path, "order_year")
+        _SINK_DIRS[sf_dir] = path
+    back = spark.read.parquet(_SINK_DIRS[sf_dir]).filter(F.col("order_year") >= 1999)
+    return (
+        back.groupBy("order_year")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("order_year")
+    )
+
+
+_BUCKET_TABLES: set[str] = set()
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join proven end-to-end (K1 durable variant):
+    orders and customer saved as managed tables bucketed 8-ways on the
+    customer key, then joined WITHOUT an Exchange on either side (the
+    zero-shuffle plan gate lives in tests/test_scale_features) — the
+    100 TB answer to re-shuffling two facts every nightly join. The
+    oracle joins the raw source tables directly, proving bucket routing
+    assigned every row correctly."""
+    from ..sources.sinks import write_bucketed
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    t_orders, t_cust = f"b_orders{tag}", f"b_customer{tag}"
+    if tag not in _BUCKET_TABLES:
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_custkey"),
+            t_orders,
+            "o_custkey",
+        )
+        write_bucketed(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            t_cust,
+            "c_custkey",
+        )
+        _BUCKET_TABLES.add(tag)
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )

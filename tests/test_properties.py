@@ -116,3 +116,79 @@ def test_gate_blocks_mangled_writes(stmt, pre, post, fence) -> None:
     # so no SparkSession is needed (passing None proves the ordering)
     with pytest.raises(UnsafeSqlError):
         ensure_select_only(None, cleaned)
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 .xls round trip: arbitrary flat tables written with the
+# spec-derived fixture writer must come back identical through the
+# stdlib reader (sources/xls.py) — in both CFB container placements.
+# ---------------------------------------------------------------------------
+_cellvalue = st.one_of(
+    st.integers(min_value=-(2**29), max_value=2**29 - 1),  # RK int range
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=20,
+    ),
+    st.booleans(),
+)
+
+
+@given(
+    rows=st.lists(st.lists(_cellvalue, min_size=1, max_size=5), min_size=1, max_size=8),
+    mini=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_xls_roundtrip_property(rows, mini, tmp_path_factory) -> None:
+    import struct as s
+
+    from ai_duckdb_spark.sources.xls import read_xls_stdlib
+    from tests.test_app_layer import _bof_payload, _make_cfb, _rec
+
+    width = max(len(r) for r in rows)
+    header = [f"col{i}" for i in range(width)]
+
+    def cell(r, c, v):
+        if isinstance(v, bool):
+            return _rec(0x0205, s.pack("<HHHBB", r, c, 0, int(v), 0))
+        if isinstance(v, str):
+            return _rec(0x0204, s.pack("<HHHHB", r, c, 0, len(v), 0) + v.encode("latin-1"))
+        # ints and floats both as NUMBER records (IEEE double)
+        return _rec(0x0203, s.pack("<HHHd", r, c, 0, float(v)))
+
+    cells = b"".join(cell(0, i, h) for i, h in enumerate(header))
+    for ri, row in enumerate(rows, start=1):
+        cells += b"".join(cell(ri, ci, v) for ci, v in enumerate(row))
+
+    globals_core = _rec(0x0809, _bof_payload(0x0005))
+    bs_stub = s.pack("<IHBB", 0, 0, 2, 0) + b"S1"
+    globals_len = len(globals_core) + len(_rec(0x0085, bs_stub)) + len(_rec(0x000A, b""))
+    bs = s.pack("<IHBB", globals_len, 0, 2, 0) + b"S1"
+    sheet = _rec(0x0809, _bof_payload(0x0010)) + cells + _rec(0x000A, b"")
+    wb = globals_core + _rec(0x0085, bs) + _rec(0x000A, b"") + sheet
+    if not mini and len(wb) < 4096:
+        wb += b"\x00" * (4096 - len(wb))
+
+    p = tmp_path_factory.mktemp("xlsprop") / "t.xls"
+    p.write_bytes(_make_cfb(wb, mini=mini))
+    pdf = read_xls_stdlib(str(p))
+
+    assert list(pdf.columns) == header
+    assert len(pdf) == len(rows)
+    for ri, row in enumerate(rows):
+        for ci in range(width):
+            got = pdf.iloc[ri, ci]
+            if ci >= len(row):
+                assert got is None or (isinstance(got, float) and got != got)
+                continue
+            want = row[ci]
+            if isinstance(want, bool):
+                assert bool(got) == want
+            elif isinstance(want, str):
+                assert got == want
+            else:
+                w = float(want)
+                assert float(got) == w or (
+                    w.is_integer() and float(got) == int(w)
+                )
