@@ -191,6 +191,56 @@ def rebalance_by_source(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    target_total: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual resampling (the mT5/XLM-R mixing
+    scheme at T=2, i.e. sampling probability ∝ sqrt(corpus share)):
+    low-resource languages are UPSAMPLED (docs replicated), dominant
+    ones downsampled, targeting ``target_total`` rows overall.
+
+    Rates are derived with integer-safe arithmetic so an oracle
+    reproduces them exactly: s_l = floor(sqrt(n_l)), and language l's
+    keep-rate in permille is floor(1000 * target * s_l / (S * n_l)).
+    A rate over 1000 means replication: every row gets rate div 1000
+    full copies plus one extra iff its hash bucket < rate mod 1000 —
+    deterministic, no RNG. Output carries a ``copy`` ordinal so
+    downstream dedup-aware ops can distinguish replicas.
+
+    Scale shape: the per-language count is a tiny aggregate broadcast
+    back; replication is a map-side explode of a sequence column (rows
+    expand at most ceil(rate/1000)×, no shuffle of the corpus).
+    """
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("__n_l"))
+    s_l = F.floor(F.sqrt(F.col("__n_l"))).cast("long")
+    weights = counts.select(lang_col, "__n_l", s_l.alias("__s_l"))
+    total_s = weights.agg(F.sum("__s_l").alias("__S"))
+    rates = weights.crossJoin(F.broadcast(total_s)).select(
+        lang_col,
+        F.floor(
+            F.lit(1000) * F.lit(target_total) * F.col("__s_l")
+            / (F.col("__S") * F.col("__n_l"))
+        )
+        .cast("long")
+        .alias("__rate"),
+    )
+    with_rate = df.join(F.broadcast(rates), lang_col)
+    full_copies = (F.col("__rate") / 1000).cast("long")
+    frac = F.col("__rate") % 1000
+    expanded = with_rate.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), full_copies))
+    )
+    # copy ordinals 0..full_copies-1 always survive; the last ordinal is
+    # the fractional copy, kept iff the row's bucket clears rate%1000
+    return expanded.filter(
+        (F.col("copy") < full_copies)
+        | (sample_bucket(id_col, buckets=1000) < frac)
+    ).drop("__rate")
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style (Rae et al. 2021) per-document quality rule flags.
 

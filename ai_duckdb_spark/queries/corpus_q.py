@@ -380,3 +380,63 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    s AS (SELECT lang, n_l, CAST(floor(sqrt(n_l)) AS BIGINT) AS s_l FROM counts),
+    tot AS (SELECT CAST(sum(s_l) AS BIGINT) AS S FROM s),
+    rates AS (
+        SELECT lang, n_l,
+               CAST(floor(1000 * 500 * s_l / (S * n_l)) AS BIGINT) AS rate
+        FROM s, tot
+    ),
+    frac AS (
+        SELECT d.lang, count(*) AS n_frac
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_BUCKET_SQL} < r.rate % 1000
+        GROUP BY d.lang
+    )
+    SELECT r.lang,
+           r.n_l                                             AS n_before,
+           (r.rate // 1000) * r.n_l + COALESCE(f.n_frac, 0)  AS n_after,
+           r.rate                                            AS keep_permille
+    FROM rates r LEFT JOIN frac f USING (lang)
+    ORDER BY r.lang
+    """,
+)
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixing (operators/corpus.py
+    temperature_resample — the mT5/XLM-R scheme at T=2): sampling
+    probability ∝ sqrt(corpus share), so the dominant language is
+    downsampled while low-resource languages are UPSAMPLED by
+    deterministic replication (map-side sequence explode — the corpus
+    never shuffles; rates come from a broadcast per-language count).
+    Output is the before/after mix with the applied permille rate; the
+    oracle reproduces the integer-safe rate derivation and the
+    replication rule independently."""
+    docs = load(spark, sf_dir, "documents")
+    resampled = cp.temperature_resample(docs, target_total=500)
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = resampled.groupBy("lang").agg(F.count("*").alias("n_after"))
+    s_l = F.floor(F.sqrt(F.col("n_before"))).cast("long")
+    weights = before.select("lang", "n_before", s_l.alias("__s_l"))
+    total_s = weights.agg(F.sum("__s_l").alias("__S"))
+    return (
+        weights.crossJoin(F.broadcast(total_s))
+        .join(after, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.floor(
+                F.lit(1000) * F.lit(500) * F.col("__s_l")
+                / (F.col("__S") * F.col("n_before"))
+            )
+            .cast("long")
+            .alias("keep_permille"),
+        )
+        .orderBy("lang")
+    )

@@ -5,6 +5,8 @@ map-typed JSON functions (F5)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -381,6 +383,19 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
     t_orders, t_cust = f"b_orders{tag}", f"b_customer{tag}"
     if tag not in _BUCKET_TABLES:
+        # a previous PROCESS may have left the managed-table directory in
+        # the warehouse while this session's catalog has no entry for it
+        # — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so clear
+        # both the catalog entry and the leftover location first
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            leftover = os.path.join(warehouse, t.lower())
+            if warehouse and os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
         write_bucketed(
             load(spark, sf_dir, "orders").select("o_custkey"),
             t_orders,

@@ -622,3 +622,32 @@ class TestPipelineOpsR3:
             .agg(F.min("ts").alias("click_ts"))
         )
         assert {r.user_id for r in c.collect()} == {1}  # user 2's early click excluded
+
+    def test_temperature_resample_upsamples_and_downsamples(self, spark, sf_dir):
+        from ai_duckdb_spark.operators.corpus import temperature_resample
+
+        docs = load(spark, sf_dir, "documents")
+        before = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+        out = temperature_resample(docs, target_total=500)
+        after = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+        # deterministic across reruns
+        again = {
+            r.lang: r["count"]
+            for r in temperature_resample(docs, target_total=500)
+            .groupBy("lang")
+            .count()
+            .collect()
+        }
+        assert after == again
+        # the dominant language is cut, the smallest is replicated
+        dominant = max(before, key=before.get)
+        smallest = min(before, key=before.get)
+        assert after[dominant] < before[dominant]
+        assert after[smallest] > before[smallest]
+        # replicas carry distinct copy ordinals (no accidental dedup)
+        sm = out.filter(F.col("lang") == smallest)
+        per_doc = sm.groupBy("doc_id").count().collect()
+        assert all(r["count"] >= 1 for r in per_doc)
+        assert any(r["count"] >= 2 for r in per_doc)
+        copies = {r.copy for r in sm.select("copy").distinct().collect()}
+        assert 0 in copies and len(copies) >= 2
