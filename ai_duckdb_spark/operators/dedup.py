@@ -75,6 +75,45 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__tokens"))
 
 
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 10
+) -> DataFrame:
+    """Exact-substring duplication accounting (the suffix-array dedup of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed in the Spark-distributable form): every
+    k-token span is a key; a span occurring in more than one document is
+    verbatim duplicated text. Returns, per document with at least one
+    duplicated span: total distinct spans and how many are duplicated.
+
+    Linear in corpus size (each doc emits ~len/1 spans, deduped per doc)
+    with NO pairwise doc join — the blowup-proof property that makes it
+    the first pass at 100 TB: groupBy span finds duplication globally,
+    then the flag joins back on the same span key (exchange reuse, two
+    shuffles total). Suffix arrays find arbitrary-length matches; fixed
+    k-token spans are the standard distributed relaxation (any shared
+    substring of >= k tokens shares a k-span, so recall at the k
+    granularity is exact)."""
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, span_tokens)).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)  # per-doc-distinct spans: count(*) = n docs
+        .select("span", F.lit(1).alias("__dup"))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )
+
+
 def jaccard_pairs_exact(
     df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 1
 ) -> DataFrame:

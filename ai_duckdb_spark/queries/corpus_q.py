@@ -440,3 +440,4 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+

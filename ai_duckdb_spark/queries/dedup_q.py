@@ -502,6 +502,40 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 8),
+                   i -> array_to_string(t[i:i+9], ' ')))) AS span
+        FROM toks WHERE len(t) >= 10
+    ),
+    dup AS (SELECT span FROM sh GROUP BY span HAVING count(*) > 1)
+    SELECT s.doc_id,
+           count(*)      AS n_spans,
+           count(d.span) AS n_dup_spans
+    FROM sh s LEFT JOIN dup d ON s.span = d.span
+    GROUP BY 1
+    HAVING count(d.span) > 0
+    ORDER BY 1
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup accounting over the FULL corpus (X6, the
+    Lee-et-al suffix-array tier): 10-token rolling spans, a span in >1
+    doc is verbatim duplicated text. Linear, no pairwise doc join —
+    see operators/dedup.py duplicated_span_stats for the scale
+    argument. The oracle rebuilds the same span relation with DuckDB
+    list comprehensions."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, "doc_id", "text", span_tokens=10).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "streaming_incremental_dedup",
     oracle="""
     WITH keyed AS (

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_sum, sum_sql
 from ..functions.udf import register_engine_udfs
 from ..tables import load, register_views
 from .catalog import register
@@ -414,4 +415,51 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"))
         .orderBy("c_mktsegment")
+    )
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*)                            AS n_lines,
+           {sum_sql("l_extendedprice", 2)}     AS total_price
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source proven end-to-end (K1 durable variant, second
+    native columnar format): lineitem written to ORC once per corpus,
+    read back through a pushed-down predicate, aggregated with the
+    exact-decimal scheme. The oracle recomputes from the parquet source
+    — any row lost, duplicated, or value-mangled by the ORC round trip
+    breaks the hash. ORC gets the same pushdown machinery as parquet;
+    the filter reaches the ORC scan."""
+    import tempfile
+
+    from ..sources.sinks import write_orc
+
+    if sf_dir not in _ORC_DIRS:
+        path = tempfile.mkdtemp(prefix="lineitem_orc_")
+        write_orc(
+            load(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_quantity", "l_extendedprice"
+            ),
+            path,
+        )
+        _ORC_DIRS[sf_dir] = path
+    back = spark.read.orc(_ORC_DIRS[sf_dir]).filter(F.col("l_quantity") >= 25)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            exact_sum("l_extendedprice", 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
     )

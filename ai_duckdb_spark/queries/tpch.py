@@ -715,3 +715,59 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(_disc_price(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH flt AS (
+        SELECT l.l_extendedprice,
+               CAST(l.l_quantity AS BIGINT)                                AS q,
+               sum(CAST(l.l_quantity AS BIGINT))
+                   OVER (PARTITION BY l.l_partkey)                         AS sq,
+               count(*) OVER (PARTITION BY l.l_partkey)                    AS cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#4'
+    )
+    SELECT {sum_sql("l_extendedprice", 2)} AS small_qty_revenue,
+           count(*)                        AS n_lines
+    FROM flt
+    WHERE 5 * q * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    aggregate subquery — lineitems below 20% of their part's average
+    quantity — decorrelated the way an optimizer would: the brand filter
+    prunes via a broadcast join FIRST (brand is a part attribute, so the
+    per-part average over the pruned set is unchanged), then ONE window
+    shuffle on l_partkey computes the per-part sum/count that the filter
+    consumes. No second scan of lineitem, no per-row subquery.
+
+    Exactness: l_quantity is integral, so ``q < 0.2 * avg(q)`` is
+    evaluated as the integer cross-multiplication ``5*q*cnt < sum_q`` —
+    no float threshold to diverge at the boundary cross-engine."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    flt = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_extendedprice",
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = flt.select(
+        "l_extendedprice",
+        "q",
+        F.sum("q").over(w).alias("sq"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return flt.filter(5 * F.col("q") * F.col("cnt") < F.col("sq")).agg(
+        exact_sum("l_extendedprice", 2).alias("small_qty_revenue"),
+        F.count("*").alias("n_lines"),
+    )

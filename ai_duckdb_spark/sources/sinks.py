@@ -24,6 +24,15 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str, mode: str = 
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar format Spark ships natively.
+
+    Same pushdown/pruning machinery as parquet (ORC predicate pushdown +
+    column pruning are on by default); useful when the downstream
+    consumer is Hive/Trino-side ORC tooling rather than parquet."""
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -102,6 +102,28 @@ class TestDedup:
         assert groups[0].keep_id == 1 and groups[0].dup_count == 2
 
 
+    def test_exact_spans_crafted_overlap(self, spark):
+        """Docs sharing a verbatim 10-token run are flagged; shorter
+        overlaps and short docs are not."""
+        run = " ".join(f"w{i}" for i in range(10))  # the shared span
+        docs = spark.createDataFrame(
+            [
+                (1, run + " tail1 tail2"),
+                (2, "head1 head2 " + run),
+                (3, " ".join(f"u{i}" for i in range(30))),  # unique text
+                (4, "short doc"),  # < 10 tokens: no spans at all
+                (5, " ".join(f"w{i}" for i in range(9)) + " zz"),  # 9-overlap only
+            ],
+            "doc_id INT, text STRING",
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans)
+            for r in dedup.duplicated_span_stats(docs, "doc_id", "text").collect()
+        }
+        # docs 1 and 2 each contain the run as one of their 3 spans
+        assert got == {1: (3, 1), 2: (3, 1)}
+
+
 class TestSimilarity:
     def test_lsh_topk_quality_vs_bruteforce(self, spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")

@@ -219,3 +219,29 @@ def test_scrub_pii_stays_whole_stage_codegen(spark, sf_dir):
     plan = executed_plan(scrub_pii(docs))
     assert "*(1) Project" in plan  # codegen stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q17_broadcast_prune_then_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    # brand prune is a broadcast join, never a shuffled one
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the per-part avg is ONE window over l_partkey, not a second
+    # aggregate+join pass over lineitem
+    assert plan.count("Window") == 1
+    assert plan.count("Scan parquet") == 2  # lineitem once, part once
+
+
+def test_exact_spans_no_pairwise_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact_spans")
+    # duplication is detected by groupBy(span), never a doc×doc join:
+    # the only join is flagging spans against the dup set
+    assert plan.count("Join") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orc_roundtrip_filter_reaches_orc_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_orc_roundtrip")
+    orc_scan = plan.split("Scan orc")[1]
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in orc_scan.split("ReadSchema")[0]
