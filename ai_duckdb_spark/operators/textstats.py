@@ -75,6 +75,37 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def token_rarity_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency rarity scoring (the CCNet-style quality signal,
+    in exact-integer form): each doc scored by the mean corpus frequency
+    of its tokens — low mean = rare vocabulary, high mean = boilerplate.
+    A language-model perplexity proxy that needs NO model shipping and
+    stays bit-exact cross-engine: the score is one IEEE division of an
+    exact BIGINT frequency sum by an exact token count (log-domain
+    scoring would lose hash-exactness to libm differences).
+
+    Two shuffles: groupBy token builds the frequency table, and the
+    token-keyed join back reuses that partitioning; then one groupBy doc.
+    Linear in corpus tokens — no per-doc model state, so it runs as the
+    same map/agg shapes at 100 TB."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    counts = tok.groupBy("t").agg(F.count("*").alias("c"))
+    return (
+        tok.join(counts, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+            (F.sum("c").cast("double") / F.count("*")).alias("mean_token_freq"),
+        )
+    )
+
+
 def predicted_lang(text_col: str = "text") -> Column:
     """Heuristic language ID.
 

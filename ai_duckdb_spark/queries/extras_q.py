@@ -463,3 +463,54 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_COMPACT: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT 64                                                AS n_files_before,
+           4                                                 AS n_files_after,
+           count(*)                                          AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction proven end-to-end (maintenance tier): the
+    corpus is stranded across 64 splinter files, compacted 16:1 with a
+    shuffle-free coalesce rewrite (sources/sinks.py compact_parquet),
+    and re-accounted from the compacted copy — the oracle recomputes
+    from the source table, so a row lost or duplicated by the rewrite
+    breaks the hash; the file counts pin the layout actually produced."""
+    import glob
+    import tempfile
+
+    from ..sources.sinks import compact_parquet
+
+    if sf_dir not in _COMPACT:
+        small = tempfile.mkdtemp(prefix="docs_small_")
+        compacted = tempfile.mkdtemp(prefix="docs_compact_")
+        load(spark, sf_dir, "documents").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(small)
+        compact_parquet(spark, small, compacted, target_files=4)
+        _COMPACT[sf_dir] = (small, compacted)
+    small, compacted = _COMPACT[sf_dir]
+    n_before = len(glob.glob(f"{small}/part-*.parquet"))
+    n_after = len(glob.glob(f"{compacted}/part-*.parquet"))
+    return (
+        spark.read.parquet(compacted)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        )
+        .select(
+            F.lit(n_before).alias("n_files_before"),
+            F.lit(n_after).alias("n_files_after"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

@@ -319,3 +319,26 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chars_bucket")
     )
+
+
+@register(
+    "text_rarity_scores",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+    SELECT doc_id,
+           count(*)                                   AS n_tokens,
+           CAST(sum(c) AS BIGINT)                     AS freq_sum,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq
+    FROM tok JOIN cnt USING (t)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity quality scores for every document (X8 beyond
+    the reference — the CCNet perplexity-filter signal as exact integer
+    corpus-frequency means; see operators/textstats.py
+    token_rarity_stats for the scale/exactness argument)."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.token_rarity_stats(docs, "doc_id", "text").orderBy("doc_id")

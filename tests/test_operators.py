@@ -210,6 +210,20 @@ class TestAsof:
 
 
 class TestTextstats:
+    def test_token_rarity_crafted(self, spark):
+        """Corpus-frequency rarity: exact integer sums on a crafted corpus."""
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id INT, text STRING"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.freq_sum, r.mean_token_freq)
+            for r in textstats.token_rarity_stats(docs, "doc_id", "text").collect()
+        }
+        # counts: a=3, b=1, c=1
+        assert got[1] == (3, 7, 7 / 3)
+        assert got[2] == (2, 4, 2.0)
+
+
     def test_rolling_vs_bag_fingerprint(self, spark):
         df = spark.createDataFrame(
             [(1, "aa bb cc"), (2, "cc bb aa"), (3, "aa bb cc")], ["doc_id", "text"]
