@@ -38,3 +38,41 @@ def register_engine_udfs(spark: SparkSession) -> None:
     """Register the engine's SQL-callable functions on a session."""
     spark.udf.register("tok_count", tok_count_udf)
     spark.udf.register("digit_ratio", digit_ratio_udf)
+
+
+# Chunking geometry shared by the UDTF and its oracle/tests: fixed-size
+# token windows with overlap (stride < size), the context-window prep
+# step for training/RAG ingestion. Emit a chunk at `start`, stop once it
+# reaches the end of the doc (start + SIZE >= len) — never a trailing
+# chunk wholly contained in the previous one.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+class ChunkDocumentUDTF:
+    """Python UDTF (X2, the table-function tier beyond scalar/grouped
+    UDFs): one input row fans out to N chunk rows inside the Python
+    worker — the shape for row-expanding logic built-ins can't express.
+    Registered for SQL so it runs as a LATERAL correlated table function;
+    executes per-partition with no shuffle (the fan-out is map-side,
+    exactly like explode)."""
+
+    def eval(self, doc_id, text: str):  # noqa: ANN001 - UDTF signature
+        toks = text.split(" ")
+        n = len(toks)
+        start = idx = 0
+        while True:
+            yield doc_id, idx, min(CHUNK_SIZE, n - start)
+            if start + CHUNK_SIZE >= n:
+                break
+            start += CHUNK_STRIDE
+            idx += 1
+
+
+def register_chunk_udtf(spark: SparkSession) -> None:
+    """Register the chunking UDTF as SQL table function ``chunk_doc``."""
+    chunk_udtf = F.udtf(
+        ChunkDocumentUDTF,
+        returnType="doc_id bigint, chunk_idx int, n_chunk_tokens int",
+    )
+    spark.udtf.register("chunk_doc", chunk_udtf)

@@ -441,3 +441,43 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
 
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    k AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= 32 THEN 1
+                    ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT) END AS n_chunks
+        FROM d
+    ),
+    c AS (SELECT doc_id, n, unnest(range(0, n_chunks)) AS idx FROM k)
+    SELECT doc_id,
+           CAST(idx AS INT)                      AS chunk_idx,
+           CAST(least(32, n - idx * 24) AS INT)  AS n_chunk_tokens
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking THROUGH a Python UDTF (X2 table-function
+    tier × corpus prep): docs fan out to overlapping 32-token / stride-24
+    windows inside the Python worker, invoked from SQL as a LATERAL
+    correlated table function — map-side row expansion, no shuffle. The
+    oracle reproduces the chunk geometry (count per doc, size of each
+    chunk) in closed form, so the UDTF's emission rule is what's
+    actually verified."""
+    from ..functions.udf import register_chunk_udtf
+    from ..tables import register_views
+
+    register_chunk_udtf(spark)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_chunk_tokens
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )

@@ -342,3 +342,26 @@ def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_rarity_stats for the scale/exactness argument)."""
     docs = load(spark, sf_dir, "documents")
     return ts.token_rarity_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "streaming_foreachbatch_sink",
+    oracle="""
+    SELECT lang,
+           count(*)                                          AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable streaming output through foreachBatch (X1, the production
+    sink contract): document stream → per-batch idempotent parquet write
+    (batch-id partition + dynamic overwrite, the exactly-once replay
+    recipe) → final accounting read FROM THE SINK FILES. The oracle
+    recomputes from the source table, so any batch dropped, duplicated,
+    or half-written breaks the hash."""
+    from ..streaming.windows import foreach_batch_parquet_sink
+
+    return foreach_batch_parquet_sink(spark, sf_dir)

@@ -318,3 +318,55 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(sink).orderBy("new_doc_id")
+
+
+def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink path: ``foreachBatch`` writes every micro-batch
+    to a parquet directory partitioned by batch id with DYNAMIC partition
+    overwrite — a replayed batch (failure → restart from checkpoint)
+    overwrites its own partition instead of appending duplicates, which
+    is the standard exactly-once recipe for non-transactional stores.
+    The memory sink proves streaming SEMANTICS elsewhere in this package;
+    this proves the durable-output contract: what lands on disk after the
+    stream drains is byte-for-byte the source corpus.
+    """
+    import tempfile
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    out = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .select("doc_id", "lang", "text")
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -251,6 +251,33 @@ class TestTextstats:
         assert out == {1: 1, 2: 1, 3: 2, 4: 1}  # 40-min gap splits
 
 
+class TestChunkUDTF:
+    def test_chunk_geometry_crafted(self, spark):
+        """UDTF emission rule: 32-token windows, stride 24, no trailing
+        chunk contained in the previous one."""
+        from ai_duckdb_spark.functions.udf import register_chunk_udtf
+
+        register_chunk_udtf(spark)
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(99))),  # 4 chunks, last 27
+                (2, " ".join(f"t{i}" for i in range(32))),  # exactly one window
+                (3, "one two"),  # short doc: single 2-token chunk
+            ],
+            "doc_id INT, text STRING",
+        )
+        docs.createOrReplaceTempView("chunk_docs")
+        rows = spark.sql(
+            "SELECT c.* FROM chunk_docs d, LATERAL chunk_doc(d.doc_id, d.text) c"
+        ).collect()
+        got = {(r.doc_id, r.chunk_idx): r.n_chunk_tokens for r in rows}
+        assert got == {
+            (1, 0): 32, (1, 1): 32, (1, 2): 32, (1, 3): 27,
+            (2, 0): 32,
+            (3, 0): 2,
+        }
+
+
 class TestMultimodal:
     def test_decode_stub_gated(self):
         with pytest.raises(NotImplementedError):
