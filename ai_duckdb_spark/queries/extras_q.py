@@ -514,3 +514,85 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+@register(
+    "variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                          AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through the VARIANT type (Spark 4's answer to
+    schema-on-read payloads, F5 modern tier): ``parse_json`` ingests the
+    payload ONCE into the binary variant encoding, typed paths come out
+    with ``variant_get`` — unlike per-expression ``get_json_object``,
+    which re-parses the string for every extraction. At 100 TB the parse
+    happens at ingest and the variant column is what's stored; shredded
+    access stays columnar."""
+    events = load(spark, sf_dir, "events")
+    v = events.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("total_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "maintenance_incremental_agg",
+    oracle="""
+    SELECT lang,
+           count(*)                   AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (maintenance tier): the standing
+    per-language aggregate over the existing corpus is MERGED with the
+    delta batch's partial aggregate by key-wise addition — a full-outer
+    join on the group key + coalesced sums — never recomputing the base.
+    That is how a 100 TB nightly rollup absorbs a 100 GB ingest: the
+    shuffle is over the AGGREGATE STATE (group count rows) and the
+    delta, not the corpus. The oracle recomputes from scratch, proving
+    merge(base, delta) == full recompute. Same fixture split as
+    dedup_incremental (delta = doc_id % 10 == 7)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def agg_part(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        )
+
+    base = agg_part(docs.filter(F.col("doc_id") % 10 != 7))
+    delta = agg_part(docs.filter(F.col("doc_id") % 10 == 7))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.lang") == F.col("d.lang"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.lang"), F.col("d.lang")).alias("lang"),
+            (
+                F.coalesce(F.col("b.n_docs"), F.lit(0))
+                + F.coalesce(F.col("d.n_docs"), F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce(F.col("b.total_chars"), F.lit(0))
+                + F.coalesce(F.col("d.total_chars"), F.lit(0))
+            ).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
