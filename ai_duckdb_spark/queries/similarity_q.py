@@ -251,3 +251,41 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the expected parse independently."""
     docs = load(spark, sf_dir, "documents")
     return extract_image_headers(synthesize_image_payloads(docs, "doc_id"))
+
+
+@register(
+    "vector_hof_features",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos_dims,
+           CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) AS max_abs_dim
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_hof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column (F5 array
+    tier × X7): per-vector features computed entirely with lambda
+    built-ins — ``filter`` (positive-dim count) and ``transform`` +
+    ``array_max`` (L∞ norm) — inside whole-stage codegen, no Python and
+    no explode (the explode form would shuffle corpus × dim rows).
+    Chosen features are order-free and exact (integer counts, float
+    max/abs passthrough), so the hash matches DuckDB's list lambdas
+    bit-for-bit — unlike a float fold, whose result depends on
+    accumulation order."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    n_pos = F.size(F.filter(e, lambda x: x > 0))
+    max_abs = F.array_max(F.transform(e, F.abs))
+    return (
+        emb.select("label", n_pos.alias("__np"), max_abs.alias("__ma"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("__np").alias("total_pos_dims"),
+            F.max("__ma").cast("double").alias("max_abs_dim"),
+        )
+        .orderBy("label")
+    )

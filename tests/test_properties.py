@@ -192,3 +192,30 @@ def test_xls_roundtrip_property(rows, mini, tmp_path_factory) -> None:
                 assert float(got) == w or (
                     w.is_integer() and float(got) == int(w)
                 )
+
+
+class TestChunkGeometry:
+    """The UDTF's imperative emission rule vs the closed form the oracle
+    uses — over arbitrary doc lengths, not just the fixture's."""
+
+    @given(n=st.integers(min_value=1, max_value=5000))
+    @settings(max_examples=200, deadline=None)
+    def test_udtf_rule_matches_closed_form(self, n):
+        from ai_duckdb_spark.functions.udf import (
+            CHUNK_SIZE,
+            CHUNK_STRIDE,
+            ChunkDocumentUDTF,
+        )
+
+        text = " ".join("x" for _ in range(n))
+        rows = list(ChunkDocumentUDTF().eval(1, text))
+        expect_chunks = (
+            1 if n <= CHUNK_SIZE else 1 + math.ceil((n - CHUNK_SIZE) / CHUNK_STRIDE)
+        )
+        assert len(rows) == expect_chunks
+        assert [r[1] for r in rows] == list(range(expect_chunks))
+        for _, idx, n_tok in rows:
+            assert n_tok == min(CHUNK_SIZE, n - idx * CHUNK_STRIDE)
+        # every token is covered and consecutive chunks overlap (size > stride)
+        last_start = (expect_chunks - 1) * CHUNK_STRIDE
+        assert last_start + rows[-1][2] == n
