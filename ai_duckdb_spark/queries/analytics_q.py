@@ -324,3 +324,45 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "window_distribution_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           percent_rank() OVER w                    AS price_pct_rank,
+           cume_dist() OVER w                       AS price_cume_dist,
+           coalesce(nth_value(o_orderkey, 3) OVER w, -1) AS third_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_totalprice > 490000
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (W1, second suite): percent_rank /
+    cume_dist / nth_value over one window spec — single shuffle on the
+    partition key, all three computed in one Window operator. The ORDER
+    BY key is (price, orderkey) — UNIQUE — so frame boundaries and tie
+    handling are deterministic and both percent_rank and cume_dist are
+    integer-ratio divisions, bit-identical cross-engine. The filter is
+    applied AFTER the window (QUALIFY semantics): ranks are over the
+    full partition, the output is just the expensive tail."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("price_pct_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+            F.coalesce(
+                F.nth_value("o_orderkey", 3).over(w), F.lit(-1)
+            ).alias("third_cheapest_key"),
+        )
+        .filter(F.col("o_totalprice") > 490000)
+        .drop("o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

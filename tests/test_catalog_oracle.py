@@ -48,6 +48,8 @@ _POST_FREEZE = {
     "skew_salted_join_flags",
     "dedup_survivors",
     "streaming_incremental_dedup",
+    "dedup_exact_spans",
+    "vector_hof_features",
 }
 
 
