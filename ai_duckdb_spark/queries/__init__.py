@@ -16,6 +16,7 @@ from . import corpus_q  # noqa: F401
 from . import similarity_q  # noqa: F401
 from . import extras_q  # noqa: F401
 from . import analytics_q  # noqa: F401
+from . import tpch_deep  # noqa: F401
 
 catalog.finalize_order()
 

@@ -1,0 +1,359 @@
+"""Deeper TPC-H query shapes (SURVEY.md §2.3-2.6 J3/G1-G8/O1-O2 widening).
+
+The reference promises the full analytic SELECT surface through its
+prompt contract (reference doc.py:183-188); these entries pin the
+remaining classic TPC-H shapes expressible on the driver fixtures
+(no partsupp table, no l_shipmode/l_commitdate columns — Q2/Q4/Q8/Q11/
+Q12/Q15/Q16/Q20/Q21 are out of fixture reach; Q1/Q3/Q5/Q17 live in
+tpch.py):
+
+  * Q6  — pure scan-side conjunctive filter + single exact aggregate
+  * Q10 — returned-item revenue: 4-way join, group on customer, top 20
+  * Q13 — distribution-of-counts (left join + double aggregation)
+  * Q14 — conditional-share aggregate over a join (promo revenue)
+  * Q18 — large-volume orders: HAVING-filtered agg joined back to facts
+  * Q19 — disjunctive join predicates (OR-of-conjunctions post-filter)
+  * Q22 — scalar-subquery threshold + anti join (idle rich customers)
+
+Exactness conventions follow functions/exact.py (cents-exact sums,
+identical aliases both sides, unique tiebreakers under LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import avg_sql, exact_avg, exact_sum, sum_sql
+from ..tables import load
+from .catalog import register
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sum_sql("l_extendedprice * l_discount", 4)} AS forecast_revenue,
+           count(*)                                     AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1998-01-01'
+      AND l_shipdate <  DATE '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): conjunctive range filters
+    + one exact aggregate, no join, no group.
+
+    Scale shape: every predicate reaches the parquet scan (PushedFilters
+    on shipdate/discount/quantity), the projection prunes to the three
+    referenced columns, and the aggregate is a map-side partial + a
+    single-row final — the cheapest possible full-table query at any
+    scale factor."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "forecast_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sum_sql(_DISC_PRICE, 4)} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1998-01-01'
+      AND o_orderdate <  DATE '1998-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): customers who returned goods
+    in a half-year window, ranked by lost revenue, top 20.
+
+    Scale shape: both date and returnflag filters push to their scans;
+    nation (25 rows) broadcasts; lineitem⋈orders shuffles on the order
+    key and the re-key to customer is the only second shuffle; top-20 is
+    TakeOrderedAndProject."""
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum(_disc_price(), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    orders, for every k including 0 — the left join keeps order-less
+    customers, count(o_orderkey) ignores the null-extended rows.
+
+    Scale shape: one shuffle on the customer key for the join+first
+    aggregate (they share partitioning, so Catalyst reuses the
+    exchange), then a second tiny shuffle on the distinct k values."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT {sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END", 4)}
+               AS promo_revenue,
+           {sum_sql(_DISC_PRICE, 4)} AS total_revenue,
+           {sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END", 4)}
+               / {sum_sql(_DISC_PRICE, 4)} AS promo_share
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1998-06-01'
+      AND l_shipdate <  DATE '1998-07-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo-typed parts — a conditional exact sum over a join, divided by
+    the unconditional one (both cents-exact, so the share is one IEEE
+    division of bit-identical operands on both engines; re-rounding it
+    would CREATE divergence, per functions/exact.py).
+
+    Scale shape: the month filter prunes the lineitem scan; part
+    broadcasts (small dim); a single partial+final aggregate, no
+    groupBy shuffle at all."""
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-06-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("date"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    agged = li.join(part, li.l_partkey == part.p_partkey).agg(
+        exact_sum(promo, 4).alias("promo_revenue"),
+        exact_sum(_disc_price(), 4).alias("total_revenue"),
+    )
+    return agged.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): orders whose summed line
+    quantity clears a threshold, joined back to orders+customer.
+    (Threshold 250 rather than spec 300: the fixture's per-order
+    quantity p99 is ~260, so 250 keeps a meaningful result set.)
+
+    Scale shape: the HAVING aggregate reduces lineitem to a tiny
+    qualifying-order set BEFORE any join — at 100 TB that set still
+    broadcasts, so the joins against orders and customer are
+    broadcast-pruned rather than full shuffles (AQE sees the measured
+    post-aggregate size)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sum_sql(_DISC_PRICE, 4)} AS revenue,
+           count(*)                  AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND (   (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 35))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an equi-join whose residual is an
+    OR-of-conjunctions mixing columns from both sides — the classic
+    disjunctive-predicate planning test.
+
+    Scale shape: Catalyst extracts the common l_partkey = p_partkey
+    conjunct as the join key (hash join, not nested loop) and keeps the
+    disjunction as a post-join filter; it also derives the
+    brand-membership filter pushable to the part side. part broadcasts."""
+    part = F.broadcast(
+        load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return li.join(part, cond).agg(
+        exact_sum(_disc_price(), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH thr AS (
+        SELECT {avg_sql("c_acctbal", 2)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*)                  AS n_customers,
+           {sum_sql("c_acctbal", 2)} AS total_acctbal
+    FROM customer, thr
+    WHERE c_acctbal > thr.ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2001-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and no RECENT orders (none since
+    2001-01-01 — every fixture customer has some order, so spec-Q22's
+    "no orders at all" would be vacuously empty at every SF), accounted
+    per nation. (The fixture has no c_phone, so nation key replaces the
+    country-code substring.) The threshold is the cents-exact average —
+    one IEEE division of identical operands per engine — so boundary
+    customers cannot flip between engines.
+
+    Scale shape: the scalar threshold is a one-row broadcast; the anti
+    join shuffles on the customer key only (orders pruned to its key
+    column); the final aggregate is over the tiny surviving set."""
+    cust = load(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal", 2).alias("ab"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal", 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -24,8 +24,9 @@ from ..tables import convert_event_ts, table_path
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema from a batch peek).
 
-    ``ts`` arrives as nanos-since-epoch long (see tables.load) and is
-    converted to a timestamp inside the streaming plan.
+    ``ts`` arrives as nanos-since-epoch long or TIMESTAMP_NTZ depending
+    on the fixture generation (see tables.convert_event_ts) and is
+    normalized to a session-zone timestamp inside the streaming plan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")

@@ -42,23 +42,33 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """Nanosecond-epoch long → microsecond timestamp (floor division).
+    """Normalize ``ts`` to a session-zone TIMESTAMP whatever the file has.
 
-    Matches engines that truncate ns → µs (nested-floor property keeps all
-    downstream second/ms bucketing identical).
+    Fixture generations have carried ``ts`` as parquet TIMESTAMP(NANOS)
+    (read as nanos-since-epoch long under ``nanosAsLong``; truncated
+    ns → µs with floor division, so downstream second/ms bucketing is
+    identical) or as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    TIMESTAMP_NTZ). NTZ is cast to the session-zone type — the session
+    timezone is pinned UTC, so wall-clock values are unchanged and
+    instant functions (``unix_millis``, watermarks) stay available.
     """
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Native parquet scan for one fixture table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read it as nanos-since-epoch long
-    (legacy.parquet.nanosAsLong) and convert — still a native columnar
-    scan, no driver-side materialization.
+    ``events.ts`` needs normalization (see ``convert_event_ts``): NANOS
+    generations are read as nanos-since-epoch long
+    (legacy.parquet.nanosAsLong — Spark's vectorized reader rejects
+    TIMESTAMP(NANOS) outright), MICROS generations arrive as
+    TIMESTAMP_NTZ. Either way it's still a native columnar scan, no
+    driver-side materialization.
     """
     pin_session_defaults(spark)
     if name == "events":
