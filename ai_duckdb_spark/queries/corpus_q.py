@@ -481,3 +481,63 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.doc_id, c.chunk_idx
         """
     )
+
+
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _bucket_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {arms} ELSE {2 * _LEN_BUCKETS[-1]} END"
+
+
+@register(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (SELECT n_tok, {_bucket_case_sql()} AS bucket_len FROM t)
+    SELECT bucket_len,
+           count(*)                       AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)     AS total_tokens,
+           CAST(sum(n_tok) AS DOUBLE)
+             / (bucket_len * count(*))    AS utilization
+    FROM b
+    GROUP BY bucket_len
+    ORDER BY bucket_len
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing for training batch assembly (corpus tier):
+    route each document to the smallest power-of-two sequence bucket
+    that holds it and account the padding waste per bucket — the
+    batching layout that minimizes pad tokens when a trainer packs
+    fixed-shape batches (the alternative to concat-packing, which
+    corpus_pack_sequences covers).
+
+    Exactness: bucket routing is an integer CASE ladder; utilization is
+    one division of an exact BIGINT token sum by an exact slot count —
+    identical operands, identical bits. Scale shape: map-side CASE +
+    one tiny shuffle over ≤10 bucket keys; at 100 TB this is scan-bound
+    with a few-row result."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).alias("n_tok")
+    bucket = F.lit(2 * _LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    t = docs.select(n_tok).select("n_tok", bucket.alias("bucket_len"))
+    return (
+        t.groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (
+                F.sum("n_tok").cast("double")
+                / (F.col("bucket_len") * F.count("*"))
+            ).alias("utilization"),
+        )
+        .orderBy("bucket_len")
+    )

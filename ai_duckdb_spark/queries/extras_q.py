@@ -596,3 +596,89 @@ def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("hll_sketch_users", oracle=None)
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (G10 scale path): a DataSketches
+    HLL sketch of user_id per event_type, then ONE union across types
+    for the global estimate — the 100 TB pattern where per-partition /
+    per-day sketch state is unioned without ever re-scanning raw data
+    (incremental rollup: yesterday's sketches + today's partition).
+
+    Rows-only by design: DataSketches HLL and DuckDB's HLL implement
+    different estimators, so values legitimately differ within error
+    bounds; tests/test_operators.py pins both per-type and unioned
+    estimates to within 5% of the exact distinct counts.
+
+    Scale shape: partial sketch aggregation map-side (each sketch is a
+    fixed few-KB buffer whatever the cardinality), one shuffle of
+    #event_types sketch buffers, and the union is a second aggregate
+    over those few rows — constant state per group, no row explosion."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__all_types__").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("approx_users"),
+    )
+    return typed.unionAll(overall).orderBy("event_type")
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zvalue_sql
+
+    z = zvalue_sql("(l_partkey & 4095)", "(l_suppkey & 4095)", 12)
+    return f"""
+    WITH z AS (
+        SELECT ({z}) AS zval,
+               (l_partkey & 4095) AS pk,
+               (l_suppkey & 4095) AS sk
+        FROM lineitem
+    )
+    SELECT zval >> 16 AS z_bucket,
+           count(*) AS n_rows,
+           min(pk) AS pk_min, max(pk) AS pk_max,
+           min(sk) AS sk_min, max(sk) AS sk_max
+    FROM z
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """
+
+
+@register("zorder_locality_buckets", oracle=_zorder_oracle())
+def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout accounting (§2.2 layout tier / SCALE.md
+    maintenance): every row's z-value over (l_partkey, l_suppkey) low
+    12 bits, rolled up into the 256 top-8-bit curve buckets with each
+    bucket's span in BOTH dimensions — the property a Z-ordered file
+    layout buys: any contiguous z-range (= one file) covers a bounded
+    box in every interleaved key, so footer min/max stats prune scans
+    on either predicate. The rewrite op itself (operators/layout.py
+    zorder_rewrite: one repartitionByRange + sorted write) is proven on
+    files in tests/test_scale_features.py; this entry pins the curve
+    math bit-for-bit against the oracle (pure integer shifts — nothing
+    can diverge cross-engine)."""
+    from ..operators.layout import zvalue
+
+    li = load(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey").bitwiseAND(F.lit(4095))
+    sk = F.col("l_suppkey").bitwiseAND(F.lit(4095))
+    z = li.select(
+        zvalue(pk, sk, 12).alias("zval"), pk.alias("pk"), sk.alias("sk")
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 16).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"),
+            F.max("sk").alias("sk_max"),
+        )
+        .orderBy("z_bucket")
+    )

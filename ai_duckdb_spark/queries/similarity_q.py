@@ -289,3 +289,45 @@ def vector_hof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale,
+               vd
+        FROM v
+    )
+    SELECT vec_id,
+           scale,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_max(list_transform(
+                         vd, x -> abs(floor(x / scale + 0.5) * scale - x)))
+           END AS max_err
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization report (X7 scale path): per-vector
+    scale (max|x|/127) and the worst reconstruction error after a
+    round-half-up quantize/dequantize cycle — the 4x-compression pass a
+    training pipeline runs before building ANN indexes over 100 TB of
+    embeddings.
+
+    Exactness: every step is deterministic double arithmetic mirrored
+    verbatim in the oracle (floor(x/s + 0.5), order-free array_max) —
+    no float SUM anywhere, so the hash matches bit-for-bit. Scale
+    shape: map-only higher-order expressions, no shuffle, no UDF; the
+    ORDER BY is presentation-only."""
+    from ..operators.quantize import quantization_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantization_report(emb, "embedding", ("vec_id",)).orderBy("vec_id")

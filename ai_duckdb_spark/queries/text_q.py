@@ -365,3 +365,79 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import foreach_batch_parquet_sink
 
     return foreach_batch_parquet_sink(spark, sf_dir)
+
+
+@register(
+    "source_token_cosine",
+    oracle="""
+    WITH counts AS (
+        SELECT source, t AS token, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY source, t
+    ),
+    norms AS (
+        SELECT source,
+               sqrt(CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE)) AS nrm
+        FROM counts GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM counts a JOIN counts b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, dot,
+           CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.source = src_a
+    JOIN norms nb ON nb.source = src_b
+    ORDER BY cosine DESC, src_a, src_b
+    LIMIT 20
+    """,
+)
+def source_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity (X8 corpus analytics): cosine between
+    token-FREQUENCY vectors of each source — the fixture's 31-word
+    vocabulary is fully shared, so set-Jaccard is degenerately 1.0 and
+    only the frequency profile separates sources. Used in corpus
+    curation to spot near-duplicate crawls/mirrors before mixing.
+
+    Exactness: dot products and squared norms are BIGINT sums of
+    integer counts (order-free, exact); the only float ops are one sqrt
+    and one division of identical operands per pair. Scale shape: the
+    (source x token) contingency is one shuffle of |vocab| x |sources|
+    rows — tiny however big the corpus — and the pair join explodes per
+    token by #sources, not by document count; norms broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = (
+        counts.groupBy("source")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm"))
+    )
+    a = counts.alias("a")
+    b = counts.alias("b")
+    dots = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col("source").alias("src_a"), F.col("nrm").alias("na")))
+    nb = F.broadcast(norms.select(F.col("source").alias("src_b"), F.col("nrm").alias("nb")))
+    return (
+        dots.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "src_a", "src_b")
+        .limit(20)
+    )

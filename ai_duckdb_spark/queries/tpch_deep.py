@@ -306,6 +306,77 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           {sum_sql(_DISC_PRICE, 4)}     AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND (   (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): two-year revenue flow between a
+    nation pair, split by direction (supplier nation vs customer
+    nation) and ship year — the classic double-dimension-table join
+    where the SAME dimension joins twice under different roles.
+
+    Scale shape: both nation legs broadcast (25 rows each); the
+    supplier leg broadcasts too after its nation filter; lineitem is
+    pruned by the shipdate range at the scan, shuffles once on order
+    key to meet orders, once on customer key — and the disjunctive
+    nation-pair filter is applied as soon as both roles are bound, so
+    the final aggregate sees only the two nations' rows."""
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(F.broadcast(supp.join(n1, supp.s_nationkey == n1.s_nkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, cust.c_nationkey == n2.c_nkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact_sum(_disc_price(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     oracle=f"""
     WITH thr AS (

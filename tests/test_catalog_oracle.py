@@ -50,6 +50,7 @@ _POST_FREEZE = {
     "streaming_incremental_dedup",
     "dedup_exact_spans",
     "vector_hof_features",
+    "embedding_quantization",
 }
 
 

@@ -714,3 +714,60 @@ class TestPipelineOpsR3:
         assert any(r["count"] >= 2 for r in per_doc)
         copies = {r.copy for r in sm.select("copy").distinct().collect()}
         assert 0 in copies and len(copies) >= 2
+
+
+class TestQuantizeAndSketch:
+    def test_int8_quantization_bounds_and_zero_vector(self, spark):
+        """Codes land in [-127,127], max_err <= scale/2, zero vector is clean."""
+        from ai_duckdb_spark.operators import quantize as qz
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, -0.5, 0.25, 127.0]),
+                (2, [0.0, 0.0, 0.0, 0.0]),
+                (3, [-3.5, 3.5, 1.75, -1.75]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rep = {r.vec_id: r for r in qz.quantization_report(df).collect()}
+        assert rep[2].scale == 0.0 and rep[2].max_err == 0.0
+        for vid in (1, 3):
+            assert rep[vid].max_err <= rep[vid].scale / 2 + 1e-12
+        codes = df.select(
+            "vec_id",
+            qz.quantize_int8(
+                F.col("embedding"), qz.int8_scale(F.col("embedding"))
+            ).alias("q"),
+        )
+        for r in codes.collect():
+            assert all(-127 <= c <= 127 for c in r.q)
+        # round-trip of the max element is exact: |max| quantizes to +/-127
+        assert rep[1].scale == pytest.approx(1.0)
+
+    def test_hll_estimates_within_5pct_of_exact(self, spark, sf_dir):
+        from ai_duckdb_spark.queries.extras_q import hll_sketch_users
+
+        approx = {
+            r.event_type: r.approx_users
+            for r in hll_sketch_users(spark, sf_dir).collect()
+        }
+        ev = load(spark, sf_dir, "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        exact["__all_types__"] = ev.select("user_id").distinct().count()
+        assert set(approx) == set(exact)
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+    def test_source_cosine_bounds_and_symmetric_pairs(self, spark, sf_dir):
+        from ai_duckdb_spark.queries.text_q import source_token_cosine
+
+        rows = source_token_cosine(spark, sf_dir).collect()
+        assert rows, "documents fixture has >=2 sources"
+        for r in rows:
+            assert 0.0 < r.cosine <= 1.0 + 1e-12
+            assert r.src_a < r.src_b

@@ -245,3 +245,27 @@ def test_orc_roundtrip_filter_reaches_orc_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_orc_roundtrip")
     orc_scan = plan.split("Scan orc")[1]
     assert "GreaterThanOrEqual(l_quantity,25.0)" in orc_scan.split("ReadSchema")[0]
+
+
+def test_q10_broadcasts_dims_and_takeordered_top20(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "BroadcastHashJoin" in plan      # nation (and AQE-sized dims)
+    assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q7_nation_legs_broadcast_shipdate_pushed(spark):
+    # sf0.001 yields zero surviving rows and AQE collapses the whole tree
+    # to EmptyRelation; gate the plan at sf0.01 where the joins are real
+    plan = _plan(spark, "/root/testdata/sf0.01", "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation roles + supplier leg
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_quantization_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_quantization")
+    # pure higher-order projection: the only exchange allowed is the
+    # presentation sort's range partitioning
+    body = plan.split("== Photon")[0]
+    n_ex = body.count("Exchange")
+    assert n_ex <= 1 and "rangepartitioning" in plan.lower() or n_ex == 0

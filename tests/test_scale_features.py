@@ -78,3 +78,64 @@ class TestSkew:
             .count()
         )
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+class TestZorderLayout:
+    def test_zorder_files_bound_both_dims(self, spark, tmp_path):
+        """Z-ordered files cover a narrow box in BOTH keys; a single-key
+        sort leaves the second key's per-file span near the full domain.
+        Synthetic keys spanning the full 12-bit domain — the sf0.001
+        fixture's 10-supplier range is too narrow to exhibit layout."""
+        from ai_duckdb_spark.operators.layout import zorder_rewrite
+
+        df = spark.range(0, 1 << 14).select(
+            (F.col("id").bitwiseAND(F.lit(4095))).alias("a"),
+            # Knuth-hash the id so b is independent of a
+            ((F.col("id") * 2654435761).bitwiseAND(F.lit(4095))).alias("b"),
+        )
+        dom_b = 4095
+
+        zpath = str(tmp_path / "zordered")
+        zorder_rewrite(df, "a", "b", bits=12, num_files=16).write.mode(
+            "overwrite"
+        ).parquet(zpath)
+
+        spath = str(tmp_path / "single_sort")
+        df.repartitionByRange(16, "a").sortWithinPartitions("a").write.mode(
+            "overwrite"
+        ).parquet(spath)
+
+        def avg_span_b(path: str) -> float:
+            per_file = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg((F.max("b") - F.min("b")).alias("span"))
+                .agg(F.avg("span").alias("avg_span"))
+            )
+            return per_file.collect()[0].avg_span
+
+        z_span, s_span = avg_span_b(zpath), avg_span_b(spath)
+        # single-key sort: b span per file ~ full domain; z-order with 16
+        # files = 4 curve subdivisions per dim → span ~ domain/4
+        assert s_span > 0.9 * dom_b
+        assert z_span < 0.5 * dom_b, (z_span, s_span, dom_b)
+
+    def test_zvalue_roundtrip_bits(self, spark):
+        """De-interleaving the z-value recovers both inputs exactly."""
+        from ai_duckdb_spark.operators.layout import zvalue
+
+        df = spark.range(0, 4096, 7).select(
+            (F.col("id").bitwiseAND(F.lit(4095))).alias("a"),
+            ((F.col("id") * 13).bitwiseAND(F.lit(4095))).alias("b"),
+        )
+        z = df.select("a", "b", zvalue(F.col("a"), F.col("b"), 12).alias("z"))
+        back_a = sum(
+            (F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)) * F.lit(1 << i))
+            for i in range(12)
+        )
+        back_b = sum(
+            (F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)) * F.lit(1 << i))
+            for i in range(12)
+        )
+        bad = z.filter((back_a != F.col("a")) | (back_b != F.col("b"))).count()
+        assert bad == 0
