@@ -76,7 +76,11 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 
 def duplicated_span_stats(
-    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 10
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    broadcast_dup: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication accounting (the suffix-array dedup of
     Lee et al. 2021, "Deduplicating Training Data Makes Language Models
@@ -87,22 +91,32 @@ def duplicated_span_stats(
 
     Linear in corpus size (each doc emits ~len/1 spans, deduped per doc)
     with NO pairwise doc join — the blowup-proof property that makes it
-    the first pass at 100 TB: groupBy span finds duplication globally,
-    then the flag joins back on the same span key (exchange reuse, two
-    shuffles total). Suffix arrays find arbitrary-length matches; fixed
-    k-token spans are the standard distributed relaxation (any shared
-    substring of >= k tokens shares a k-span, so recall at the k
-    granularity is exact)."""
+    the first pass at 100 TB. The span relation feeds both the global
+    duplication count and the per-doc flag join, so it is
+    localCheckpoint'ed ONCE (the shingle assembly — 10 element_at +
+    concat_ws per span — is the CPU hot spot; computing it twice
+    doubled this operator's wall clock). ``broadcast_dup`` ships the
+    duplicated-span set to the flag join map-side (no shuffle of the
+    big span relation); it holds while duplicated VOCABULARY is small
+    relative to the corpus — at scales where the dup set itself is
+    huge, pass False for a plain shuffle join (hot spans then skew a
+    partition, which AQE skew-split absorbs; no per-key list is ever
+    materialized either way). Suffix arrays find arbitrary-length
+    matches; fixed k-token spans are the standard distributed
+    relaxation (any shared substring of >= k tokens shares a k-span,
+    so recall at the k granularity is exact)."""
     spans = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, span_tokens)).alias("span"),
-    )
+    ).localCheckpoint()
     dup = (
         spans.groupBy("span")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") > 1)  # per-doc-distinct spans: count(*) = n docs
         .select("span", F.lit(1).alias("__dup"))
     )
+    if broadcast_dup:
+        dup = F.broadcast(dup)
     return (
         spans.join(dup, "span", "left")
         .groupBy("doc_id")

@@ -682,3 +682,140 @@ def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag,
+               quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, p01, p99,
+           count(*) FILTER (WHERE l_extendedprice < p01) AS n_low,
+           count(*) FILTER (WHERE l_extendedprice > p99) AS n_high,
+           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28, 2)))
+                    FILTER (WHERE l_extendedprice >= p01
+                              AND l_extendedprice <= p99) AS DOUBLE)
+               AS sum_unclipped
+    FROM lineitem JOIN p ON l_returnflag = p.flag
+    GROUP BY flag, p01, p99
+    ORDER BY flag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization accounting (robust-stats tier): per group, the
+    exact p01/p99 price fences and how much mass a 1%-winsorize would
+    clip — the outlier-capping pass feature pipelines run before
+    z-scoring heavy-tailed metrics.
+
+    Exactness: the fences are exact interpolated percentiles (parity
+    proven by percentiles_quantity); clip comparisons and counts are
+    decided on identical doubles; the unclipped sum is exact integer
+    cents (the fences themselves carry interpolation decimals, so the
+    CLIPPED mass is reported as count x fence — computable bit-exactly
+    by the reader — rather than summed in floats). Scale shape: two
+    passes over lineitem (percentile sort + conditional aggregate),
+    both shuffling only on the 3-value group key; the fences broadcast
+    back."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    fences = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    j = li.join(F.broadcast(fences), li.l_returnflag == fences.flag)
+    price = F.col("l_extendedprice")
+    return (
+        j.groupBy("flag", "p01", "p99")
+        .agg(
+            F.count(F.when(price < F.col("p01"), 1)).alias("n_low"),
+            F.count(F.when(price > F.col("p99"), 1)).alias("n_high"),
+            exact_sum(
+                F.when((price >= F.col("p01")) & (price <= F.col("p99")), price),
+                2,
+            ).alias("sum_unclipped"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "summarize_orders",
+    oracle="""
+    WITH s AS (
+        SELECT count(*) AS n,
+               count(o_orderkey)  AS nn_key,  count(DISTINCT o_orderkey)  AS nd_key,
+               CAST(min(o_orderkey) AS DOUBLE) AS mn_key, CAST(max(o_orderkey) AS DOUBLE) AS mx_key,
+               count(o_custkey)   AS nn_cust, count(DISTINCT o_custkey)   AS nd_cust,
+               CAST(min(o_custkey) AS DOUBLE) AS mn_cust, CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+               count(o_totalprice) AS nn_tp,  count(DISTINCT o_totalprice) AS nd_tp,
+               min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+               count(o_orderdate) AS nn_od,  count(DISTINCT o_orderdate)  AS nd_od,
+               CAST(epoch(min(o_orderdate)) AS DOUBLE) AS mn_od,
+               CAST(epoch(max(o_orderdate)) AS DOUBLE) AS mx_od,
+               count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+               count(o_orderpriority) AS nn_pr, count(DISTINCT o_orderpriority) AS nd_pr
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n - nn_key AS n_nulls, nd_key AS n_distinct,
+           mn_key AS min_value, mx_key AS max_value FROM s
+    UNION ALL SELECT 'o_custkey', n - nn_cust, nd_cust, mn_cust, mx_cust FROM s
+    UNION ALL SELECT 'o_totalprice', n - nn_tp, nd_tp, mn_tp, mx_tp FROM s
+    UNION ALL SELECT 'o_orderdate', n - nn_od, nd_od, mn_od, mx_od FROM s
+    UNION ALL SELECT 'o_orderstatus', n - nn_st, nd_st, NULL, NULL FROM s
+    UNION ALL SELECT 'o_orderpriority', n - nn_pr, nd_pr, NULL, NULL FROM s
+    ORDER BY col_name
+    """,
+)
+def summarize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE-style table profiling (reference parity: DuckDB ships
+    SUMMARIZE; the app layer's profile.py is the per-upload variant):
+    one row per column with null count, exact distinct count, and
+    numeric/temporal min-max (timestamps as epoch seconds, strings
+    metric-less) — computed in ONE scan via a single multi-aggregate
+    then unpivoted with stack().
+
+    Scale note: multiple exact COUNT(DISTINCT)s in one aggregate plan
+    through Expand (one replicated pass per distinct column); at
+    100 TB swap exact distincts for the hll_sketch_users path — this
+    entry pins the exact-profile semantics."""
+    o = load(spark, sf_dir, "orders")
+    ep = lambda c: F.unix_timestamp(c).cast("double")  # noqa: E731
+    s = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("mn_key"),
+        F.max("o_orderkey").cast("double").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        ep(F.min("o_orderdate")).alias("mn_od"),
+        ep(F.max("o_orderdate")).alias("mx_od"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+    )
+    stacked = s.select(
+        F.expr(
+            """stack(6,
+            'o_orderkey',      n - nn_key,  nd_key,  mn_key, mx_key,
+            'o_custkey',       n - nn_cust, nd_cust, mn_cust, mx_cust,
+            'o_totalprice',    n - nn_tp,   nd_tp,   mn_tp,  mx_tp,
+            'o_orderdate',     n - nn_od,   nd_od,   mn_od,  mx_od,
+            'o_orderstatus',   n - nn_st,   nd_st,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_orderpriority', n - nn_pr,   nd_pr,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            ) AS (col_name, n_nulls, n_distinct, min_value, max_value)"""
+        )
+    )
+    return stacked.orderBy("col_name")

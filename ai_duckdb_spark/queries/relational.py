@@ -295,3 +295,49 @@ def union_all_high_value_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("balance"),
     )
     return c.unionAll(s)
+
+
+@register(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t ON true
+    WHERE c.c_custkey % 50 = 0
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER+LIMIT (J3 join
+    surface, the DuckDB-dialect lateral form): each sampled customer's
+    two most expensive orders — the classic "top-N per entity" written
+    as the reference engine's users would write it, exercising
+    Catalyst's DecorrelateInnerQuery + per-group limit planning rather
+    than the window-function formulation (that twin is
+    latest_order_per_customer, rank-based).
+
+    Scale shape: the decorrelated plan is one shuffle of the
+    (filtered) orders on the customer key with the per-key limit
+    applied inside the aggregate side — no global sort; the customer
+    sample predicate pushes to its scan. Deterministic under ties via
+    the (o_totalprice, o_orderkey) sort pair."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
