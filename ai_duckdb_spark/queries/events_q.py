@@ -557,3 +557,84 @@ def events_peak_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_last_hour").cast("long").alias("peak_hourly_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT DISTINCT event_type FROM events), b
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           coalesce(last_value(h.n IGNORE NULLS)
+                        OVER (PARTITION BY g.event_type ORDER BY g.hour
+                              ROWS UNBOUNDED PRECEDING), 0) AS n_filled,
+           CAST(h.n IS NULL AS INT) AS was_gap
+    FROM grid g
+    LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    ORDER BY g.event_type, g.hour
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (temporal tier): a dense hourly grid per event type over the
+    corpus's time range, empty hours flagged and filled with the most
+    recent observed hourly count — the resampling step monitoring and
+    feature pipelines run before rate math, since missing buckets
+    otherwise read as zero activity AND break window arithmetic.
+
+    Exactness: counts are integers, LOCF copies them verbatim, and both
+    engines walk the identical grid in the identical per-type order —
+    nothing floats. Scale shape: the grid is #types x #hours rows
+    (tiny — time ranges grow linearly, not with data volume) built from
+    a broadcast 1-row bounds frame; the hourly aggregate is one shuffle
+    of the events scan; the LOCF window partitions by type so state
+    never crosses executors."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0)).alias(
+                "n_filled"
+            ),
+            F.col("n").isNull().cast("int").alias("was_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )

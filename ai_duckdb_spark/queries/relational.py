@@ -341,3 +341,36 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@register(
+    "group_by_all_status_year",
+    oracle="""
+    SELECT o_orderstatus,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, order_year
+    """,
+)
+def group_by_all_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL dialect parity (G-tier × NL→SQL fidelity): both
+    engines infer the grouping keys from the non-aggregate select list
+    — the DuckDB-popularized shorthand LLM-generated SQL reaches for
+    constantly, so the executor surface must accept it verbatim. Run
+    through spark.sql to pin the SQL-dialect path, not a DataFrame
+    translation."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               EXTRACT(year FROM o_orderdate) AS order_year,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, order_year
+        """
+    )

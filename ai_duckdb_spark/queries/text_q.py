@@ -441,3 +441,49 @@ def source_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "src_a", "src_b")
         .limit(20)
     )
+
+
+@register(
+    "fuzzy_name_pairs_blocked",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           count(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY brand, edit_dist
+    ORDER BY brand, edit_dist
+    """,
+)
+def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution tier of X6): name pairs
+    within edit distance 2, joined ONLY inside the brand blocking key —
+    the standard record-linkage shape where a cheap exact key bounds
+    the quadratic comparison to block-local pairs (dedup_* tiers do the
+    same with LSH buckets for free-text; this is the structured-record
+    variant).
+
+    Exactness: levenshtein is an integer metric with identical
+    unit-cost semantics in both engines; counts are exact. Scale shape:
+    one shuffle of parts on the blocking key, pairs generated
+    block-locally (|block|² not |table|²), the distance filter applied
+    before the aggregate — at 100 TB the block key is the thing to
+    salt if a brand runs hot."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .groupBy(
+            F.col("a.p_brand").alias("brand"), dist.alias("edit_dist")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("brand", "edit_dist")
+    )

@@ -269,3 +269,11 @@ def test_quantization_is_map_only(spark, sf_dir):
     body = plan.split("== Photon")[0]
     n_ex = body.count("Exchange")
     assert n_ex <= 1 and "rangepartitioning" in plan.lower() or n_ex == 0
+
+
+def test_lateral_decorrelates_to_window_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lateral_top2_orders")
+    # per-row ORDER+LIMIT must decorrelate to a ranked window + equi-join,
+    # never a per-customer nested-loop re-scan of orders
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
