@@ -277,3 +277,48 @@ def test_lateral_decorrelates_to_window_not_nested_loop(spark, sf_dir):
     # never a per-customer nested-loop re-scan of orders
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Window" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """The 100-TB runtime-filter path: when a selective dimension side
+    can't broadcast, Spark injects a bloom_filter_agg on the creation
+    side and a might_contain probe on the fact scan side, pruning
+    shuffle input at runtime. Default thresholds need a >=10 GB
+    application side, so the test lowers them to prove the machinery
+    (and restores them after)."""
+    from ai_duckdb_spark.tables import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        orders = (
+            load(spark, "/root/testdata/sf0.01", "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity")
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "bloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
