@@ -366,3 +366,83 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("o_totalprice")
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@register(
+    "regr_price_on_quantity",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sx,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                   * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sxx,
+               sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / 100.0 AS slope,
+           (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0))
+             - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                / 100.0)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+           (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+             / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             AS r2
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def regr_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (G11 extension — DuckDB's regr_slope
+    / regr_intercept / regr_r2 surface), bit-identical cross-engine:
+    the native regr_* accumulators are order-dependent doubles, so like
+    stats_corr_qty_price this computes the five moment sums in EXACT
+    integer domains (quantity integral, price in cents; the
+    price-squared sum runs as DECIMAL) and finishes the textbook
+    formulas with one identical IEEE op sequence per group — slope in
+    dollars per quantity unit, intercept as ybar - slope*xbar, r2 as
+    cov²/(varx*vary). One shuffle (map-side partial moments)."""
+    from ..functions.exact import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    qx = cents("l_quantity", 0)
+    py = cents("l_extendedprice", 2)
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(d(py) * d(py)).alias("syy"),
+        F.sum(qx * py).alias("sxy"),
+    )
+    n, sx, sy = d(F.col("n")), d(F.col("sx")), d(F.col("sy"))
+    sxx, syy, sxy = d(F.col("sxx")), F.col("syy"), d(F.col("sxy"))
+    cov = (n * sxy - sx * sy).cast("double")
+    varx = (n * sxx - sx * sx).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    slope = cov / varx / F.lit(100.0)
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    ybar = F.col("sy").cast("double") / (F.col("n").cast("double") * F.lit(100.0))
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            slope.alias("slope"),
+            (ybar - slope * xbar).alias("intercept"),
+            ((cov * cov) / (varx * vary)).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
