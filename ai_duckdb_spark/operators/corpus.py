@@ -108,15 +108,24 @@ def contaminated_docs(
     Shape: distinct-shingle explode on both sides, equi-join on the
     shingle (the benchmark side is small by nature — broadcast), count
     distinct matching shingles per (corpus doc, benchmark doc). Returns
-    (doc_id, n_matched_shingles, n_benchmark_docs_hit).
+    (doc_id, n_matched_shingles, n_benchmark_docs_hit). Shingles are
+    64-bit xxhash64 fingerprints of the token slice, never strings —
+    the join/count needs only identity, and hashing removes the
+    shingle-assembly CPU and shrinks the broadcast ~10× (collision
+    bound documented at dedup.shingle_hashes_of_tokens).
     """
-    from .dedup import word_shingles
+    from .dedup import shingle_hashes_of_tokens, tokenized
 
-    corpus_sh = df.select(
-        F.col(id_col).alias("__cid"), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    # corpus side fans out before slice-hashing (tokenized handles both
+    # the input-split fan-out and the materialized token array that keeps
+    # the HOF lambda from re-splitting text per iteration)
+    corpus_sh = tokenized(df, id_col, text_col).select(
+        F.col("__id").alias("__cid"),
+        F.explode(shingle_hashes_of_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
     )
-    bench_sh = benchmark.select(
-        F.col(id_col).alias("__bid"), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    bench_sh = tokenized(benchmark, id_col, text_col).select(
+        F.col("__id").alias("__bid"),
+        F.explode(shingle_hashes_of_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
     )
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "__sh")

@@ -176,7 +176,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_bigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-BIGRAM shingle Jaccard pairs (>= 0.6): order-sensitive
     near-dup detection — reordered docs that tie at 1.0 on unigram sets
-    score low here. Same inverted-index plan, shingle alphabet."""
+    score low here. Same inverted-index plan over a hashed shingle
+    alphabet (xxhash64 of the token slice — Jaccard needs only set
+    identity, so the postings join moves longs, not bigram strings)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return dedup.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.6, shingle_n=2)
 
@@ -527,8 +529,10 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee-et-al suffix-array tier): 10-token rolling spans, a span in >1
     doc is verbatim duplicated text. Linear, no pairwise doc join —
     see operators/dedup.py duplicated_span_stats for the scale
-    argument. The oracle rebuilds the same span relation with DuckDB
-    list comprehensions."""
+    argument. Spark groups on xxhash64 span fingerprints (the entry
+    outputs per-doc counts, never span text); the oracle rebuilds the
+    span relation as strings with DuckDB list comprehensions — counts
+    agree modulo the documented 2^-64 collision bound."""
     docs = load(spark, sf_dir, "documents")
     return dedup.duplicated_span_stats(docs, "doc_id", "text", span_tokens=10).orderBy(
         "doc_id"

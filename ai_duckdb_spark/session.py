@@ -59,6 +59,19 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)` above every
+# explode; predicate pushdown then substitutes the generator's FULL input
+# expression into those filters and pushes them below repartitions to the
+# scan. For the shingle operators that means the entire O(len·n) slice-hash
+# transform is evaluated twice more, single-threaded, in the scan stage —
+# measured 5-7× slowdown on dedup_bigram_jaccard_pairs at sf0.1. The
+# inferred filters only help when a source can prune on them; none of our
+# generators read from such a source, so exclude the rule session-wide.
+_EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
 def get_spark(
     app_name: str = "ai_duckdb_spark",
     master: str | None = None,
@@ -91,6 +104,7 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -114,6 +128,7 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
     # the Spark default (200) over-parallelizes local runs; AQE coalesces
     # post-shuffle but the initial map still pays the fan-out
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
