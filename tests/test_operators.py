@@ -771,3 +771,39 @@ class TestQuantizeAndSketch:
         for r in rows:
             assert 0.0 < r.cosine <= 1.0 + 1e-12
             assert r.src_a < r.src_b
+
+
+class TestSortBasedPercentileFences:
+    def test_winsorize_fences_bit_equal_percentile(self, spark, sf_dir):
+        """winsorized_price_stats derives its p01/p99 fences sort-based
+        (row_number + windowed order-stats) to fuse fence computation
+        and conditional aggregation into one shuffle. The contract is
+        BIT-equality with Spark's exact ``F.percentile`` — same
+        ``percentage * (n-1)`` position and ``lo + (hi-lo) * frac``
+        interpolation in doubles — since the oracle gate hash-compares
+        the fence columns verbatim."""
+        from pyspark.sql import functions as F
+
+        from ai_duckdb_spark.queries.extras_q import winsorized_price_stats
+        from ai_duckdb_spark.tables import load
+
+        got = {
+            r.flag: (r.p01, r.p99)
+            for r in winsorized_price_stats(spark, sf_dir).collect()
+        }
+        ref = {
+            r.flag: (r.p01, r.p99)
+            for r in load(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(
+                F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+                F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+            )
+            .collect()
+        }
+        assert set(got) == set(ref)
+        for flag in ref:
+            # exact ==, not approx: the oracle hash rounds to 9 digits but
+            # boundary n_low/n_high counts flip on any fence divergence
+            assert got[flag][0] == ref[flag][0], flag
+            assert got[flag][1] == ref[flag][1], flag
