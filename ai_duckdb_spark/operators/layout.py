@@ -63,7 +63,12 @@ def zorder_rewrite(
     """Cluster ``df`` along the Z-curve of (col_a, col_b) into
     ``num_files`` range partitions (one output file each, sorted within).
     Inputs are masked into the curve's domain; callers with real key
-    ranges should pre-scale instead of masking."""
+    ranges should pre-scale instead of masking.
+
+    Schema-preserving (advisor r3): the helper ``__z`` column is dropped
+    after the range partition + sort — a trailing projection keeps
+    within-partition order, so a caller can ``.write`` the result
+    directly without persisting a non-schema column."""
     mask = (1 << bits) - 1
     z = zvalue(
         F.col(col_a).bitwiseAND(F.lit(mask)),
@@ -74,4 +79,5 @@ def zorder_rewrite(
         df.withColumn("__z", z)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
+        .drop("__z")
     )
