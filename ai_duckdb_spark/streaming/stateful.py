@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import _event_stream
+from .windows import _drain, _event_stream
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -87,11 +87,10 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stateful_sink_{uuid.uuid4().hex[:8]}"
-    query = out.writeStream.outputMode("update").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        out.writeStream.outputMode("update").format("memory").queryName(sink),
+    )
     # update-mode memory sink appends each emission; keep the final state
     # per user (max n_events is monotonically the latest)
     from pyspark.sql import functions as F
@@ -153,11 +152,10 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
-    query = out.writeStream.outputMode("update").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        out.writeStream.outputMode("update").format("memory").queryName(sink),
+    )
     from pyspark.sql import functions as F
 
     emissions = spark.table(sink)

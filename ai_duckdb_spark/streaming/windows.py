@@ -14,11 +14,71 @@ defaults (event-time windows, watermark-bounded state).
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import convert_event_ts, table_path
+
+# State-store partition count for the bounded fixture replays. The number
+# of state stores is frozen to spark.sql.shuffle.partitions at a streaming
+# query's FIRST batch; every partition pays per-batch store open/commit
+# I/O regardless of how little state it holds, so a fixture-scale replay
+# wants far fewer than a cluster run (where you size this to the executor
+# count BEFORE the first checkpoint is written — it cannot change after).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_run_confs(spark: SparkSession) -> Iterator[None]:
+    """Session confs scoped around a bounded streaming replay.
+
+    * shuffle partitions → STREAM_SHUFFLE_PARTITIONS (see above);
+    * noDataMicroBatches off: all entries here either aggregate in
+      complete/update mode or inner-join with in-batch emission, so every
+      RESULT row is produced by the data batches themselves — the
+      trailing no-data batch exists only to advance the watermark and
+      evict state, which is pure per-query overhead when the query is
+      stopped immediately after draining.
+
+    Both confs are read at ``start()``; restoring them after the run
+    keeps batch entries in the same session unaffected.
+    """
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", ndmb)
+
+
+def _drain(spark: SparkSession, writer) -> None:
+    """Start a bounded streaming query under the replay confs and block
+    until every available input is processed, then stop it."""
+    with stream_run_confs(spark):
+        query = writer.start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+
+# A file-source stream needs an explicit schema, which costs a footer-read
+# job per query; the fixture schemas are immutable per session, so peek
+# once (keyed by application id — a new session must re-peek).
+_SCHEMA_CACHE: dict = {}
+
+
+def _fixture_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,14 +88,37 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fixture generation (see tables.convert_event_ts) and is
     normalized to a session-zone timestamp inside the streaming plan.
     """
+    from ..session import pin_session_defaults
+
+    # pin BEFORE the stream starts: streaming entries must be self-
+    # sufficient in a fresh session — in particular _ship_package, since
+    # the stateful entries reference module-level pandas UDFs that
+    # executors can only unpickle if the package zip was shipped (batch
+    # entries pin via tables.load; a streaming entry may run first)
+    pin_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
+    schema = _fixture_schema(spark, path)
     # the fixture is a single parquet file; stream its directory with a
     # glob filter so the file source gets a directory basePath
     return convert_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (same pinning
+    contract as :func:`_event_stream`)."""
+    from ..session import pin_session_defaults
+
+    pin_session_defaults(spark)
+    path = table_path(sf_dir, "documents")
+    schema = _fixture_schema(spark, path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
 
@@ -62,13 +145,10 @@ def tumbling_counts_stream(
         )
     )
     sink = f"tumbling_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink),
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
     return spark.table(sink).select(
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -91,11 +171,10 @@ def session_window_stream(
         .agg(F.count("*").alias("n_events"))
     )
     sink = f"session_sink_{uuid.uuid4().hex[:8]}"
-    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink).select(
         "user_id",
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -116,11 +195,10 @@ def dedup_within_watermark_stream(
         .agg(F.count("*").alias("n_unique"))
     )
     sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
-    query = deduped.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        deduped.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink)
 
 
@@ -150,11 +228,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
-    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink)
 
 
@@ -180,11 +257,10 @@ def sliding_counts_stream(
         )
     )
     sink = f"sliding_sink_{uuid.uuid4().hex[:8]}"
-    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink).select(
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_events",
@@ -241,11 +317,10 @@ def stream_stream_purchase_click_join(
         ),
     )
     sink = f"ssjoin_sink_{uuid.uuid4().hex[:8]}"
-    query = joined.writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        joined.writeStream.outputMode("append").format("memory").queryName(sink),
+    )
     return spark.table(sink)
 
 
@@ -259,22 +334,15 @@ def langid_confusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.textstats import predicted_lang
 
-    path = table_path(sf_dir, "documents")
-    schema = spark.read.parquet(path).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _document_stream(spark, sf_dir)
     agg = docs.groupBy("lang", predicted_lang().alias("predicted_lang")).agg(
         F.count("*").alias("n")
     )
     sink = f"langid_sink_{uuid.uuid4().hex[:8]}"
-    query = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink).orderBy("lang", "predicted_lang")
 
 
@@ -291,19 +359,14 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import normalized_token_set_key
 
-    path = table_path(sf_dir, "documents")
-    schema = spark.read.parquet(path).schema
     key = normalized_token_set_key("text")
-
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        _document_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 10 == 7)
         .select(F.col("doc_id").alias("new_doc_id"), key.alias("k"))
     )
     existing = (
-        spark.read.parquet(path)
+        spark.read.parquet(table_path(sf_dir, "documents"))
         .filter(F.col("doc_id") % 10 != 7)
         .select(F.col("doc_id").alias("e_id"), key.alias("k"))
     )
@@ -313,11 +376,10 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("e_id").alias("dup_of_existing"))
     )
     sink = f"incdedup_sink_{uuid.uuid4().hex[:8]}"
-    query = hits.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain(
+        spark,
+        hits.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
     return spark.table(sink).orderBy("new_doc_id")
 
 
@@ -333,18 +395,10 @@ def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    path = table_path(sf_dir, "documents")
-    schema = spark.read.parquet(path).schema
     out = tempfile.mkdtemp(prefix="fb_sink_")
     ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-        .select("doc_id", "lang", "text")
-    )
+    stream = _document_stream(spark, sf_dir).select("doc_id", "lang", "text")
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -355,13 +409,14 @@ def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    query = (
-        stream.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_run_confs(spark):
+        query = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     back = spark.read.parquet(out)
     return (
         back.groupBy("lang")
