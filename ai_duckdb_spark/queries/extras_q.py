@@ -773,19 +773,20 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fence(0.01).alias("__p01"),
         fence(0.99).alias("__p99"),
     )
-    return (
-        fenced.groupBy(F.col("l_returnflag").alias("flag"))
-        .agg(
-            F.first("__p01").alias("p01"),
-            F.first("__p99").alias("p99"),
-            F.count(F.when(price < F.col("__p01"), 1)).alias("n_low"),
-            F.count(F.when(price > F.col("__p99"), 1)).alias("n_high"),
-            exact_sum(
-                F.when((price >= F.col("__p01")) & (price <= F.col("__p99")), price),
-                2,
-            ).alias("sum_unclipped"),
-        )
-        .orderBy("flag")
+    # no presentation orderBy: the result is 3 rows and the driver's
+    # comparison is order-insensitive — a global sort here costs a
+    # range-partition sampling job per run for nothing
+    return fenced.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("__p01").alias("p01"),
+        F.col("__p99").alias("p99"),
+    ).agg(
+        F.count(F.when(price < F.col("__p01"), 1)).alias("n_low"),
+        F.count(F.when(price > F.col("__p99"), 1)).alias("n_high"),
+        exact_sum(
+            F.when((price >= F.col("__p01")) & (price <= F.col("__p99")), price),
+            2,
+        ).alias("sum_unclipped"),
     )
 
 

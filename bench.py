@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Benchmark the query catalog at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Protocol (BASELINE.md): warm measurement — one JIT warm-up action first,
-then each headline query timed build→collect. Prints ONE JSON line:
-
-    {"metric": "...", "value": <total warm sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Protocol (BASELINE.md, revised per r3 judge item 2 — the single-pass
+numbers did not reproduce between runs): one cold pass (plan compile +
+JIT), then ``BENCH_PASSES`` (default 3) timed warm passes per side,
+INTERLEAVED Spark-pass / DuckDB-pass so machine-state drift (page cache,
+thermal, background load) hits both engines symmetrically. Each query
+reports its per-side MEDIAN across the warm passes; totals are sums of
+medians. Line 1 carries ``median_of`` so the protocol is auditable.
 
 Headline set = every oracle-checked BATCH catalog query. The
 Structured-Streaming entries measure micro-batch framework overhead
@@ -16,11 +18,13 @@ in the headline ratio.
 
 Output: TWO JSON lines (the round-1 driver truncated one giant line, so
 the first line is a compact self-contained summary — warm/duck totals,
-ratio, worst-5 — and the full per-query map follows on line 2).
+ratio, worst-5 — and line 2 carries BOTH full per-query maps, Spark and
+DuckDB, so per-query ratios stay auditable after the fact).
 
 Env:
     SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+    BENCH_PASSES         timed warm passes per side (default 3, min 1)
     BENCH_DUCKDB=0       skip timing the DuckDB oracle side (on by default)
 """
 
@@ -29,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ai_duckdb_spark.queries import catalog  # noqa: E402
 from ai_duckdb_spark.session import get_spark  # noqa: E402
 from ai_duckdb_spark.tables import TABLE_NAMES, table_path  # noqa: E402
+
 
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -55,31 +61,40 @@ def _streaming_specs():
     return [s for s in catalog.REGISTRY.values() if s.name.startswith("streaming_")]
 
 
-def bench_spark(sf_dir: str) -> tuple[dict[str, float], float, float]:
-    """Cold+warm per query (BASELINE.md protocol: gate on warm).
+def _spark_pass(spark, specs, sf_dir: str) -> dict[str, float]:
+    """One timed pass: every headline query, build→Arrow toPandas.
 
     Materialization is Arrow ``toPandas`` — symmetric with the DuckDB
     side's ``fetchdf`` so both engines pay a pandas result, and the
     JVM→Python edge uses columnar batches instead of per-Row pickling.
     """
-    spark = get_spark(app_name="ai_duckdb_spark_bench")
-    specs = _headline_specs()
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    timings: dict[str, float] = {}
     for spec in specs:
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).toPandas()
-        cold[spec.name] = round(time.perf_counter() - t0, 4)
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def _duck_pass(con, specs) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for spec in specs:
         t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).toPandas()
-        warm[spec.name] = round(time.perf_counter() - t0, 4)
-    return warm, round(sum(warm.values()), 4), round(sum(cold.values()), 4)
+        con.sql(spec.oracle).fetchdf()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+    return timings
 
 
-def bench_streaming(sf_dir: str) -> tuple[dict[str, float], float]:
+def _median_by_query(passes: list[dict[str, float]]) -> dict[str, float]:
+    return {
+        name: round(statistics.median(p[name] for p in passes), 4)
+        for name in passes[0]
+    }
+
+
+def bench_streaming(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     """Time the Structured-Streaming entries once each (framework
     overhead line — not part of the headline engine-throughput ratio)."""
-    spark = get_spark(app_name="ai_duckdb_spark_bench")
     timings: dict[str, float] = {}
     for spec in _streaming_specs():
         t0 = time.perf_counter()
@@ -88,30 +103,44 @@ def bench_streaming(sf_dir: str) -> tuple[dict[str, float], float]:
     return timings, round(sum(timings.values()), 4)
 
 
-def bench_duckdb(sf_dir: str) -> tuple[dict[str, float], float]:
-    import duckdb
-
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
-        )
-    for name in TABLE_NAMES:  # one warm pass over the files, not per query
-        con.execute(f"SELECT count(*) FROM {name}").fetchall()
-    specs = _headline_specs()
-    timings: dict[str, float] = {}
-    for spec in specs:
-        t0 = time.perf_counter()
-        con.sql(spec.oracle).fetchdf()
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
-    return timings, round(sum(timings.values()), 4)
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_from_dir(sf_dir)
-    timings, total, cold_total = bench_spark(sf_dir)
-    s_timings, s_total = bench_streaming(sf_dir)
+    passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
+    with_duck = os.environ.get("BENCH_DUCKDB", "1") != "0"
+
+    spark = get_spark(app_name="ai_duckdb_spark_bench")
+    specs = _headline_specs()
+
+    con = None
+    if with_duck:
+        import duckdb
+
+        con = duckdb.connect()
+        for name in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            )
+        for name in TABLE_NAMES:  # one warm pass over the files, not per query
+            con.execute(f"SELECT count(*) FROM {name}").fetchall()
+
+    # cold pass: plan compilation + codegen/JIT, reported separately
+    cold = _spark_pass(spark, specs, sf_dir)
+    cold_total = round(sum(cold.values()), 4)
+
+    # interleaved warm passes: S, D, S, D, ... so machine-state drift is
+    # shared; per-query medians absorb one-off stalls on either side
+    s_passes: list[dict[str, float]] = []
+    d_passes: list[dict[str, float]] = []
+    for _ in range(passes):
+        s_passes.append(_spark_pass(spark, specs, sf_dir))
+        if con is not None:
+            d_passes.append(_duck_pass(con, specs))
+
+    timings = _median_by_query(s_passes)
+    total = round(sum(timings.values()), 4)
+    s_timings, s_total = bench_streaming(spark, sf_dir)
 
     summary = {
         "metric": "catalog_warm_total",
@@ -119,34 +148,35 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "median_of": passes,
         "warm_total": total,
         "cold_total": cold_total,
         "streaming_overhead_total": s_total,
         "n_streaming": len(s_timings),
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
     }
-    if os.environ.get("BENCH_DUCKDB", "1") != "0":
-        d_timings, d_total = bench_duckdb(sf_dir)
+    line2 = {
+        "metric": "catalog_warm_per_query",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "median_of": passes,
+        "queries": {**timings, **s_timings},
+    }
+    if con is not None:
+        d_timings = _median_by_query(d_passes)
+        d_total = round(sum(d_timings.values()), 4)
         summary["duck_total"] = d_total
         summary["ratio_vs_duckdb"] = round(total / max(d_total, 1e-9), 4)
         worst = sorted(
             ((timings[k] / max(d_timings[k], 1e-4), k) for k in timings), reverse=True
         )[:5]
         summary["worst_ratio_queries"] = {k: round(r, 2) for r, k in worst}
+        line2["duckdb_queries"] = d_timings
 
-    # line 1: compact summary (driver-parseable); line 2: full per-query map
+    # line 1: compact summary (driver-parseable); line 2: both full maps
     print(json.dumps(summary))
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_warm_per_query",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "queries": {**timings, **s_timings},
-            }
-        )
-    )
+    print(json.dumps(line2))
 
 
 if __name__ == "__main__":
