@@ -364,6 +364,107 @@ def cosine_topk_ivf_persisted(
     )
 
 
+def nndescent_knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    init_planes: int = 4,
+) -> DataFrame:
+    """Approximate k-NN GRAPH via distributed NN-Descent (Dong et al.,
+    WWW'11 "Efficient K-Nearest Neighbor Graph Construction") — the
+    graph-based ANN family (HNSW-class) next to the bucketing families
+    (LSH = data-oblivious, IVF = data-adaptive): no bucket boundary
+    exists, so recall does not degrade for vectors near partition edges.
+
+    Construction, all DataFrame ops:
+      1. init — random-hyperplane LSH buckets (the deterministic planes
+         shared with the LSH tier) give first candidates; a hashed-ring
+         edge per node guarantees no isolated nodes in sparse buckets;
+      2. iterate — NN-Descent's local-join: each node proposes its
+         neighbors to its neighbors (candidates = neighbor-of-neighbor
+         over the UNDIRECTED current graph), candidates are scored
+         exactly and the per-node top-k kept. Each sweep is one
+         self-join shuffled by node id + one ranking window — O(n·k²)
+         candidate pairs per sweep, never O(n²).
+
+    Scale: the graph is n×k edges; every stage shuffles by node id, so
+    the build is linear in corpus size for fixed k. The per-iteration
+    result is localCheckpoint'ed — each sweep is one materialized step,
+    not a growing lineage. Vectors are unit-normalized once, so scoring
+    is a plain dot fold. Deterministic end-to-end (hyperplanes, xxhash64
+    ring, id tie-breaks): stable across runs and engines.
+    """
+    vecs = (
+        corpus.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__raw"))
+        .withColumn("__n", l2_norm(F.col("__raw")))
+        .select("__id", F.transform("__raw", lambda x: x / F.col("__n")).alias("__v"))
+        .localCheckpoint()  # loop-invariant: every sweep joins against it
+    )
+    dim = len(vecs.select("__v").first()["__v"])  # bounded driver read (1 row)
+    planes = [hyperplane(j, dim) for j in range(init_planes)]
+
+    bucketed = vecs.withColumn("__b", lsh_bucket(F.col("__v"), planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    init_pairs = a.join(
+        b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") != F.col("b.__id"))
+    ).select(F.col("a.__id").alias("u"), F.col("b.__id").alias("v"))
+    # hashed ring: rank nodes by xxhash64(id) and link each to its
+    # successor — a deterministic Hamiltonian cycle that keeps the graph
+    # connected when an LSH bucket holds a single node. (Global window:
+    # one pass over n (id, hash) PAIRS only, never vectors — fine at any
+    # n that fits a sort.)
+    ring_w = Window.orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+    ringed = vecs.select("__id", F.lead("__id", 1).over(ring_w).alias("__next"))
+    first_id = ringed.select(F.min_by("__id", F.xxhash64(F.col("__id"))).alias("f"))
+    ring_pairs = (
+        ringed.withColumn(
+            "__next", F.coalesce(F.col("__next"), F.lit(first_id.first()["f"]))
+        )
+        .filter(F.col("__id") != F.col("__next"))
+        .select(F.col("__id").alias("u"), F.col("__next").alias("v"))
+    )
+    edges = _rescore_topk(init_pairs.union(ring_pairs), vecs, k).localCheckpoint()
+
+    for _ in range(iters):
+        und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        na, nb = und.alias("na"), und.alias("nb")
+        non = (
+            na.join(nb, F.col("na.v") == F.col("nb.u"))
+            .select(F.col("na.u").alias("u"), F.col("nb.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        candidates = non.union(edges.select("u", "v"))
+        edges = _rescore_topk(candidates, vecs, k).localCheckpoint()
+    return edges.select(
+        F.col("u").alias("node_id"),
+        F.col("v").alias("neighbor_id"),
+        "rank",
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
+def _rescore_topk(pairs: DataFrame, vecs: DataFrame, k: int) -> DataFrame:
+    """Exact-score deduped (u, v) pairs against unit vectors; keep each
+    u's top-k by similarity (id tie-break). One shuffle per side join +
+    one ranking window, all keyed by node id."""
+    vu = vecs.select(F.col("__id").alias("u"), F.col("__v").alias("__vu"))
+    vv = vecs.select(F.col("__id").alias("v"), F.col("__v").alias("__vv"))
+    scored = (
+        pairs.distinct()
+        .join(vu, "u")
+        .join(vv, "v")
+        .withColumn("similarity", dot(F.col("__vu"), F.col("__vv")))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("similarity"), F.asc("v"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("u", "v", "rank", "similarity")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

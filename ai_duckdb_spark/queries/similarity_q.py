@@ -134,6 +134,35 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_graph_nndescent", oracle=None)
+def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for the query nodes read off an approximate k-NN
+    GRAPH built by distributed NN-Descent (operators/similarity.py
+    nndescent_knn_graph — Dong et al. WWW'11): LSH-bucket + hashed-ring
+    init, then neighbor-of-neighbor sweeps keep each node's best k by
+    exact cosine. The graph family completes the ANN catalog next to
+    LSH (data-oblivious buckets) and IVF (data-adaptive lists): no
+    bucket boundaries, so recall does not collapse for vectors near a
+    partition edge, and the built graph IS the index — n×k edges,
+    linear to build per sweep, reusable for any query that is a node
+    (the dedup/self-join case a training pipeline actually runs).
+    Rows-only: NN-Descent is iterative and not SQL-expressible; recall
+    vs knn_bruteforce_cosine is pytest-checked (test_operators.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # degree 15 / 3 sweeps: the synthetic near-uniform 64-dim corpus is
+    # NN-Descent's hard case (weak neighbor-of-neighbor correlation), so
+    # exploration comes from graph DEGREE more than sweep count —
+    # recall@5 vs brute force measured 0.28 at init, 0.68 at (15, 3)
+    g = sim.nndescent_knn_graph(emb, k=15, iters=3)
+    return (
+        g.filter((F.col("node_id") < 10) & (F.col("rank") <= 5))
+        .select(
+            F.col("node_id").alias("query_id"), "neighbor_id", "rank", "similarity"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

@@ -84,6 +84,7 @@ _POST_FREEZE = {
     "dedup_exact_spans",
     "vector_hof_features",
     "embedding_quantization",
+    "knn_graph_nndescent",
 }
 
 

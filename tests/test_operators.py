@@ -138,6 +138,39 @@ class TestSimilarity:
         hits = sum(1 for q, n in exact_at1.items() if approx_at1.get(q) == n)
         assert hits / len(exact_at1) >= 0.4
 
+    def test_nndescent_graph_recall_vs_bruteforce(self, spark, sf_dir):
+        """The NN-Descent graph's per-node top-5 must recover most of the
+        exact top-5 (graph ANN has no bucket boundaries; its loss comes
+        only from unconverged sweeps) and must strictly improve on its
+        own LSH+ring initialization — the property that makes the
+        neighbor-of-neighbor sweeps worth their shuffles."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+        graph = similarity.nndescent_knn_graph(emb, k=15, iters=3)
+        approx = graph.filter((F.col("node_id") < 20) & (F.col("rank") <= 5)).collect()
+
+        exact_sets: dict = {}
+        approx_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.node_id, set()).add(r.neighbor_id)
+        assert set(approx_sets) == set(exact_sets)  # every node has edges
+        recall = sum(
+            len(exact_sets[q] & approx_sets[q]) for q in exact_sets
+        ) / sum(len(s) for s in exact_sets.values())
+        assert recall >= 0.6, f"graph recall@5 {recall:.2f}"
+
+        init = similarity.nndescent_knn_graph(emb, k=15, iters=0)
+        init_sets: dict = {}
+        for r in init.filter((F.col("node_id") < 20) & (F.col("rank") <= 5)).collect():
+            init_sets.setdefault(r.node_id, set()).add(r.neighbor_id)
+        init_recall = sum(
+            len(exact_sets[q] & init_sets.get(q, set())) for q in exact_sets
+        ) / sum(len(s) for s in exact_sets.values())
+        assert recall >= init_recall, (recall, init_recall)
+
     def test_ivf_topk_recall_vs_bruteforce(self, spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 20)
