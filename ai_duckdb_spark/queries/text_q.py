@@ -466,17 +466,25 @@ def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: levenshtein is an integer metric with identical
     unit-cost semantics in both engines; counts are exact. Scale shape:
-    one shuffle of parts on the blocking key, pairs generated
-    block-locally (|block|² not |table|²) — and the expensive metric is
-    (a) preceded by the free |len(a)-len(b)| <= k lower-bound filter,
-    which prunes most pairs with an int compare, and (b) the BANDED
-    3-arg levenshtein (O(len×k) per pair, -1 past the threshold),
-    computed ONCE in a projection rather than re-evaluated in filter
-    and groupBy (together: 14.6 s → 9.1 s at sf0.1, same 75 rows). At
-    100 TB the block key is the thing to salt if a brand runs hot."""
+    pairs are generated block-locally (|block|² not |table|²), and the
+    expensive metric is (a) preceded by the free |len(a)-len(b)| <= k
+    lower-bound filter, and (b) the BANDED 3-arg levenshtein (O(len×k)
+    per pair, -1 past the threshold), computed ONCE in a projection
+    (14.6 s → 9.1 s at sf0.1). Join geometry (r4): the build side is a
+    BROADCAST and the stream side is round-robin repartitioned first —
+    a shuffled self-join here has tiny MAP output (the table) but a
+    ~400× fan-out inside the join, so AQE coalesces the exchange to
+    one partition and every metric evaluation lands on one core
+    (measured 6.9 s); broadcasting keeps the fan-out on the stream
+    side's 32 partitions with no pair shuffle at all (1.5 s, same 75
+    rows). At 100 TB the stream side stays partitioned by input splits
+    and only the blocked dimension broadcasts; salt the block key if a
+    brand runs hot."""
+    from ..session import default_parallelism
+
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = part.alias("a")
-    b = part.alias("b")
+    a = part.repartition(default_parallelism()).alias("a")
+    b = F.broadcast(part).alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     return (
         a.join(
