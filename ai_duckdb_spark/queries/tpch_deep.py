@@ -4,8 +4,9 @@ The reference promises the full analytic SELECT surface through its
 prompt contract (reference doc.py:183-188); these entries pin the
 remaining classic TPC-H shapes expressible on the driver fixtures
 (no partsupp table, no l_shipmode/l_commitdate columns — Q2/Q4/Q8/Q11/
-Q12/Q15/Q16/Q20/Q21 are out of fixture reach; Q1/Q3/Q5/Q17 live in
-tpch.py):
+Q12/Q15/Q16/Q20/Q21 are out of SPEC-EXACT fixture reach — their
+planning shapes live in tpch_deep2.py on substituted fixture columns;
+Q1/Q3/Q5/Q17 live in tpch.py):
 
   * Q6  — pure scan-side conjunctive filter + single exact aggregate
   * Q10 — returned-item revenue: 4-way join, group on customer, top 20
