@@ -465,6 +465,257 @@ def _rescore_topk(pairs: DataFrame, vecs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.3,
+    n_clusters: int = 16,
+    iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within clusters.
+
+    A vector is a duplicate iff SOME lower-id vector in its k-means
+    cluster has cosine >= ``eps`` with it (the paper's per-cluster
+    pairwise rule with the keep-lowest-index policy, which makes the
+    result deterministic and engine-independent). Output:
+    (``id_col``, cid, is_dup) for every corpus row.
+
+    Scale shape: clustering reuses the deterministic spherical k-means
+    of the IVF tier (one narrow shuffle per Lloyd iteration); the
+    pairwise stage is an equi-join on the cluster id, so candidate
+    volume is sum(|cluster|^2) instead of N^2 — the entire point of the
+    paper at 100 TB. Clusters are balanced by construction on real
+    embedding corpora; a pathologically hot cluster should be split by
+    raising ``n_clusters`` (re-cluster the hot list) rather than salted,
+    since the within-cluster ALL-pairs semantics cannot be salted
+    without losing pairs. Exactness: scoring is the same unit-normalize
+    + JVM dot fold as every other tier; the dup decision compares
+    bit-identical doubles, so the approximate part is ONLY which pairs
+    meet (cluster boundaries) — pytest pins dup-set ⊆ exact dup-set and
+    recall vs the corpus-wide exact rule (tests/test_operators.py)."""
+    spark = corpus.sparkSession
+    vecs = (
+        corpus.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__raw"))
+        .withColumn("__n", l2_norm(F.col("__raw")))
+        .select("__id", F.transform("__raw", lambda x: x / F.col("__n")).alias("__v"))
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    assigned = _nearest(vecs, "__id", "__v", _centroids_df(spark, centroids), 1).drop(
+        "crank"
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("__id").alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(dot(F.col("__va"), F.col("__vb")) >= eps)
+        .select(F.col("__ida").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.__id == dups.__dup_id, "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cid",
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dim in ``m``
+    contiguous subspaces and run L2 k-means with ``ksub`` codes in each.
+
+    ``vecs`` is the normalized (__id, __v) frame (kmeans_centroids
+    layout). All ``m`` subspace trainings run in ONE DataFrame job per
+    Lloyd iteration — subvectors are keyed by (subspace, code), so the
+    update is a single (m × ksub × dsub)-group aggregate; only
+    m·ksub·dsub floats (the model) ever reach the driver. Init is the
+    ksub lowest-id subvectors per subspace — deterministic, no RNG.
+    L2 assignment uses argmax(dot(x, c) - ||c||²/2), equivalent to
+    argmin ||x - c||² with the rows' own norms constant-folded away.
+    """
+    spark = vecs.sparkSession
+    dim = len(vecs.select("__v").first()["__v"])  # bounded driver read (1 row)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    slices = F.array(*[F.slice("__v", i * dsub + 1, dsub) for i in range(m)])
+    sub = vecs.select(
+        "__id", F.posexplode(slices).alias("__m", "__sv")
+    ).localCheckpoint()  # loop-invariant: scanned once per Lloyd iteration
+
+    w_init = Window.partitionBy("__m").orderBy("__id")
+    init = (
+        sub.withColumn("__r", F.row_number().over(w_init))
+        .filter(F.col("__r") <= ksub)
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * ksub for _ in range(m)]  # type: ignore[list-item]
+    for r in init:
+        books[r["__m"]][r["__r"] - 1] = list(r["__sv"])
+
+    for _ in range(iters):
+        assigned = _pq_assign(sub, _pq_books_df(spark, books))
+        rows = (
+            assigned.select("__m", "code", F.posexplode("__sv").alias("__pos", "__val"))
+            .groupBy("__m", "code", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .collect()
+        )
+        means: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            means.setdefault((r["__m"], r["code"]), [0.0] * dsub)[r["__pos"]] = r["__mean"]
+        for (mi, ci), mean in means.items():  # empty codes keep previous centroid
+            books[mi][ci] = mean
+    return books
+
+
+def _pq_books_df(spark, books: list[list[list[float]]]) -> DataFrame:
+    """The PQ model as an (m, code, cvec, csq) relation — broadcast like
+    any dimension table (same rationale as _centroids_df)."""
+    rows = [
+        (mi, ci, [float(v) for v in c], float(sum(v * v for v in c)))
+        for mi, book in enumerate(books)
+        for ci, c in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "m int, code int, cvec array<double>, csq double")
+
+
+def _pq_assign(sub: DataFrame, books_df: DataFrame) -> DataFrame:
+    """Nearest-code assignment for an (__id, __m, __sv) subvector frame:
+    broadcast join against the codebook relation, rank by the L2-
+    equivalent score, keep 1 (ties toward lower code, deterministic)."""
+    scored = sub.join(F.broadcast(books_df), sub.__m == books_df.m).withColumn(
+        "__score", dot(F.col("__sv"), F.col("cvec")) - F.col("csq") / 2
+    )
+    w = Window.partitionBy("__id", "__m").orderBy(F.desc("__score"), F.asc("code"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("__id", "__m", "__sv", "code")
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    rerank: int = 4,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF-PQ: the IVF coarse quantizer prunes to
+    ``nprobe`` inverted lists, PQ codes score the surviving candidates
+    by asymmetric distance (ADC), and the ``rerank``·k best per query
+    are re-scored exactly.
+
+    Why this tier exists at 100 TB: the probed candidates are scored
+    from ``m`` one-byte codes per vector instead of the full
+    ``dim × 4``-byte embedding — the scan that feeds candidate scoring
+    shrinks ~dim·4/m× (32× at dim=64, m=8), and only the rerank·k
+    survivors per query ever touch a full vector again. Unit-normalized
+    vectors make cosine = dot decompose exactly over the m subspaces,
+    so ADC = Σ_m table[m][code_m] with the per-query table built by one
+    broadcast join against the (m·ksub)-row codebook relation.
+
+    All stages deterministic (lowest-id k-means inits, id tie-breaks);
+    rows-only in the catalog with recall pytest-checked against the
+    brute-force tier."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    centroids_df = _centroids_df(spark, centroids)
+
+    def _unit(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias("__raw"))
+            .withColumn("__n", l2_norm(F.col("__raw")))
+            .select(out_id, F.transform("__raw", lambda x: x / F.col("__n")).alias("__v"))
+        )
+
+    cvecs = _unit(corpus, "__id").localCheckpoint()  # reused by train/encode/rerank
+    if books is None:
+        books = pq_train_codebooks(cvecs, m=m, ksub=ksub, iters=iters)
+    books_df = _pq_books_df(spark, books)
+
+    dim = len(books[0][0]) * m
+    dsub = dim // m
+    slices = F.array(*[F.slice("__v", i * dsub + 1, dsub) for i in range(m)])
+
+    coarse = _nearest(cvecs, "__id", "__v", centroids_df, 1).select(
+        "__id", F.col("cid").alias("__cluster")
+    )
+    codes = (
+        _pq_assign(cvecs.select("__id", F.posexplode(slices).alias("__m", "__sv")), books_df)
+        .join(coarse, "__id")
+        .select(F.col("__id").alias("neighbor_id"), "__cluster", "__m", "code")
+    )
+
+    qvecs = _unit(queries, "query_id")
+    q_probe = _nearest(qvecs, "query_id", "__v", centroids_df, nprobe).select(
+        "query_id", F.col("cid").alias("__cluster")
+    )
+    # per-query ADC table: partial dot against every codebook entry —
+    # |Q| × m × ksub rows, broadcast to the candidate join
+    adc = (
+        qvecs.select("query_id", F.posexplode(slices).alias("__m", "__qsv"))
+        .join(F.broadcast(books_df), F.col("__m") == books_df.m)
+        .select(
+            "query_id", "__m", "code", dot(F.col("__qsv"), F.col("cvec")).alias("__partial")
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(q_probe), "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(adc), ["query_id", "__m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__partial").alias("__adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    shortlist = cand.withColumn("__r", F.row_number().over(w_adc)).filter(
+        F.col("__r") <= rerank * k
+    )
+    # exact rerank of the shortlist only (unit vectors: cosine = dot)
+    full = (
+        shortlist.join(
+            cvecs.select(F.col("__id").alias("neighbor_id"), F.col("__v").alias("__cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(qvecs.select("query_id", F.col("__v").alias("__qv"))), "query_id"
+        )
+        .withColumn("similarity", dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        full.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("similarity", 4).alias("similarity"))
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

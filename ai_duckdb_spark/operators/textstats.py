@@ -144,49 +144,62 @@ def repetition_metrics(
     occurrences that are repeats of an earlier one.
 
     All ratios are integer/integer divisions (bit-identical
-    cross-engine). Shape: explode bigrams → count per (doc, bigram) —
-    one shuffle keyed by (doc, bigram), linear in corpus size — then a
-    per-doc max/sum rollup (second, tiny shuffle). Docs shorter than 2
-    tokens have no bigrams and report zero fractions.
+    cross-engine). Shape: MAP-ONLY — the metrics are per-document, so
+    nothing ever needs to leave the row: bigrams are (tok, tok) structs
+    built by one zip_with of two slices (no concat, no hash, no
+    collision bound), the duplicate count is size - size(array_distinct),
+    and the top-bigram multiplicity is the longest run in the SORTED
+    bigram array, found by one aggregate fold. Zero shuffles at any
+    scale (the earlier explode + (doc, bigram) groupBy form moved
+    corpus x bigram rows through a shuffle for a per-doc answer).
+    Docs shorter than 2 tokens have no bigrams and report zero
+    fractions.
     """
-    from .dedup import word_shingles
-
-    n_tok = token_count(text_col)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.xxhash64(a, b),
+    )
     base = df.select(
-        F.col(id_col), n_tok.alias("__n_tok"), F.split(F.col(text_col), " ").alias("__toks")
+        F.col(id_col),
+        n.alias("__n_tok"),
+        F.array_sort(grams).alias("__sorted"),
     )
-    grams = base.select(
-        id_col,
+    total = F.size("__sorted")
+    dups = total - F.size(F.array_distinct("__sorted"))
+    # longest equal-run in the sorted array = max bigram multiplicity
+    run0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    top = F.aggregate(
+        F.col("__sorted"),
+        run0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    agg = base.select(
+        F.col(id_col),
         "__n_tok",
-        F.explode_outer(
-            F.when(
-                F.size("__toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("__toks", i + 1), F.element_at("__toks", i + 2)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("__gram"),
-    )
-    per_gram = grams.groupBy(id_col, "__n_tok", "__gram").agg(
-        F.count("*").alias("__c")
-    )
-    agg = per_gram.groupBy(id_col, "__n_tok").agg(
-        F.max(F.when(F.col("__gram").isNotNull(), F.col("__c")).otherwise(0)).alias(
-            "__top"
-        ),
-        F.sum(F.when(F.col("__gram").isNotNull(), F.col("__c") - 1).otherwise(0)).alias(
-            "__dups"
-        ),
-        F.sum(F.when(F.col("__gram").isNotNull(), F.col("__c")).otherwise(0)).alias(
-            "__total"
-        ),
+        top.alias("__top"),
+        dups.alias("__dups"),
+        total.alias("__total"),
     )
     return agg.select(
         F.col(id_col),
-        F.col("__n_tok").alias("n_tokens"),
+        F.col("__n_tok").cast("long").alias("n_tokens"),
         F.col("__top").cast("long").alias("top_bigram_count"),
         F.when(F.col("__total") > 0, F.col("__top") * 2 / F.col("__n_tok"))
         .otherwise(F.lit(0.0))

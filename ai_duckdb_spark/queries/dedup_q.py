@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
+from ..operators import similarity as sim_ops
 from ..operators.cluster import connected_components_twophase
 from ..tables import load
 from .catalog import register
@@ -566,3 +567,74 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import incremental_dedup_stream
 
     return incremental_dedup_stream(spark, sf_dir)
+
+
+@register(
+    "dedup_semantic_exact",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)    AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.val * b.val) AS dp
+        FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT DISTINCT id2 AS vec_id
+        FROM dots
+        JOIN norms n1 ON dots.id1 = n1.vec_id
+        JOIN norms n2 ON dots.id2 = n2.vec_id
+        WHERE dp / sqrt(n1.sq * n2.sq) >= 0.3
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           sum(CASE WHEN dups.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dups,
+           sum(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END)     AS n_survivors
+    FROM embeddings LEFT JOIN dups USING (vec_id)
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact semantic dedup (keep-lowest-id rule): a vector
+    is a duplicate iff SOME lower-id vector anywhere in the corpus has
+    cosine >= 0.3 with it; survivors/dups counted per label. This is
+    the ground-truth relation the clustered SemDeDup tier
+    (dedup_semdedup) approximates — its dup set is provably a subset of
+    this one, and the pytest recall gate measures how much of it the
+    clustering recovers. Reuses embedding_cosine_pairs' auto
+    broadcast↔posjoin strategy (operators/dedup.py), so the exact tier
+    itself flips off broadcast by measured bytes at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
+    dups = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    return (
+        emb.join(dups.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).alias("n_dups"),
+            F.sum(F.when(F.col("__d").isNull(), 1).otherwise(0)).alias("n_survivors"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("dedup_semdedup", oracle=None)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the
+    LAION/LLM-corpus semantic dedup recipe): k-means-cluster the
+    embeddings, then prune within clusters only (cosine >= 0.3,
+    keep-lowest-id). The within-cluster equi-join makes candidate
+    volume sum(|cluster|^2) instead of N^2 — the scale path next to the
+    exact corpus-wide tier (dedup_semantic_exact). Rows-only: the
+    k-means model is iterative (not SQL-expressible); pytest pins
+    dup ⊆ exact-dup plus a recall floor (tests/test_operators.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    flags = sim_ops.semdedup(emb, eps=0.3, n_clusters=16, iters=3)
+    return flags.orderBy("vec_id")

@@ -360,3 +360,27 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return quantization_report(emb, "embedding", ("vec_id",)).orderBy("vec_id")
+
+
+@register("knn_ivfpq_cosine", oracle=None)
+def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-PQ (operators/similarity.py
+    cosine_topk_ivfpq — Jégou et al. 2011): the IVF coarse quantizer
+    prunes to nprobe inverted lists, product-quantization codes (m=8
+    subspaces × 16 codes) score candidates by asymmetric distance from
+    one broadcast lookup table, and only the ADC shortlist is re-scored
+    against full vectors. The memory-compressed ANN tier: candidate
+    scoring reads m one-byte codes per vector instead of dim×4 bytes —
+    at 100 TB of embeddings that is the difference between an index
+    that fits the cluster's RAM and one that doesn't. Deterministic
+    end-to-end (lowest-id k-means inits, id tie-breaks); rows-only with
+    recall pytest-checked against knn_bruteforce_cosine
+    (tests/test_operators.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    if sf_dir not in _IVF_MODELS:  # share the coarse quantizer with knn_ivf_cosine
+        _IVF_MODELS[sf_dir] = sim.kmeans_centroids(emb, n_clusters=16, iters=3)
+    return sim.cosine_topk_ivfpq(
+        emb, queries, k=5, n_clusters=16, nprobe=4, m=8, ksub=16,
+        centroids=_IVF_MODELS[sf_dir],
+    ).orderBy("query_id", "rank")

@@ -840,3 +840,70 @@ class TestSortBasedPercentileFences:
             # boundary n_low/n_high counts flip on any fence divergence
             assert got[flag][0] == ref[flag][0], flag
             assert got[flag][1] == ref[flag][1], flag
+
+
+class TestIvfPq:
+    def test_ivfpq_topk_recall_vs_bruteforce(self, spark, sf_dir):
+        """ADC scoring over m=8 one-byte codes + exact rerank of the
+        shortlist must keep set recall close to the plain-IVF tier —
+        the compression can only lose candidates INSIDE the probed
+        lists, and the rerank re-scores those exactly."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+        approx = similarity.cosine_topk_ivfpq(
+            emb, queries, k=5, n_clusters=8, nprobe=4, m=8, ksub=16, iters=2
+        ).collect()
+        exact_sets: dict = {}
+        approx_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(approx_sets) == set(exact_sets)
+        recall = sum(
+            len(exact_sets[q] & approx_sets[q]) for q in exact_sets
+        ) / sum(len(s) for s in exact_sets.values())
+        assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+
+    def test_pq_codebooks_deterministic(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        vecs = (
+            emb.select(F.col("vec_id").alias("__id"),
+                       F.col("embedding").cast("array<double>").alias("__v"))
+        )
+        b1 = similarity.pq_train_codebooks(vecs, m=4, ksub=8, iters=2)
+        b2 = similarity.pq_train_codebooks(vecs, m=4, ksub=8, iters=2)
+        assert b1 == b2  # no RNG: identical model every run
+        assert len(b1) == 4 and all(len(book) == 8 for book in b1)
+
+
+class TestSemDedup:
+    def test_semdedup_subset_of_exact_and_recall(self, spark, sf_dir):
+        """Soundness: the clustered dup set is a subset of the exact
+        corpus-wide keep-lowest-id dup set (clustering can only REMOVE
+        candidate pairs, never invent them). Completeness: within-cluster
+        pruning must still recover most of the exact dup set on the
+        fixture (near-dups land in the same k-means cell)."""
+        from ai_duckdb_spark.operators import dedup as dedup_ops
+
+        emb = load(spark, sf_dir, "embeddings")
+        exact_pairs = dedup_ops.embedding_cosine_pairs(emb, threshold=0.3)
+        exact_dups = {r.id2 for r in exact_pairs.select("id2").distinct().collect()}
+        flags = similarity.semdedup(emb, eps=0.3, n_clusters=16, iters=3).collect()
+        clustered_dups = {r.vec_id for r in flags if r.is_dup}
+        assert clustered_dups <= exact_dups
+        if exact_dups:
+            recall = len(clustered_dups) / len(exact_dups)
+            assert recall >= 0.3, f"SemDeDup recall too low: {recall}"
+
+    def test_semdedup_full_cover_when_one_cluster(self, spark, sf_dir):
+        """With a single cluster, SemDeDup degenerates to the exact rule
+        — the approximation error must be exactly zero."""
+        from ai_duckdb_spark.operators import dedup as dedup_ops
+
+        emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+        exact_pairs = dedup_ops.embedding_cosine_pairs(emb, threshold=0.3)
+        exact_dups = {r.id2 for r in exact_pairs.select("id2").distinct().collect()}
+        flags = similarity.semdedup(emb, eps=0.3, n_clusters=1, iters=1).collect()
+        assert {r.vec_id for r in flags if r.is_dup} == exact_dups
