@@ -59,3 +59,47 @@ def session_stats(
         F.avg("n_events").alias("avg_session_events"),
         F.sum("n_events").alias("n_total_events"),
     )
+
+
+def capped_session_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    cap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Session stats under a maximum-DURATION cap on top of the max-gap
+    rule: each gap session is sliced into fixed ``cap_seconds``-wide
+    sub-sessions measured from the gap session's first event
+    (``floor(elapsed / cap)``). Cap-width slicing — NOT "restart the
+    clock at the first event past the cap", which is inherently
+    sequential — keeps the operator one window pass, deterministic, and
+    bit-identical to the SQL formulation (all integer millisecond math).
+    Sessions that bound state are what keep streaming/session analytics
+    tractable: an unbounded-duration session is unbounded state.
+
+    Scale shape: the same single window shuffle on the entity key as
+    gap sessionization (the sub-session index is derived from a min
+    OVER the same partition spec, so Catalyst reuses the sort), then
+    two tiny aggregates over (key, session, sub) groups."""
+    sessions = assign_sessions(df, key, ts, gap_seconds, tiebreak)
+    w_sess = Window.partitionBy(key, "session_seq")
+    start_ms = F.min(F.unix_millis(F.col(ts))).over(w_sess)
+    sliced = sessions.withColumn(
+        "sub_seq",
+        ((F.unix_millis(F.col(ts)) - start_ms) / F.lit(cap_seconds * 1000))
+        .cast("long"),
+    )
+    per_sub = sliced.groupBy(key, "session_seq", "sub_seq").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.max(F.unix_millis(F.col(ts))) - F.min(F.unix_millis(F.col(ts)))) / 1000.0
+        ).alias("duration_s"),
+    )
+    return per_sub.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_capped_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.max("duration_s").alias("max_session_duration_s"),
+        F.sum("n_events").cast("long").alias("n_total_events"),
+    )

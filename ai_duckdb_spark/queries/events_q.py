@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
 from ..functions.exact import exact_sum
-from ..operators.sessionize import session_stats
+from ..operators.sessionize import capped_session_stats, session_stats
 from ..streaming.windows import tumbling_counts_stream
 from ..tables import load
 from .catalog import register
@@ -637,4 +637,65 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().cast("int").alias("was_gap"),
         )
         .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_capped_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('millisecond', prev_ts, ts) > 1800 * 1000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    ),
+    sliced AS (
+        SELECT user_id, ts, session_seq,
+               CAST(FLOOR(date_diff('millisecond',
+                   min(ts) OVER (PARTITION BY user_id, session_seq), ts)
+                   / (900 * 1000.0)) AS BIGINT) AS sub_seq
+        FROM sessions
+    ),
+    per_sub AS (
+        SELECT user_id, session_seq, sub_seq,
+               count(*) AS n_events,
+               date_diff('millisecond', min(ts), max(ts)) / 1000.0 AS duration_s
+        FROM sliced
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           count(*)                      AS n_capped_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           max(duration_s)               AS max_session_duration_s,
+           CAST(sum(n_events) AS BIGINT) AS n_total_events
+    FROM per_sub
+    GROUP BY user_id
+    """,
+)
+def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-capped sessionization (X1 batch form, the state-bounding
+    variant): 30-min max-gap sessions additionally sliced into 15-min
+    cap windows from each session's first event — the rule that keeps
+    per-session state bounded however long a client stays active.
+    Cap-width slicing keeps it one window pass and bit-identical to the
+    SQL twin (integer millisecond math; see
+    operators/sessionize.py capped_session_stats)."""
+    events = load(spark, sf_dir, "events")
+    return capped_session_stats(
+        events, key="user_id", ts="ts", gap_seconds=1800, cap_seconds=900,
+        tiebreak="event_id",
     )

