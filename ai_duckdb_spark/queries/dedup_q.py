@@ -635,6 +635,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact corpus-wide tier (dedup_semantic_exact). Rows-only: the
     k-means model is iterative (not SQL-expressible); pytest pins
     dup ⊆ exact-dup plus a recall floor (tests/test_operators.py)."""
+    from .similarity_q import shared_kmeans_model
+
     emb = load(spark, sf_dir, "embeddings")
-    flags = sim_ops.semdedup(emb, eps=0.3, n_clusters=16, iters=3)
+    flags = sim_ops.semdedup(
+        emb, eps=0.3, n_clusters=16, iters=3,
+        centroids=shared_kmeans_model(emb, sf_dir),
+    )
     return flags.orderBy("vec_id")

@@ -70,6 +70,16 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MODELS: dict[str, list[list[float]]] = {}
 
 
+def shared_kmeans_model(emb, sf_dir: str) -> list[list[float]]:
+    """The (16-cluster, 3-iter) spherical-k-means model, trained once per
+    corpus and shared by every consumer with the same quantizer params
+    (knn_ivf_cosine, knn_ivfpq_cosine, dedup_semdedup) — the offline-
+    index discipline: one training job, many searches."""
+    if sf_dir not in _IVF_MODELS:
+        _IVF_MODELS[sf_dir] = sim.kmeans_centroids(emb, n_clusters=16, iters=3)
+    return _IVF_MODELS[sf_dir]
+
+
 @register("knn_ivf_cosine", oracle=None)
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an IVF index (operators/similarity.py
@@ -81,11 +91,9 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact tier is pytest-checked (test_operators.py)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    if sf_dir not in _IVF_MODELS:  # quantizer trains once per corpus,
-        # like a persisted index; search is the per-query path
-        _IVF_MODELS[sf_dir] = sim.kmeans_centroids(emb, n_clusters=16, iters=3)
     return sim.cosine_topk_ivf(
-        emb, queries, k=5, n_clusters=16, nprobe=4, centroids=_IVF_MODELS[sf_dir]
+        emb, queries, k=5, n_clusters=16, nprobe=4,
+        centroids=shared_kmeans_model(emb, sf_dir),
     ).orderBy("query_id", "rank")
 
 
@@ -378,9 +386,7 @@ def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_operators.py)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    if sf_dir not in _IVF_MODELS:  # share the coarse quantizer with knn_ivf_cosine
-        _IVF_MODELS[sf_dir] = sim.kmeans_centroids(emb, n_clusters=16, iters=3)
     return sim.cosine_topk_ivfpq(
         emb, queries, k=5, n_clusters=16, nprobe=4, m=8, ksub=16,
-        centroids=_IVF_MODELS[sf_dir],
+        centroids=shared_kmeans_model(emb, sf_dir),
     ).orderBy("query_id", "rank")
