@@ -558,8 +558,20 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the tiny excluded set (NULL-safe by construction — s_suppkey
     is a key column, never NULL); count(DISTINCT) re-shuffles on the
     3-attr group key only for qualifying pairs."""
+    part_keys = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (~F.col("p_type").isin("PROMO", "LARGE"))
+            & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        )
+        .select(F.col("p_partkey").alias("__pk"))
+    )
+    # semi-join BEFORE the pair-DISTINCT: the part slice keeps ~15% of
+    # parts, so the distinct shuffle moves only qualifying lines
     psupp = (
         load(spark, sf_dir, "lineitem")
+        .join(part_keys, F.col("l_partkey") == F.col("__pk"), "left_semi")
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .distinct()
     )
@@ -688,31 +700,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late" predicate (receipt/commit dates absent).
 
     Implementation note: instead of the spec's double correlated
-    self-join of lineitem, the two EXISTS conditions collapse into one
+    self-join of lineitem, the two EXISTS conditions collapse into ONE
     per-order aggregate (n_supp > 1 ⇔ EXISTS other supplier;
-    n_flagged = 1 ⇔ NOT EXISTS other flagged supplier) — same result
-    relation, one shuffle of lineitem on the order key instead of three
-    full self-join probes (cite: reference doc.py:183-188 promises the
-    SELECT surface; the plan choice is ours).
+    n_flagged = 1 ⇔ NOT EXISTS other flagged supplier) — and because a
+    qualifying order has EXACTLY one flagged supplier, that supplier's
+    id rides the same aggregate as max(flagged suppkey): the separate
+    flagged-pair DISTINCT relation and its join disappear entirely
+    (cite: reference doc.py:183-188 promises the SELECT surface; the
+    plan choice is ours).
 
-    Scale shape: per-order distinct-counts and the flagged-pair DISTINCT
-    share the order-key partitioning; orders ('F' filter pushed) joins
-    on the same key — one co-partitioned exchange reused three times;
+    Scale shape: lineitem shuffles once on (order, supplier) and the
+    tiny pair frame re-keys to the order — two plain cascaded
+    aggregates, NOT the multi-DISTINCT form (which Expands every input
+    row 3x through the shuffle); orders ('F' filter pushed) joins on the same key;
     supplier⋈nation broadcasts; top-100 is TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_flagged"),
+    # two-level aggregate instead of multi-DISTINCT: two plain
+    # cascaded HashAggregates, no Expand row-replication
+    per_pair = li.groupBy(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey")
+    ).agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__has_r"))
+    per_order = per_pair.groupBy("okey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("__has_r").alias("n_flagged"),
+        F.max(F.when(F.col("__has_r") == 1, F.col("skey"))).alias("flagged_supp"),
     )
-    flagged = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    qualified = per_order.filter((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
     orders = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -729,10 +744,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        flagged.join(per_order, flagged.l_orderkey == per_order.okey)
-        .join(orders, flagged.l_orderkey == orders.o_orderkey)
-        .join(supp_nation, flagged.l_suppkey == supp_nation.s_suppkey)
-        .filter((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
+        qualified.join(orders, qualified.okey == orders.o_orderkey, "left_semi")
+        .join(supp_nation, F.col("flagged_supp") == supp_nation.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
