@@ -907,3 +907,62 @@ class TestSemDedup:
         exact_dups = {r.id2 for r in exact_pairs.select("id2").distinct().collect()}
         flags = similarity.semdedup(emb, eps=0.3, n_clusters=1, iters=1).collect()
         assert {r.vec_id for r in flags if r.is_dup} == exact_dups
+
+
+class TestBpe:
+    @staticmethod
+    def _reference_bpe(texts, n_merges):
+        """Pure-Python BPE trainer (Sennrich et al. 2016 alg.): word
+        histogram, argmax pair by (count desc, left, right asc),
+        left-to-right non-overlapping merge application."""
+        from collections import Counter
+
+        words = Counter(w for t in texts for w in t.split(" ") if w)
+        syms = {w: list(w) for w in words}
+        rules = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, wc in words.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += wc
+            if not pairs:
+                break
+            (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((l, r, l + r, c))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return rules
+
+    def test_learned_merges_match_reference(self, spark, sf_dir):
+        from ai_duckdb_spark.operators import bpe
+        from ai_duckdb_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        got = bpe.learn_merges(docs, n_merges=6)
+        texts = [r.text for r in docs.select("text").collect()]
+        want = self._reference_bpe(texts, 6)
+        assert got == want
+
+    def test_apply_merge_nonoverlapping(self, spark):
+        from ai_duckdb_spark.operators import bpe
+
+        words = spark.createDataFrame(
+            [("aaaa", 1), ("abab", 1), ("ba", 1)], "word string, wc long"
+        )
+        out = {
+            r.word: list(r.syms)
+            for r in bpe.apply_merge(bpe.with_symbols(words), "a", "a").collect()
+        }
+        # left-to-right, non-overlapping: aaaa -> aa,aa (never aa,a,a or a,aa,a)
+        assert out["aaaa"] == ["aa", "aa"]
+        assert out["abab"] == ["a", "b", "a", "b"]
+        assert out["ba"] == ["b", "a"]
