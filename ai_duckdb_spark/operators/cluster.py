@@ -169,3 +169,52 @@ def connected_components_twophase(
         "node", F.col("node").alias("component")
     )
     return child_labels.unionAll(roots)
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair relation (each pair contributes
+    both directions), (doc_id, rank) output.
+
+    Power iteration as DataFrame jobs: one out-degree-normalized
+    contribution join + one destination-keyed sum per sweep — O(edges)
+    shuffled per iteration, never anything quadratic. The
+    degree-annotated edge list is loop-invariant and localCheckpoint'ed
+    once; ranks are checkpointed per sweep (same discipline as the
+    k-means / NN-Descent / components loops). Every node in ``pairs``
+    has degree >= 1, so there are no dangling nodes and mass is
+    conserved up to float rounding.
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("__deg"))
+    edges = edges.join(outdeg, "u").localCheckpoint()  # loop-invariant
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
+    n = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.u == ranks.doc_id)
+            .select(F.col("v"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("v")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.doc_id == contribs.v, "left")
+            .select(
+                "doc_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

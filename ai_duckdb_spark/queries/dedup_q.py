@@ -643,3 +643,37 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=shared_kmeans_model(emb, sf_dir),
     )
     return flags.orderBy("vec_id")
+
+
+@register("dedup_graph_pagerank", oracle=None)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based representative selection: PageRank (10 damped
+    power iterations, d=0.85) over the >=0.95-Jaccard near-dup graph,
+    then the top-ranked member per connected component — the
+    "most-linked version wins" alternative to keep-longest
+    (dedup_survivors) for choosing the canonical copy of a duplicate
+    cluster (mirror pages vote for the original).
+
+    Scale shape: each iteration is one out-degree-normalized
+    contribution explode + one node-keyed sum — O(edges) per sweep,
+    localCheckpoint'ed like every iterative loop here; the graph is the
+    SAME shared pair relation the components/survivors entries build
+    (one candidate-generation pass, three consumers). Rows-only:
+    iterative; pytest pins the ranking against a pure-Python power
+    iteration on the identical edge list (TestPageRank)."""
+    from ..operators.cluster import pagerank
+
+    pairs = _pairs_095(spark, sf_dir)
+    comp = connected_components_twophase(pairs, "id1", "id2").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    pr = pagerank(pairs, "id1", "id2", iters=10, damping=0.85)
+    ranked = comp.join(pr, "doc_id")
+    best = ranked.groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.round("rank", 9), (-F.col("doc_id")).cast("double"))).alias(
+            "representative_id"
+        ),
+        F.round(F.max(F.round("rank", 9)), 6).alias("top_rank"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return best.orderBy("component")

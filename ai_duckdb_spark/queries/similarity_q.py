@@ -390,3 +390,94 @@ def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_clusters=16, nprobe=4, m=8, ksub=16,
         centroids=shared_kmeans_model(emb, sf_dir),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)                     AS val
+        FROM embeddings
+    ),
+    means AS (SELECT pos, avg(val) AS mu FROM e GROUP BY pos),
+    centered AS (
+        SELECT vec_id, e.pos, val - mu AS cv
+        FROM e JOIN means ON e.pos = means.pos
+    )
+    SELECT a.pos AS dim_i, b.pos AS dim_j,
+           round(sum(a.cv * b.cv) / (count(*) - 1), 6) + 0.0 AS cov
+    FROM centered a
+    JOIN centered b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY a.pos, b.pos
+    ORDER BY dim_i, dim_j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance matrix of the embedding corpus —
+    the statistics pass before whitening / PCA / ZCA that an embedding
+    pipeline runs on its way to an index (dim² accumulators, one pass).
+
+    Scale shape: one posexplode to (row, dim, val), one broadcast of
+    the dim-means (64 rows), then the pair fan-out joins ON THE ROW KEY
+    — each row contributes its own dim×(dim+1)/2 products map-side and
+    the only big shuffle is the (dim_i, dim_j)-keyed sum: 2080
+    accumulator groups however large the corpus. Rounded to 6 decimals
+    (same contract as embedding_centroids: float accumulation noise is
+    ~1e-13 at this magnitude, far below the rounding grain; the +0.0
+    normalizes IEEE negative zero, which the two engines produce on
+    different sides of the rounding and which hashes differently)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
+    means = e.groupBy("pos").agg(F.avg("val").alias("mu"))
+    centered = (
+        e.join(F.broadcast(means), "pos")
+        .select("vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv"))
+    )
+    a = centered.select("vec_id", F.col("pos").alias("dim_i"), F.col("cv").alias("cv_i"))
+    b = centered.select("vec_id", F.col("pos").alias("dim_j"), F.col("cv").alias("cv_j"))
+    n = emb.count()  # one count — the Bessel denominator
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            (F.round(F.sum(F.col("cv_i") * F.col("cv_j")) / (n - 1), 6) + F.lit(0.0))
+            .alias("cov")
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+@register("embedding_pca_explained", oracle=None)
+def embedding_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 PCA explained-variance report: eigendecompose the sample
+    covariance (the embedding_covariance relation — a dim×dim model
+    read, the sanctioned driver materialization class) and report each
+    leading component's eigenvalue and explained-variance fraction —
+    the dimensionality check before truncating embeddings for a cheaper
+    index. Rows-only: the eigensolve is a driver-side LAPACK call on
+    the 64×64 model, not SQL; pytest pins trace preservation
+    (Σ eigenvalues = Σ per-dim variances) and parity with numpy.cov on
+    the raw vectors (tests/test_operators.py TestPca)."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    dim = max(r.dim_j for r in cov_rows)
+    m = np.zeros((dim, dim))
+    for r in cov_rows:
+        m[r.dim_i - 1, r.dim_j - 1] = r.cov
+        m[r.dim_j - 1, r.dim_i - 1] = r.cov
+    vals = np.linalg.eigvalsh(m)[::-1]  # descending
+    total = float(vals.sum())
+    out = [
+        (i + 1, round(float(v), 6), round(float(v) / total, 6))
+        for i, v in enumerate(vals[:10])
+    ]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained_frac double"
+    )

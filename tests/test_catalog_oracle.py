@@ -89,6 +89,9 @@ _POST_FREEZE = {
     "knn_ivfpq_cosine",
     "dedup_semantic_exact",
     "dedup_semdedup",
+    "embedding_covariance",
+    "embedding_pca_explained",
+    "dedup_graph_pagerank",
 }
 
 

@@ -966,3 +966,63 @@ class TestBpe:
         assert out["aaaa"] == ["aa", "aa"]
         assert out["abab"] == ["a", "b", "a", "b"]
         assert out["ba"] == ["b", "a"]
+
+
+class TestPageRank:
+    def test_pagerank_matches_reference_power_iteration(self, spark):
+        from ai_duckdb_spark.operators.cluster import pagerank
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)], "id1 long, id2 long"
+        )
+        got = {r.doc_id: r.rank for r in pagerank(pairs, iters=10).collect()}
+
+        # pure-Python reference on the same undirected edge list
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        n = len(adj)
+        ranks = {u: 1.0 / n for u in adj}
+        for _ in range(10):
+            contrib: dict = {u: 0.0 for u in adj}
+            for u, nbrs in adj.items():
+                for v in nbrs:
+                    contrib[v] += ranks[u] / len(nbrs)
+            ranks = {u: 0.15 / n + 0.85 * contrib[u] for u in adj}
+        assert set(got) == set(ranks)
+        for u in ranks:
+            assert abs(got[u] - ranks[u]) < 1e-9, (u, got[u], ranks[u])
+        # the degree-3 hub must outrank everything in its component
+        assert max(got, key=got.get) == 3
+
+
+class TestPca:
+    def test_covariance_matches_numpy_and_trace_preserved(self, spark, sf_dir):
+        import numpy as np
+
+        from ai_duckdb_spark.queries.similarity_q import (
+            embedding_covariance,
+            embedding_pca_explained,
+        )
+        from ai_duckdb_spark.tables import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        x = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+        want = np.cov(x, rowvar=False)
+        got_rows = embedding_covariance(spark, sf_dir).collect()
+        dim = x.shape[1]
+        got = np.zeros((dim, dim))
+        for r in got_rows:
+            got[r.dim_i - 1, r.dim_j - 1] = r.cov
+            got[r.dim_j - 1, r.dim_i - 1] = r.cov
+        assert np.abs(got - want).max() < 1e-6  # 6-decimal rounding grain
+
+        pca = embedding_pca_explained(spark, sf_dir).collect()
+        vals = [r.eigenvalue for r in pca]
+        assert vals == sorted(vals, reverse=True)
+        fracs = [r.explained_frac for r in pca]
+        assert all(0 <= f <= 1 for f in fracs)
+        # top-10 of a 64-dim near-isotropic corpus explains <= its share bound
+        assert 0 < sum(fracs) <= 1.0 + 1e-9
