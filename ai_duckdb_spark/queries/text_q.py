@@ -504,3 +504,40 @@ def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("brand", "edit_dist")
     )
+
+
+@register("sketch_cms_heavy_hitters", oracle=None)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter verification (operators/sketches.py —
+    Cormode & Muthukrishnan 2005): build a 4×1024 CMS over the corpus
+    token stream, then point-query it for the exact top-20 tokens and
+    report estimate next to truth. The sketch table is depth×width
+    integers at ANY corpus size and merges cell-wise — the mergeable-
+    state frequency counterpart to the HLL distinct sketch. Rows-only:
+    bucket assignment uses Spark-internal xxhash64; pytest pins the CMS
+    guarantee (estimate >= exact always; overestimate <= 2N/width on
+    every top token) in TestCountMin."""
+    from ..operators import sketches
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    sketch = sketches.cms_build(toks, "tok")
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "tok")
+        .limit(20)
+    )
+    est = sketches.cms_estimate(exact_top.select("tok"), sketch, "tok")
+    return (
+        exact_top.join(est, "tok")
+        .select(
+            "tok",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "tok")
+    )

@@ -92,6 +92,7 @@ _POST_FREEZE = {
     "embedding_covariance",
     "embedding_pca_explained",
     "dedup_graph_pagerank",
+    "sketch_cms_heavy_hitters",
 }
 
 

@@ -1026,3 +1026,49 @@ class TestPca:
         assert all(0 <= f <= 1 for f in fracs)
         # top-10 of a 64-dim near-isotropic corpus explains <= its share bound
         assert 0 < sum(fracs) <= 1.0 + 1e-9
+
+
+class TestCountMin:
+    def test_cms_never_underestimates_and_bounded(self, spark, sf_dir):
+        """The two Count-Min guarantees on real data: estimates never
+        fall below truth (min of non-decreasing cells), and the
+        overestimate stays within the classic 2N/width bound for the
+        heavy tokens (holds deterministically here, not just w.h.p.)."""
+        from ai_duckdb_spark.operators import sketches
+        from ai_duckdb_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+            F.length("tok") > 0
+        )
+        n_total = toks.count()
+        sketch = sketches.cms_build(toks, "tok", depth=4, width=1024)
+        exact = (
+            toks.groupBy("tok").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c")).limit(30)
+        )
+        est = {
+            r.tok: r.cms_estimate
+            for r in sketches.cms_estimate(exact.select("tok"), sketch, "tok").collect()
+        }
+        for r in exact.collect():
+            assert est[r.tok] >= r.c, (r.tok, est[r.tok], r.c)
+            assert est[r.tok] - r.c <= 2 * n_total / 1024, (r.tok, est[r.tok], r.c)
+
+    def test_cms_mergeable(self, spark, sf_dir):
+        """Sketching two halves and summing cells == sketching the whole
+        stream — the property that makes per-partition state work."""
+        from ai_duckdb_spark.operators import sketches
+        from ai_duckdb_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        ).filter(F.length("tok") > 0)
+        whole = sketches.cms_build(toks, "tok")
+        h1 = sketches.cms_build(toks.filter(F.col("doc_id") % 2 == 0), "tok")
+        h2 = sketches.cms_build(toks.filter(F.col("doc_id") % 2 == 1), "tok")
+        merged = (
+            h1.unionAll(h2).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        assert merged.exceptAll(whole).isEmpty() and whole.exceptAll(merged).isEmpty()
