@@ -1072,3 +1072,31 @@ class TestCountMin:
             h1.unionAll(h2).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
         )
         assert merged.exceptAll(whole).isEmpty() and whole.exceptAll(merged).isEmpty()
+
+
+class TestCappedSessions:
+    def test_cap_boundary_slicing(self, spark):
+        """Events at 0s, 10s, 900s, 1700s with a 900s cap and 1800s gap:
+        one gap session, sliced as [0,900) -> {0s,10s}, [900,1800) ->
+        {900s,1700s} — the 900s event starts slice 1 exactly (floor
+        semantics), and a later lone event past the gap opens its own
+        session."""
+        from ai_duckdb_spark.operators.sessionize import capped_session_stats
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1),
+            (1, "2024-01-01 00:00:10", 2),
+            (1, "2024-01-01 00:15:00", 3),   # exactly at the cap -> slice 1
+            (1, "2024-01-01 00:28:20", 4),   # 1700s, still slice 1
+            (1, "2024-01-01 02:00:00", 5),   # > 1800s gap -> new session
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string, event_id long") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = capped_session_stats(
+            df, key="user_id", ts="ts", gap_seconds=1800, cap_seconds=900,
+            tiebreak="event_id",
+        ).collect()[0]
+        assert got.n_capped_sessions == 3          # two slices + the lone event
+        assert got.max_session_events == 2
+        assert got.n_total_events == 5
+        assert abs(got.max_session_duration_s - 800.0) < 1e-9  # 900s..1700s

@@ -219,3 +219,40 @@ class TestChunkGeometry:
         # every token is covered and consecutive chunks overlap (size > stride)
         last_start = (expect_chunks - 1) * CHUNK_STRIDE
         assert last_start + rows[-1][2] == n
+
+
+class TestBpeMergeProperty:
+    """Property: the Spark aggregate-fold merge application equals the
+    canonical left-to-right non-overlapping merge for ANY word over a
+    small alphabet (the regime where overlap/adjacency corner cases —
+    aaa, abab, merged-symbol adjacency — actually occur)."""
+
+    @staticmethod
+    def _ref_apply(symbols, left, right):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+        ),
+        st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_fold_matches_reference(self, spark, words, rule):
+        from ai_duckdb_spark.operators import bpe
+
+        df = spark.createDataFrame([(w, 1) for w in set(words)], "word string, wc long")
+        got = {
+            r.word: list(r.syms)
+            for r in bpe.apply_merge(bpe.with_symbols(df), *rule).collect()
+        }
+        for w in set(words):
+            assert got[w] == self._ref_apply(list(w), *rule), (w, rule, got[w])
