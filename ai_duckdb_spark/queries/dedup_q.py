@@ -677,3 +677,107 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
     )
     return best.orderBy("component")
+
+
+@register(
+    "pipeline_semantic_corpus",
+    oracle="""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    exact_survivors AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM keep)
+    ),
+    e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)    AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.val * b.val) AS dp
+        FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    sem_dups AS (
+        SELECT DISTINCT id2 AS doc_id
+        FROM dots
+        JOIN norms n1 ON dots.id1 = n1.vec_id
+        JOIN norms n2 ON dots.id2 = n2.vec_id
+        WHERE dp / sqrt(n1.sq * n2.sq) >= 0.3
+    ),
+    sem_survivors AS (
+        SELECT * FROM exact_survivors
+        WHERE doc_id NOT IN (SELECT doc_id FROM sem_dups)
+    ),
+    quality AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM sem_survivors
+        WHERE n_chars >= 200 AND len(string_split(text, ' ')) >= 30
+    ),
+    budgeted AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM quality
+    )
+    SELECT lang,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM budgeted
+    WHERE cum_tokens <= 15000
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipeline_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data pipeline in one declarative plan, every
+    stage oracle-verified end to end: exact dedup (keep min doc_id per
+    identical text) → SEMANTIC dedup (drop docs whose embedding has a
+    lower-id cosine-0.3 neighbor — the exact corpus-wide rule the
+    SemDeDup tier approximates; embeddings keyed 1:1 to doc_id) →
+    quality gate (length + token floor) → token-budget curriculum
+    (longest-first under 15k tokens) → per-language accounting.
+
+    Scale shape: the stages compose WITHOUT materialization — Catalyst
+    plans the whole DAG at once; the cosine stage rides
+    embedding_cosine_pairs' auto broadcast↔posjoin flip; at 100 TB the
+    semantic stage swaps to the clustered SemDeDup tier
+    (dedup_semdedup) with everything else unchanged — the pipeline IS
+    the integration test for that swap. All outputs integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact_survivors = docs.join(keep, "doc_id", "left_semi")
+
+    sem_dups = (
+        dedup.embedding_cosine_pairs(emb, threshold=0.3)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    sem_survivors = exact_survivors.join(sem_dups, "doc_id", "left_anti")
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = sem_survivors.filter(
+        (F.col("n_chars") >= 200) & (n_tokens >= 30)
+    ).select("doc_id", "lang", "n_chars", n_tokens.alias("n_tokens"))
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budgeted = quality.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        budgeted.filter(F.col("cum_tokens") <= 15000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

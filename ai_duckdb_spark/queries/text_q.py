@@ -541,3 +541,16 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "tok")
     )
+
+
+@register("streaming_cms_sketch", oracle=None)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained THROUGH Structured Streaming (X1×
+    sketches composition): per-micro-batch sketches persisted by batch
+    id and merged cell-wise — frequency state that never re-reads raw
+    data (streaming/windows.py cms_sketch_stream). Rows-only (Spark-
+    internal xxhash64 buckets); TestCountMin pins streaming==batch
+    sketch equality and the CMS guarantees."""
+    from ..streaming.windows import cms_sketch_stream
+
+    return cms_sketch_stream(spark, sf_dir)

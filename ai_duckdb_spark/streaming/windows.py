@@ -426,3 +426,69 @@ def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance through Structured Streaming: each
+    micro-batch of the document stream builds its own Count-Min sketch
+    (operators/sketches.py) and persists it partitioned by batch id
+    (dynamic overwrite — replayed batches replace their own partition,
+    the exactly-once recipe); the final sketch is the cell-wise SUM of
+    all batch sketches. This is the 100 TB frequency-state story: the
+    per-batch state written is depth×width integers regardless of batch
+    size, and yesterday's sketch never needs raw data again. Output:
+    exact top-10 tokens with their merged-sketch estimates (estimate >=
+    exact by the CMS guarantee; cell-wise streaming==batch equality is
+    pytest-pinned in TestCountMin).
+    """
+    import tempfile
+
+    from ..operators import sketches
+
+    out = tempfile.mkdtemp(prefix="cms_sink_")
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+
+    stream = _document_stream(spark, sf_dir).select("text")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        ).filter(F.length("tok") > 0)
+        (
+            sketches.cms_build(toks, "tok")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(out)
+        )
+
+    with stream_run_confs(spark):
+        query = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    merged = (
+        spark.read.parquet(out).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    toks = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "tok")
+        .limit(10)
+    )
+    est = sketches.cms_estimate(exact_top.select("tok"), merged, "tok")
+    return (
+        exact_top.join(est, "tok")
+        .select("tok", "exact_count", "cms_estimate")
+        .orderBy(F.desc("exact_count"), "tok")
+    )

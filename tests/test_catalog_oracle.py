@@ -93,6 +93,8 @@ _POST_FREEZE = {
     "embedding_pca_explained",
     "dedup_graph_pagerank",
     "sketch_cms_heavy_hitters",
+    "pipeline_semantic_corpus",
+    "streaming_cms_sketch",
 }
 
 

@@ -1100,3 +1100,35 @@ class TestCappedSessions:
         assert got.max_session_events == 2
         assert got.n_total_events == 5
         assert abs(got.max_session_duration_s - 800.0) < 1e-9  # 900s..1700s
+
+
+class TestStreamingCms:
+    def test_streaming_sketch_equals_batch_sketch(self, spark, sf_dir):
+        """The merged per-batch sketches must equal the one-shot batch
+        sketch cell-for-cell — mergeability proven through the real
+        streaming path, not just the batch union."""
+        from ai_duckdb_spark.operators import sketches
+        from ai_duckdb_spark.queries.text_q import streaming_cms_sketch
+        from ai_duckdb_spark.tables import load
+
+        got = {r.tok: (r.exact_count, r.cms_estimate)
+               for r in streaming_cms_sketch(spark, sf_dir).collect()}
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+            F.length("tok") > 0
+        )
+        batch_sketch = sketches.cms_build(toks, "tok")
+        exact_top = (
+            toks.groupBy("tok").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "tok").limit(10)
+        )
+        want_est = {
+            r.tok: r.cms_estimate
+            for r in sketches.cms_estimate(
+                exact_top.select("tok"), batch_sketch, "tok"
+            ).collect()
+        }
+        assert set(got) == set(want_est)
+        for tok, (exact, est) in got.items():
+            assert est == want_est[tok], (tok, est, want_est[tok])
+            assert est >= exact
