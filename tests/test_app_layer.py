@@ -640,3 +640,58 @@ class TestAnsiMode:
         want = con.execute("SELECT try_cast('nope' AS INT) AS x").fetchone()[0]
         con.close()
         assert got is None and want is None
+
+
+class TestPythonDataSource:
+    """Spark-4 Python DataSource (`format("aiduck")`): the multi-format
+    ingest surface as an executor-parallel source — one input partition
+    per file, Arrow batches back (sources/pydatasource.py)."""
+
+    @staticmethod
+    def _register(spark):
+        from ai_duckdb_spark.sources.pydatasource import MultiFormatDataSource
+
+        spark.dataSource.register(MultiFormatDataSource)
+
+    def test_csv_directory_one_partition_per_file(self, spark, tmp_path):
+        self._register(spark)
+        for i in range(3):
+            (tmp_path / f"part{i}.csv").write_text(
+                "name,price\n" + f"item{i},{i}.5\n" + f"other{i},{i}.25\n"
+            )
+        df = spark.read.format("aiduck").load(str(tmp_path))
+        assert df.count() == 6
+        assert set(df.columns) == {"name", "price"}
+        assert df.rdd.getNumPartitions() == 3  # one task per file
+        assert df.schema["price"].dataType.typeName() == "double"
+
+    def test_json_tiers_through_datasource(self, spark, tmp_path):
+        self._register(spark)
+        (tmp_path / "a.json").write_text('{"x": 1, "y": "p"}\n{"x": 2, "y": "q"}\n')
+        df = spark.read.format("aiduck").load(str(tmp_path / "a.json"))
+        assert sorted(r.x for r in df.collect()) == [1, 2]
+
+        (tmp_path / "b.json").write_text('[{"x": 3, "y": "r"}, {"x": 4, "y": "s"}]')
+        df2 = spark.read.format("aiduck").load(str(tmp_path / "b.json"))
+        assert sorted(r.x for r in df2.collect()) == [3, 4]
+
+        (tmp_path / "c.json").write_text('{"x": [5, 6], "y": ["t", "u"]}')
+        df3 = spark.read.format("aiduck").load(str(tmp_path / "c.json"))
+        assert sorted(r.x for r in df3.collect()) == [5, 6]
+
+    def test_mixed_schema_files_coerce_to_first(self, spark, tmp_path):
+        self._register(spark)
+        (tmp_path / "a.csv").write_text("name,price\nfoo,1.5\n")
+        (tmp_path / "b.csv").write_text("name\nbar\n")  # price missing -> NULL
+        df = spark.read.format("aiduck").load(str(tmp_path))
+        rows = {r.name: r.price for r in df.collect()}
+        assert rows == {"foo": 1.5, "bar": None}
+
+    def test_parquet_through_datasource_matches_native(self, spark, tmp_path, sf_dir):
+        self._register(spark)
+        path = f"{sf_dir}/region.parquet"
+        via_ds = spark.read.format("aiduck").load(path)
+        native = spark.read.parquet(path)
+        assert sorted(map(tuple, via_ds.collect())) == sorted(
+            map(tuple, native.collect())
+        )
