@@ -1,6 +1,6 @@
 """Spark-4 Python DataSource for the app's multi-format ingest surface
 (`spark.read.format("aiduck")`): csv / json (three-tier fallback) /
-parquet / xlsx, one INPUT PARTITION PER FILE.
+parquet / xlsx / xls, one INPUT PARTITION PER FILE.
 
 Why this exists next to sources/io.py: the reference (and io.py's
 faithful port of it, doc.py:16-83) parses each upload ON THE DRIVER via
@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-SUPPORTED = (".csv", ".json", ".parquet", ".xlsx")
+SUPPORTED = (".csv", ".json", ".parquet", ".xlsx", ".xls")
 
 
 def _read_pandas(path: str) -> pd.DataFrame:
@@ -53,6 +53,13 @@ def _read_pandas(path: str) -> pd.DataFrame:
             from .io import _read_xlsx_stdlib
 
             return _read_xlsx_stdlib(path)
+    if suffix == ".xls":
+        try:
+            return pd.read_excel(path)  # xlrd present
+        except ImportError:
+            from .xls import read_xls_stdlib
+
+            return read_xls_stdlib(path)
     if suffix == ".json":
         with open(path, encoding="utf-8") as f:
             text = f.read()
