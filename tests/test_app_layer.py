@@ -695,3 +695,24 @@ class TestPythonDataSource:
         assert sorted(map(tuple, via_ds.collect())) == sorted(
             map(tuple, native.collect())
         )
+
+
+class TestPythonDataSourceXls:
+    def test_xls_through_datasource(self, spark, tmp_path):
+        """The stdlib BIFF8/CFB reader must also serve the DataSource
+        path (pandas' xlrd engine is absent in this container)."""
+        from ai_duckdb_spark.sources.pydatasource import MultiFormatDataSource
+
+        spark.dataSource.register(MultiFormatDataSource)
+        wb = _biff8_workbook(
+            sst=["name", "score", "alice", "bob"],
+            sheet_cells=_xls_cell_records(),
+            pad_to=4096,
+        )
+        p = tmp_path / "t.xls"
+        p.write_bytes(_make_cfb(wb, mini=False))
+        df = spark.read.format("aiduck").load(str(p))
+        rows = {r["name"]: r.asDict() for r in df.collect()}
+        assert rows["alice"]["score"] == 12.5
+        assert rows["bob"]["score"] == -3.0
+        assert rows["dave"]["score"] == 7.0  # MULRK through the datasource
