@@ -554,3 +554,28 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import cms_sketch_stream
 
     return cms_sketch_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_topk_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, count(*) AS n
+    FROM t
+    WHERE len(tok) > 0
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 10
+    """,
+)
+def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming heavy hitters (X1×X8): token counts maintained
+    through readStream in complete mode, top-10 off the final state —
+    the oracle-checkable exact twin of streaming_cms_sketch (state
+    O(vocab) vs the sketch's O(depth×width)). Deterministic tiebreak
+    (count desc, token asc) so the LIMIT is stable."""
+    from ..streaming.windows import topk_tokens_stream
+
+    return topk_tokens_stream(spark, sf_dir, k=10)

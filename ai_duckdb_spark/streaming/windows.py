@@ -492,3 +492,32 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "exact_count", "cms_estimate")
         .orderBy(F.desc("exact_count"), "tok")
     )
+
+
+def topk_tokens_stream(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Streaming heavy-hitter accounting with EXACT state: token counts
+    maintained over the document stream in complete mode, final top-k
+    read off the sink — the exact twin of the CMS sketch stream
+    (cms_sketch_stream): same question, state O(vocabulary) instead of
+    O(depth×width). Having both catalogued is the point: the exact form
+    is the oracle-checkable baseline, the sketch form is what survives
+    when the vocabulary no longer fits state.
+    """
+    docs = _document_stream(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"topk_sink_{uuid.uuid4().hex[:8]}"
+    _drain(
+        spark,
+        counts.writeStream.outputMode("complete").format("memory").queryName(sink),
+    )
+    return (
+        spark.table(sink)
+        .orderBy(F.desc("n"), "tok")
+        .limit(k)
+        .select("tok", F.col("n").cast("long").alias("n"))
+    )
