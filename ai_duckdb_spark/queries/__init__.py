@@ -19,6 +19,7 @@ from . import analytics_q  # noqa: F401
 from . import tpch_deep  # noqa: F401
 from . import tpch_deep2  # noqa: F401
 from . import tokenizer_q  # noqa: F401
+from . import search_q  # noqa: F401
 
 catalog.finalize_order()
 

@@ -1,0 +1,213 @@
+"""Full-text retrieval tier (X7×X8 bridge): BM25 ranked search and
+TF-IDF keyword extraction — the two classic inverted-index scoring
+operators an analytics engine runs over a document corpus (reference
+scope: its DuckDB surface exposes FTS-style scoring through extensions;
+here both are plain DataFrame compositions).
+
+Cross-engine exactness scheme (the functions/exact.py discipline applied
+to IR): every BM25/TF-IDF input (tf, df, dl, N, Σdl) is an exact BIGINT,
+and the k1=1.2 / b=0.75 constants are folded into an integer-only
+denominator — ``10·S·tf + 3·S + 9·dl·N`` — by clearing denominators, so
+the ONLY float operations are one ``ln`` on identical doubles, one
+multiply, one divide, written token-for-token identically in both
+engines. Per-document term weights are summed in a FIXED expression
+order (one conditional aggregate per query term, then a left-to-right
+coalesce chain), never through an order-nondeterministic float SUM.
+Ranking keys round to 4 decimals BEFORE the order-by so a last-ulp ``ln``
+divergence cannot flip the top-k boundary (ties broken on doc_id/term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .catalog import register
+
+# Query terms for the BM25 entry: mid-frequency corpus vocabulary, fixed
+# so the oracle is a closed expression (a real engine binds these as
+# parameters; the plan shape is term-count-agnostic).
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "bm25_search_topk",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS s FROM d
+    ),
+    tfc AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM d WHERE term IN ('spark', 'join', 'window')
+        GROUP BY 1, 2, 3
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    w AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'spark' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_spark,
+               max(CASE WHEN term = 'join' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_join,
+               max(CASE WHEN term = 'window' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_window,
+               count(*) AS n_terms_matched
+        FROM tfc JOIN dfc USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(coalesce(w_spark, 0) + coalesce(w_join, 0)
+                 + coalesce(w_window, 0), 4) AS bm25,
+           n_terms_matched
+    FROM w
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene's
+    non-negative ``ln(1 + (N-df+0.5)/(df+0.5))`` idf): top-20 documents
+    for a 3-term query.
+
+    Scale shape — the inverted-index scoring plan, not a scan-per-query:
+    explode → ``isin`` prefilter (non-matching postings are dropped
+    map-side, BEFORE any shuffle) → one (doc, term) partial-aggregated
+    tf shuffle ∝ matching postings only; df (|query| rows) and the
+    corpus stats (1 row) come back as broadcasts; the final top-k plans
+    as TakeOrderedAndProject. At 100 TB with a query WORKLOAD, the tf
+    frame is the persisted inverted index (write it bucketed by term)
+    and each query touches |query terms| buckets."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    d = docs.select(
+        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+    )
+    stats = d.agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("s")
+    )
+    tfc = (
+        d.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # token-for-token the oracle's arithmetic: ints stay BIGINT into the
+    # one ln / one multiply / one divide
+    weight = (
+        F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.lit(22.0) * F.col("tf") * F.col("s"))
+        / (
+            F.lit(10) * F.col("s") * F.col("tf")
+            + F.lit(3) * F.col("s")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        )
+    )
+    w = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, weight)).alias(f"w_{t}")
+                for t in _BM25_TERMS
+            ],
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    score = (
+        F.coalesce(F.col("w_spark"), F.lit(0))
+        + F.coalesce(F.col("w_join"), F.lit(0))
+        + F.coalesce(F.col("w_window"), F.lit(0))
+    )
+    return (
+        w.select("doc_id", F.round(score, 4).alias("bm25"), "n_terms_matched")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    scored AS (
+        SELECT lang, term, tf, df,
+               round(tf * ln(n_docs / df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+    )
+    SELECT lang, term, tf, df, tfidf
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn <= 10
+    ORDER BY lang, tfidf DESC, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the 10 most characteristic terms per
+    language (corpus-level tf within the language, document df across
+    the corpus) — the classic signature-vocabulary profile a corpus
+    audit produces per slice.
+
+    Scale shape: tf and df are independent partial-aggregated shuffles
+    over exploded tokens; they meet in a JOIN KEYED ON TERM — at corpus
+    scale the vocabulary is far too large to broadcast (a ~10⁸-term web
+    vocab is tens of GB), so the term-keyed shuffle join is the correct
+    plan and AQE may still flip it to broadcast when a small fixture
+    prunes the vocab down. Per-language top-10 is a window over the
+    |langs × vocab| aggregate, never over raw postings; the ranking key
+    rounds before ordering (ties → term) so the cut is engine-stable."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    stats = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(stats))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("lang", F.desc("tfidf"), "term")
+    )

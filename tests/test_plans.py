@@ -387,3 +387,25 @@ def test_ivfpq_adc_tables_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_ivfpq_cosine")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_is_indexed_topk_not_scan_sort(spark, sf_dir):
+    """BM25 must plan as inverted-index scoring: the term prefilter
+    drops non-matching postings before the tf shuffle, df and corpus
+    stats come back as broadcasts, and the final cut is
+    TakeOrderedAndProject — never a global sort of all documents."""
+    plan = _plan(spark, sf_dir, "bm25_search_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # df map + corpus stats
+    assert "Sort [bm25" not in plan  # no global sort feeding the limit
+
+
+def test_tfidf_ranks_aggregates_not_postings(spark, sf_dir):
+    """The per-language top-10 window must run over the (lang, term)
+    AGGREGATE (tf joined to df), not over raw exploded postings: the
+    window's lang exchange has to sit above both aggregation exchanges,
+    and no cartesian path may appear."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
