@@ -541,3 +541,54 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_len")
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               -ln((((doc_id % 1000003) * 10007 + 12345) % 1000003 + 1)
+                   / 1000003.0) / n_chars AS key
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars AS weight_chars,
+           round(key, 9) AS priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    priority sampling, the one-pass distributed form): keep the 100
+    documents with the smallest ``-ln(u)/w`` exponential key, where the
+    weight w is n_chars — the quality/length-weighted corpus
+    subsampling step (longer docs proportionally likelier), the
+    continuous-weight generalization of corpus_hash_sample's stratified
+    rates and corpus_temperature_resample's closed-form language rates.
+
+    Scale shape: the key is one map-side expression per row (no RNG
+    state — u comes from the same portable GF(1000003) mix as
+    sample_bucket, so reruns and engines agree) and the selection plans
+    as TakeOrderedAndProject: per-partition top-100 heaps, one driver
+    merge, no global sort, no shuffle of non-winners. Keys round to 9
+    decimals BEFORE ordering (ties → doc_id) so a last-ulp ``ln``
+    divergence cannot flip the boundary."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") % cp._MIX_PRIME) * cp._MIX_MULT + cp._MIX_ADD)
+        % cp._MIX_PRIME
+        + 1
+    ) / F.lit(float(cp._MIX_PRIME))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight_chars"),
+            F.round(key, 9).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

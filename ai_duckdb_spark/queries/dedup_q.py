@@ -781,3 +781,91 @@ def pipeline_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nc
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM inter
+        JOIN sizes s1 ON inter.id1 = s1.doc_id
+        JOIN sizes s2 ON inter.id2 = s2.doc_id
+        WHERE CAST(nc AS DOUBLE) / (s1.sz + s2.sz - nc) >= 0.95
+    ),
+    tri AS (
+        SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id1 = e1.id2
+        JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+    ),
+    members AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, count(*) AS n_triangles
+    FROM members GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the >=0.95-Jaccard near-dup graph: per
+    document, how many closed triples it sits in — the local-clustering
+    signal that separates tight mirror clusters (cliques: every pair
+    agrees) from chain-shaped false merges (paths: A~B~C but never A~C),
+    i.e. the graph-quality audit a dedup pipeline runs BEFORE trusting
+    its connected components as duplicate groups.
+
+    Scale shape (Suri & Vassilvitskii, WWW'11 — "the curse of the last
+    reducer"): edges are oriented by DEGREE (low-degree endpoint →
+    high-degree, ties on id) before the wedge join, so a node's wedge
+    fan-out is bounded by its ORIENTED out-degree — O(m^{3/2}) total
+    wedges on any graph instead of sum(deg²), which a hub node makes
+    quadratic. The id-ordered enumeration the oracle runs is the
+    orientation-INVARIANT count, so both plans must agree exactly; all
+    arithmetic is integer. Third consumer of the shared pair relation
+    (components, survivors, pagerank, triangles — one candidate pass,
+    four consumers)."""
+    pairs = _pairs_095(spark, sf_dir).select("id1", "id2")
+    deg = (
+        pairs.select(F.col("id1").alias("node"))
+        .unionAll(pairs.select(F.col("id2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        pairs.join(deg.withColumnRenamed("node", "id1").withColumnRenamed("deg", "d1"), "id1")
+        .join(deg.withColumnRenamed("node", "id2").withColumnRenamed("deg", "d2"), "id2")
+    )
+    # orient low->high in (deg, id) order: total order, so every triangle
+    # appears exactly once as src->mid->dst
+    lo_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("id1") < F.col("id2"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("id1")).otherwise(F.col("id2")).alias("src"),
+        F.when(lo_first, F.col("id2")).otherwise(F.col("id1")).alias("dst"),
+    ).localCheckpoint()
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    return (
+        members.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )

@@ -409,3 +409,22 @@ def test_tfidf_ranks_aggregates_not_postings(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_weighted_sample_is_shuffle_free_topk(spark, sf_dir):
+    """The Efraimidis-Spirakis selection must be map-only + top-k: the
+    priority key is a per-row expression and the 100-row cut plans as
+    TakeOrderedAndProject with NO exchange anywhere — non-winners never
+    leave their partition."""
+    plan = _plan(spark, sf_dir, "corpus_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_triangle_count_has_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle counting must close wedges through
+    equi-joins only — a cartesian/nested-loop path would defeat the
+    orientation bound."""
+    plan = _plan(spark, sf_dir, "dedup_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
