@@ -72,8 +72,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     like k-means); pytest pins the full rule sequence against a
     pure-Python reference BPE trainer on the same fixture
     (tests/test_operators.py TestBpe)."""
-    docs = load(spark, sf_dir, "documents")
-    rules = bpe.learn_merges(docs, n_merges=8)
+    rules = shared_merge_rules(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(rules)],
         "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
@@ -133,6 +132,72 @@ def corpus_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_selected"),
             F.sum("n_tokens").cast("long").alias("tokens_selected"),
             F.max("cum_tokens").cast("long").alias("max_cum_at_selection"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MERGES_CACHE: dict[tuple[str, str], list[tuple[str, str, str, int]]] = {}
+
+
+def shared_merge_rules(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> list[tuple[str, str, str, int]]:
+    """The learned merge table, once per (session, corpus) — the
+    train-once/apply-many contract a tokenizer actually has (same
+    shared-model pattern as similarity_q.shared_kmeans_model and the
+    _pairs_095 relation)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGES_CACHE:
+        _MERGES_CACHE[key] = bpe.learn_merges(
+            load(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _MERGES_CACHE[key]
+
+
+@register("bpe_encode_stats", oracle=None)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION (the encode half of train→apply): fold the 8
+    learned merge rules into the corpus and report, per language, the
+    whitespace-token count, the resulting subword-token count, and the
+    subword-per-character compression — the "how many training tokens
+    is this corpus" accounting that sizes an LLM run.
+
+    Scale shape: the merge fold runs over the DISTINCT VOCABULARY
+    (encode each word once, map-only, all eight rules in one
+    whole-stage-codegen projection), and the corpus-size work is the
+    same single word-histogram shuffle every BPE stage here uses; doc
+    totals come from wc × per-word subword counts through a word-keyed
+    join — the corpus text itself is never re-scanned per rule.
+    Rows-only: the rule table is the iterative learner's output; pytest
+    pins per-word encodings against the pure-Python reference encoder
+    (tests/test_operators.py TestBpe)."""
+    docs = load(spark, sf_dir, "documents")
+    rules = shared_merge_rules(spark, sf_dir)
+    wl = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    enc = bpe.with_symbols(wl.select("word").distinct())
+    for left, right, _, _ in rules:
+        enc = bpe.apply_merge(enc, left, right)
+    enc = enc.select(
+        "word", F.size("syms").alias("n_sub"), F.length("word").alias("n_chars_w")
+    )
+    joined = wl.join(enc, "word")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_words"),
+            F.sum("wc").cast("long").alias("ws_tokens"),
+            F.sum(F.col("wc") * F.col("n_sub")).cast("long").alias("subword_tokens"),
+            F.round(
+                F.sum(F.col("wc") * F.col("n_sub"))
+                / F.sum(F.col("wc") * F.col("n_chars_w")),
+                4,
+            ).alias("subwords_per_char"),
         )
         .orderBy("lang")
     )

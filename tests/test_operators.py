@@ -967,6 +967,44 @@ class TestBpe:
         assert out["abab"] == ["a", "b", "a", "b"]
         assert out["ba"] == ["b", "a"]
 
+    def test_encode_stats_matches_reference_encoder(self, spark, sf_dir):
+        """bpe_encode_stats' per-language subword totals must equal the
+        pure-Python scan encoder applying the SAME learned rules to
+        every word of the corpus."""
+        from collections import defaultdict
+
+        from ai_duckdb_spark.queries import tokenizer_q
+        from ai_duckdb_spark.tables import load
+
+        got = {
+            r.lang: (r.ws_tokens, r.subword_tokens)
+            for r in tokenizer_q.bpe_encode_stats(spark, sf_dir).collect()
+        }
+        rules = tokenizer_q.shared_merge_rules(spark, sf_dir)
+
+        def encode(word: str) -> int:
+            s = list(word)
+            for left, right, _, _ in rules:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        docs = load(spark, sf_dir, "documents").select("lang", "text").collect()
+        want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+        for r in docs:
+            for w in r.text.split(" "):
+                if w:
+                    want[r.lang][0] += 1
+                    want[r.lang][1] += encode(w)
+        assert got == {k: (v[0], v[1]) for k, v in want.items()}
+
 
 class TestPageRank:
     def test_pagerank_matches_reference_power_iteration(self, spark):
