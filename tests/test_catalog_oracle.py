@@ -95,6 +95,7 @@ _POST_FREEZE = {
     "sketch_cms_heavy_hitters",
     "pipeline_semantic_corpus",
     "streaming_cms_sketch",
+    "dedup_graph_triangles",
 }
 
 
