@@ -271,6 +271,126 @@ def decode_audio(data: bytes, *, fake: bool = False) -> tuple[int, int]:
     return (8000 if n % 2 else 16000, n * 4)
 
 
+def make_wav_header(
+    sample_rate: int, channels: int, bits: int, n_frames: int, junk: bool = False
+) -> bytes:
+    """A genuine RIFF/WAVE byte layout (PCM fmt chunk + empty-bodied data
+    chunk declaring ``n_frames`` frames) — the AUDIO metadata tier needs
+    no codec, exactly like the image header tier: RIFF is a public
+    chunk-walk format (little-endian sizes, 'fmt '/'data' four-CCs).
+    ``junk=True`` inserts a LIST chunk before fmt — real-world WAVs
+    carry such metadata chunks, and the parser must walk past them."""
+    import struct
+
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    chunks = b""
+    if junk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data_bytes = n_frames * block_align
+    chunks += b"data" + struct.pack("<I", data_bytes)  # body omitted (header tier)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) + data_bytes) + b"WAVE" + chunks
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a RIFF/WAVE header to (channels, sample_rate, bits,
+    n_frames) by walking the chunk list — pure Python, no codec. Returns
+    None for non-WAV payloads. Chunk walk honors the spec's word
+    alignment (odd-sized chunks pad one byte)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt_info, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(data):
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            fmt_info = (channels, rate, bits, block_align)
+        elif cid == b"data":
+            data_size = size
+            break  # data body (absent in the header tier) ends the walk
+        pos += 8 + size + (size % 2)
+    if fmt_info is None or data_size is None or fmt_info[3] == 0:
+        return None
+    channels, rate, bits, block_align = fmt_info
+    return (channels, rate, bits, data_size // block_align)
+
+
+AUDIO_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+_SYNTH_RATES = (8000, 16000, 22050, 44100)
+
+
+def synthesize_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with REAL RIFF/WAVE header bytes, deterministic
+    per id: rate = RATES[id % 4], channels = id % 2 + 1, 16-bit,
+    n_frames = id % 1000 + 1; every third payload carries a LIST junk
+    chunk before fmt. Closed-form in the id so an oracle recomputes the
+    expected parse independently."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_wav_header(
+                            _SYNTH_RATES[i % 4],
+                            int(i % 2 + 1),
+                            16,
+                            int(i % 1000 + 1),
+                            junk=(i % 3 == 0),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_audio_headers(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, channels, sample_rate, bits, n_frames) via the pure-
+    Python RIFF walk inside mapInPandas — the audio metadata twin of
+    extract_image_headers."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(p) or (0, 0, 0, 0) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "channels": pd.Series([c for c, _, _, _ in parsed], dtype="int32"),
+                    "sample_rate": pd.Series(
+                        [r for _, r, _, _ in parsed], dtype="int32"
+                    ),
+                    "bits": pd.Series([b for _, _, b, _ in parsed], dtype="int32"),
+                    "n_frames": pd.Series([n for _, _, _, n in parsed], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_parse, AUDIO_HEADER_SCHEMA)
+
+
 def resize_image(data: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
     """Resize an image payload to (width, height).
 

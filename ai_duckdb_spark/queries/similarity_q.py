@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 from ..operators import similarity as sim
 from ..operators.multimodal import (
     attach_binary_payload,
+    extract_audio_headers,
     extract_features,
     extract_image_headers,
     sample_frames,
+    synthesize_audio_payloads,
     synthesize_image_payloads,
 )
 from ..tables import load
@@ -288,6 +290,33 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the expected parse independently."""
     docs = load(spark, sf_dir, "documents")
     return extract_image_headers(synthesize_image_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_audio_headers",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+               AS sample_rate,
+           CAST(16 AS INTEGER)              AS bits,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata tier of X9 (the WAV twin of the image-header
+    entry): payloads carrying genuine RIFF/WAVE chunk layouts — a third
+    of them with a LIST metadata chunk the walk must skip — parsed back
+    to (channels, sample_rate, bits, n_frames) by the pure-Python chunk
+    walker inside mapInPandas (operators/multimodal.py parse_wav_header;
+    container METADATA needs no codec — only sample DECODING does, and
+    that boundary stays stubbed per brief). Parameters are closed-form
+    in doc_id, so the oracle recomputes the expected parse
+    independently."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_audio_headers(synthesize_audio_payloads(docs, "doc_id"))
 
 
 @register(

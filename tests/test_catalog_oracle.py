@@ -96,6 +96,7 @@ _POST_FREEZE = {
     "pipeline_semantic_corpus",
     "streaming_cms_sketch",
     "dedup_graph_triangles",
+    "multimodal_audio_headers",
 }
 
 

@@ -345,6 +345,25 @@ class TestMultimodal:
         neg = bmp[:22] + (-20).to_bytes(4, "little", signed=True)
         assert multimodal.parse_image_header(neg) == ("bmp", 10, 20)
 
+    def test_wav_header_parse_roundtrip(self):
+        """RIFF/WAVE headers parse back exactly, with and without a LIST
+        metadata chunk before fmt (the walk must skip unknown chunks)."""
+        for junk in (False, True):
+            payload = multimodal.make_wav_header(22050, 2, 16, 777, junk=junk)
+            assert multimodal.parse_wav_header(payload) == (2, 22050, 16, 777), junk
+
+    def test_wav_header_parse_edge_cases(self):
+        import struct
+
+        assert multimodal.parse_wav_header(b"") is None
+        assert multimodal.parse_wav_header(b"RIFFxxxxAVI ") is None  # not WAVE
+        # odd-sized unknown chunk: the spec pads to word alignment — a
+        # parser that forgets the pad byte desyncs and misses fmt/data
+        odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+        base = multimodal.make_wav_header(8000, 1, 16, 5)
+        with_odd = base[:12] + odd + base[12:]
+        assert multimodal.parse_wav_header(with_odd) == (1, 8000, 16, 5)
+
     def test_audio_and_resize_stubs_gated(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(b"bytes")
