@@ -446,3 +446,136 @@ def regr_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stats_ols_probe",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(n_chars AS BIGINT)                                    AS x1,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+               CAST(len(string_split(text, ' ')) AS BIGINT)                AS y
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT)    AS n,
+               CAST(sum(x1) AS HUGEINT)     AS s1,
+               CAST(sum(x2) AS HUGEINT)     AS s2,
+               CAST(sum(y) AS HUGEINT)      AS sy,
+               CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+               CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+               CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+               CAST(sum(x1 * y) AS HUGEINT)  AS s1y,
+               CAST(sum(x2 * y) AS HUGEINT)  AS s2y,
+               CAST(sum(y * y) AS HUGEINT)   AS syy
+        FROM r
+    ),
+    d AS (
+        SELECT n, sy, s1y, s2y, syy,
+               n  * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)                            AS det,
+               sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                  + s2 * (s1y * s12 - s11 * s2y)                          AS det0,
+               n  * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s2y - s1y * s2)                            AS det1,
+               n  * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+                  + sy * (s1 * s12 - s11 * s2)                            AS det2
+        FROM m
+    ),
+    b AS (
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2,
+               CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd,
+               CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd,
+               CAST(n AS DOUBLE) AS nd
+        FROM d
+    )
+    SELECT n_docs,
+           round(b0, 6) AS intercept,
+           round(b1, 6) AS coef_chars,
+           round(b2, 6) AS coef_vocab,
+           round(1 - (syyd - (b0 * syd + b1 * s1yd + b2 * s2yd))
+                     / (syyd - (syd * syd) / nd), 6) AS r2
+    FROM b
+    """,
+)
+def stats_ols_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multi-feature OLS trained IN-ENGINE (the linear-probe
+    step of a data-quality pipeline: predict token count from n_chars
+    and vocabulary size, report coefficients + R²) — the 3-unknown
+    generalization of the G11 regr_* tier, solved by Cramer's rule over
+    the normal-equations matrix.
+
+    Cross-engine exactness: every moment is an exact integer sum
+    (map-side combinable — ONE aggregation over the corpus is the whole
+    training cost, the textbook distributed-OLS shape), and the 3×3
+    determinants are evaluated in 38-digit integer arithmetic
+    (decimal(38,0) here, HUGEINT in the oracle; the largest term is
+    n·Σx²·Σx² ≈ 10²⁵ at sf0.1 — overflow would raise under ANSI, not
+    truncate). Coefficients only then become doubles — identical
+    integer→double roundings and one division per side — so both
+    engines emit bit-identical statistics before the presentation
+    round. R² recovers SSE from the moments (SSE = Σy² − bᵀXᵀy), no
+    second data pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    r = docs.select(
+        F.col("n_chars").cast("long").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("x2"),
+        F.size(toks).cast("long").alias("y"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def big(name: str) -> F.Column:
+        return F.col(name).cast("decimal(38,0)")
+
+    n, s1, s2 = big("n"), big("s1"), big("s2")
+    sy, s11, s12 = big("sy"), big("s11"), big("s12")
+    s22, s1y, s2y = big("s22"), big("s1y"), big("s2y")
+    d = m.select(
+        F.col("n"),
+        F.col("sy"),
+        F.col("s1y"),
+        F.col("s2y"),
+        F.col("syy"),
+        (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)).alias("det"),
+        (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y)).alias("det0"),
+        (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)).alias("det1"),
+        (n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2)).alias("det2"),
+    )
+    det_d = F.col("det").cast("double")
+    b0 = F.col("det0").cast("double") / det_d
+    b1 = F.col("det1").cast("double") / det_d
+    b2 = F.col("det2").cast("double") / det_d
+    syd, s1yd = F.col("sy").cast("double"), F.col("s1y").cast("double")
+    s2yd, syyd = F.col("s2y").cast("double"), F.col("syy").cast("double")
+    nd = F.col("n").cast("double")
+    return d.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(b0, 6).alias("intercept"),
+        F.round(b1, 6).alias("coef_chars"),
+        F.round(b2, 6).alias("coef_vocab"),
+        F.round(
+            F.lit(1)
+            - (syyd - (b0 * syd + b1 * s1yd + b2 * s2yd))
+            / (syyd - (syd * syd) / nd),
+            6,
+        ).alias("r2"),
+    )
