@@ -106,6 +106,66 @@ def token_rarity_stats(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_mod: int = 10,
+    train_lt: int = 8,
+) -> DataFrame:
+    """Train-then-apply bigram language-model scoring (the CCNet-style
+    quality filter as a real train/score pipeline, not just corpus
+    frequency): bigram and context counts are TRAINED on the hash-split
+    ``id % train_mod < train_lt`` (deterministic, engine-portable), then
+    every held-out document is scored against that model. Scores stay
+    exact-integer (matched bigrams, model count sums) plus one IEEE
+    division for coverage — log-prob would lose cross-engine
+    hash-exactness to libm, and the integer components carry the same
+    ordering signal.
+
+    Scale: one tokenize pass feeds train and score branches
+    (localCheckpoint'd so the corpus is scanned once); the model lives
+    as two key-partitioned relations joined on (w1,w2) / (w1) — never
+    collected to the driver. At 100 TB the trained model itself is
+    big-data (bigram vocabulary ~ billions): the joins shuffle by key,
+    AQE broadcasts only if the measured model is small. A production
+    deployment would prune the model to top-K bigrams or a count-min
+    approximation before serving; this operator is the exact tier those
+    prune against."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("l"),
+        (F.col(id_col) % train_mod < train_lt).alias("is_train"),
+    )
+    bigr = toks.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, size(l) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(l, i + 2) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "is_train", "bg.w1", "bg.w2")
+    bigr = bigr.localCheckpoint(eager=False)
+    train = bigr.filter(F.col("is_train"))
+    big_c = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx_c = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bigr.filter(~F.col("is_train"))
+        .join(big_c, ["w1", "w2"], "left")
+        .join(ctx_c, ["w1"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("c2").alias("matched_bigrams"),
+            F.coalesce(F.sum("c2"), F.lit(0)).cast("bigint").alias("sum_bigram_count"),
+            F.coalesce(F.sum("c1"), F.lit(0)).cast("bigint").alias("sum_context_count"),
+            (F.count("c2").cast("double") / F.count("*")).alias("bigram_coverage"),
+        )
+    )
+
+
 def predicted_lang(text_col: str = "text") -> Column:
     """Heuristic language ID.
 

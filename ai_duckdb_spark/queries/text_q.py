@@ -345,6 +345,43 @@ def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l, doc_id % 10 < 8 AS is_train
+      FROM documents
+    ),
+    bigr AS (
+      SELECT doc_id, is_train, l[i] AS w1, l[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(l)-1)) AS r(i)
+    ),
+    big_c AS (SELECT w1, w2, count(*) AS c2 FROM bigr WHERE is_train GROUP BY w1, w2),
+    ctx_c AS (SELECT w1, count(*) AS c1 FROM bigr WHERE is_train GROUP BY w1)
+    SELECT b.doc_id,
+           count(*)                                   AS n_bigrams,
+           count(c2)                                  AS matched_bigrams,
+           CAST(coalesce(sum(c2), 0) AS BIGINT)       AS sum_bigram_count,
+           CAST(coalesce(sum(c1), 0) AS BIGINT)       AS sum_context_count,
+           CAST(count(c2) AS DOUBLE) / count(*)       AS bigram_coverage
+    FROM bigr b
+    LEFT JOIN big_c USING (w1, w2)
+    LEFT JOIN ctx_c USING (w1)
+    WHERE NOT b.is_train
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring with a real train/apply
+    split (X8 beyond the reference — the CCNet perplexity filter as a
+    trained-in-engine model applied to held-out documents; see
+    operators/textstats.py bigram_lm_scores for the exactness and
+    100 TB model-size argument)."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "streaming_foreachbatch_sink",
     oracle="""
     SELECT lang,
