@@ -281,7 +281,12 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join (eager-aggregation rewrite): the fact-fact join then moves
     one row per order instead of one per line item (~4x less shuffle at
     TPC-H shape), and the COUNT(DISTINCT o_orderkey) collapses to a
-    plain count because orderkey is unique post-aggregation. Cents sums
+    plain count because orderkey is unique post-aggregation. The
+    one-year order-date slice semi-reduces lineitem BEFORE that
+    aggregate (the filter is on orders, but only qualifying orders'
+    lines can contribute — at TPC-H's 7-year spread this drops ~6/7 of
+    the aggregate input and shuffle; AQE picks broadcast vs shuffled
+    semi-join by the filtered key set's measured size). Cents sums
     are associative longs, so two-level summation is still bit-exact.
     """
     c = load(spark, sf_dir, "customer")
@@ -291,8 +296,9 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
+    li = load(spark, sf_dir, "lineitem")
     li_rev = (
-        load(spark, sf_dir, "lineitem")
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey")
         .agg(F.sum(cents(_disc_price(), 4)).alias("__rev_cents"))
     )

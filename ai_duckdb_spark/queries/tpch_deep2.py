@@ -93,26 +93,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares bit-identical values on both engines (never re-rounded, per
     functions/exact.py).
 
-    Scale shape: the supply aggregate shuffles lineitem once on
-    (partkey, suppkey); the part slice (p_size AND p_type) prunes at the
-    scan and broadcasts; supplier⋈nation⋈region is a broadcast chain
-    (100/25/5 rows). The correlated min is a per-part window over the
-    already-joined region-scoped rows — Catalyst plans one extra
+    Scale shape: the part slice (p_size AND p_type, ~1/250 of parts)
+    broadcasts and semi-reduces lineitem BEFORE the supply aggregate —
+    the correlated min only ever matters for sliced parts, so the
+    (partkey, suppkey) group-by shuffles the sliced pairs, not the whole
+    fact table (at 100 TB that is the difference between shuffling
+    400 GB and the full 100 TB); supplier⋈nation⋈region is a broadcast
+    chain (100/25/5 rows). The correlated min is a per-part window over
+    the already-joined region-scoped rows — Catalyst plans one extra
     partkey-hash exchange of the tiny qualified set, no self-join of
     lineitem."""
     from pyspark.sql.window import Window
 
-    supply = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-        )
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
     part = F.broadcast(
         load(spark, sf_dir, "part")
         .filter((F.col("p_size") == 10) & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey", "p_brand")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand", F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     supp = F.broadcast(
         load(spark, sf_dir, "supplier").select(
@@ -124,8 +128,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     )
     scoped = (
-        supply.join(part, supply.partkey == part.p_partkey)
-        .join(supp, supply.suppkey == supp.s_suppkey)
+        supply.join(supp, supply.suppkey == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
