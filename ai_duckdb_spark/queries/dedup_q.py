@@ -766,12 +766,11 @@ def pipeline_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 200) & (n_tokens >= 30)
     ).select("doc_id", "lang", "n_chars", n_tokens.alias("n_tokens"))
 
-    from pyspark.sql import Window
+    from ..operators.prefix import ordered_cumsum
 
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    budgeted = ordered_cumsum(
+        quality, [F.desc("n_chars"), F.asc("doc_id")], "n_tokens", "cum_tokens"
     )
-    budgeted = quality.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         budgeted.filter(F.col("cum_tokens") <= 15000)
         .groupBy("lang")

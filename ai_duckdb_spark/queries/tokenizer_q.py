@@ -109,22 +109,22 @@ def corpus_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-pruning recipe ends with.
 
     Scale shape: a global running sum over (n_chars DESC, doc_id) —
-    ONE range-partitioned sort of (doc_id, lang, two ints), never the
+    computed DISTRIBUTED via operators/prefix.py ordered_cumsum (range
+    repartition + per-partition window + broadcast offsets; no
+    single-partition window) over (doc_id, lang, two ints), never the
     text; the admit decision and per-language rollup are map-side.
-    Integer-exact everywhere (token counts, cumulative sums)."""
-    from pyspark.sql import Window
+    Integer-exact everywhere (token counts, cumulative sums — the
+    two-phase sum is bit-identical to the global window)."""
+    from ..operators.prefix import ordered_cumsum
 
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " "))
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    scored = ordered_cumsum(
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"), F.col("n_chars")),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
     )
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        F.col("n_chars"),
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         scored.filter(F.col("cum_tokens") <= 20000)
         .groupBy("lang")

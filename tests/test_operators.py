@@ -1189,3 +1189,35 @@ class TestStreamingCms:
         for tok, (exact, est) in got.items():
             assert est == want_est[tok], (tok, est, want_est[tok])
             assert est >= exact
+
+
+class TestOrderedCumsum:
+    def test_matches_single_partition_window(self, spark):
+        """The two-phase prefix sum must be bit-identical to the naive
+        global window, including across range-partition boundaries."""
+        from pyspark.sql import Window
+
+        from ai_duckdb_spark.operators.prefix import ordered_cumsum
+
+        rows = [(i, (i * 37) % 11, (i * 13) % 7 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, grp long, v long").repartition(8)
+        order = [F.desc("grp"), F.asc("id")]
+        got = {
+            r["id"]: r["cum"]
+            for r in ordered_cumsum(df, order, "v", "cum").collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    def test_empty_input(self, spark):
+        from ai_duckdb_spark.operators.prefix import ordered_cumsum
+
+        df = spark.createDataFrame([], "id long, v long")
+        out = ordered_cumsum(df, [F.asc("id")], "v", "cum")
+        assert out.count() == 0 and "cum" in out.columns

@@ -428,3 +428,16 @@ def test_triangle_count_has_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_graph_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_budget_no_single_partition_window(spark, sf_dir):
+    """The token-budget running sum must be the two-phase distributed
+    prefix sum (operators/prefix.py) — an Exchange SinglePartition
+    before a Window is the global-sort bottleneck it exists to avoid."""
+    plan = _plan(spark, sf_dir, "corpus_curriculum_budget")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_pipeline_no_single_partition_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_semantic_corpus")
+    assert "Exchange SinglePartition" not in plan
