@@ -598,6 +598,65 @@ def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVOLUTION_DIRS: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "maintenance_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN year(o_orderdate) < 1997 THEN '<absent>'
+                ELSE o_orderstatus END          AS o_orderstatus,
+           count(*)                             AS n_orders,
+           {sum_sql('o_totalprice', 2)}         AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def maintenance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches (maintenance tier): an
+    old producer wrote orders WITHOUT the status column, a newer one
+    added it — the read unifies both generations with ``mergeSchema``
+    (old rows surface NULL status) and the accounting groups NULLs as
+    their own bucket. This is the lakehouse drift case every long-lived
+    100 TB table hits: schema-on-read union, no rewrite of old data.
+
+    Scale note: mergeSchema schema inference reads FOOTERS of every
+    file (a driver-side listing + distributed footer read) — at
+    petabyte file counts you pin the merged schema explicitly or keep
+    it in a catalog; the read path below is what both resolve to. The
+    oracle recomputes from the single source table, proving the
+    write→merge→read path loses nothing and NULL-fills exactly the old
+    generation."""
+    import tempfile
+
+    if sf_dir not in _EVOLUTION_DIRS:
+        d1 = tempfile.mkdtemp(prefix="orders_gen1_")
+        d2 = tempfile.mkdtemp(prefix="orders_gen2_")
+        orders = load(spark, sf_dir, "orders")
+        old_gen = orders.filter(F.year("o_orderdate") < 1997).select(
+            "o_orderkey", "o_totalprice"
+        )
+        new_gen = orders.filter(F.year("o_orderdate") >= 1997).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        old_gen.write.mode("overwrite").parquet(d1)
+        new_gen.write.mode("overwrite").parquet(d2)
+        _EVOLUTION_DIRS[sf_dir] = (d1, d2)
+    d1, d2 = _EVOLUTION_DIRS[sf_dir]
+    merged = spark.read.option("mergeSchema", "true").parquet(d1, d2)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<absent>")).alias("o_orderstatus")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register("hll_sketch_users", oracle=None)
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (G10 scale path): a DataSketches
