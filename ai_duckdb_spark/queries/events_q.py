@@ -699,3 +699,34 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key="user_id", ts="ts", gap_seconds=1800, cap_seconds=900,
         tiebreak="event_id",
     )
+
+
+@register(
+    "streaming_watermark_latedrop",
+    oracle="""
+    WITH on_time AS (SELECT ts FROM events WHERE event_id % 5 <> 0),
+    late AS (SELECT ts FROM events WHERE event_id % 5 = 0),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM on_time),
+    kept AS (
+        SELECT ts FROM on_time
+        UNION ALL
+        SELECT late.ts FROM late, wm
+        WHERE date_trunc('hour', late.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events
+    FROM kept
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def streaming_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP proven end to end (X1): a two-batch
+    replay where the second batch arrives behind the watermark the
+    first advanced, and Spark discards exactly the closed-window rows —
+    the oracle reproduces the drop rule in closed form (see
+    streaming/windows.py watermark_latedrop_stream). The one streaming
+    semantic single-file replays can never show."""
+    from ..streaming.windows import watermark_latedrop_stream
+
+    return watermark_latedrop_stream(spark, sf_dir)

@@ -545,3 +545,117 @@ def topk_tokens_stream(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFra
         .limit(k)
         .select("tok", F.col("n").cast("long").alias("n"))
     )
+
+
+# Replay dirs for the watermark late-drop proof, staged once per
+# (application, sf_dir): gen0 = the on-time flow, gen1/gen2 = two
+# single-row "tick" batches (near-max rows that advance NOTHING but let
+# the watermark PROPAGATE), gen3 = the late arrivals; mtimes pinned so
+# the file source replays them as four ordered micro-batches.
+_LATEDROP_DIRS: dict = {}
+
+
+def watermark_latedrop_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "2 hours",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Watermark LATE-DATA DROP, observed end to end — the streaming
+    semantic none of the other entries exercises (their single-file
+    replays never present data behind the watermark).
+
+    Spark 3.4+ runs stateful operators with TWO watermark values per
+    batch: rows are late-filtered against the PREVIOUS batch's
+    watermark and state is evicted against the current one (the
+    watermark takes one extra batch to propagate to the filter). A
+    naive two-batch replay therefore drops NOTHING — measured here:
+    numRowsDroppedByWatermark=0 and every late row aggregated, exactly
+    Spark's documented best-effort one-direction guarantee. The replay
+    is four batches instead:
+
+      batch 0  the on-time 80% (event_id % 5 != 0), whose max ts M
+               sets the watermark M - delay;
+      batch 1  a single near-max on-time row (2nd-largest ts) — does
+               not raise M, lets the filter watermark catch up;
+      batch 2  the 3rd-largest on-time row — same, one more hop so
+               filter wm == eviction wm == M - delay;
+      batch 3  the held-back 20% (event_id % 5 == 0), now arriving
+               behind a fully-propagated watermark: rows whose hour
+               window closed at or before M - delay are DROPPED, rows
+               in still-open windows aggregate.
+
+    Update-mode aggregation; the memory sink holds every update, and
+    counts only grow, so max-per-window reads the final value
+    deterministically. The oracle reproduces the drop rule in closed
+    form: on-time rows all count; late rows count only where
+    ``window_end > M - delay``. Sub-millisecond caveat: Spark tracks
+    event time in ms, so a fixture whose max ts carries microseconds
+    AND lands exactly ``delay`` past a whole-hour boundary could
+    disagree with DuckDB's µs interval arithmetic — hour-aligned window
+    ends make that measure-zero, and the fixtures are fixed.
+
+    Scale: state is bounded by the watermark (closed windows evict, and
+    the late filter uses the SAME predicate, so dropped windows are
+    never resurrected); the filter is a map-side comparison against a
+    literal — this entry is the eviction proof the unbounded
+    complete-mode entries cannot give."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window as SqlWindow
+
+    from ..tables import load
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LATEDROP_DIRS:
+        replay = scratch_dir("latedrop_src_")
+        ev = load(spark, sf_dir, "events").select("event_id", "ts")
+        on_time = ev.filter(F.col("event_id") % 5 != 0)
+        # rank 1 (the max) stays in gen0 so batch 0 sets the final
+        # watermark; ranks 2 and 3 become the tick batches
+        rk = F.row_number().over(
+            SqlWindow.orderBy(F.desc("ts"), F.desc("event_id"))
+        )
+        ranked = on_time.withColumn("__rk", rk)
+        gens = [
+            ranked.filter(~F.col("__rk").isin(2, 3)).drop("__rk"),
+            ranked.filter(F.col("__rk") == 2).drop("__rk"),
+            ranked.filter(F.col("__rk") == 3).drop("__rk"),
+            ev.filter(F.col("event_id") % 5 == 0),
+        ]
+        for i, part in enumerate(gens):
+            d = scratch_dir(f"latedrop_gen{i}_")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            dst = os.path.join(replay, f"gen{i}.parquet")
+            shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        _LATEDROP_DIRS[key] = replay
+    replay = _LATEDROP_DIRS[key]
+
+    schema = spark.read.parquet(replay).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(replay)
+    )
+    agg = (
+        src.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window_duration).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"latedrop_sink_{uuid.uuid4().hex[:8]}"
+    _drain(
+        spark,
+        agg.writeStream.outputMode("update").format("memory").queryName(sink),
+    )
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+        )
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+        .orderBy("window_start")
+    )

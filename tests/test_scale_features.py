@@ -172,3 +172,23 @@ class TestForeachBatchReplay:
             for r in back.groupBy("__batch").agg(F.count("*").alias("n")).collect()
         }
         assert per_batch == {0: 5, 1: 3}  # batch 1 untouched by the replay
+
+
+class TestWatermarkLateDrop:
+    def test_late_rows_are_actually_dropped(self, spark, sf_dir):
+        """The four-batch replay must really drop late rows — if the
+        watermark failed to propagate (the Spark 3.4 two-watermark lag
+        the tick batches exist to absorb), every late row would
+        aggregate and totals would equal the full fixture count."""
+        from ai_duckdb_spark.queries.events_q import streaming_watermark_latedrop
+        from ai_duckdb_spark.tables import load
+
+        got = streaming_watermark_latedrop(spark, sf_dir)
+        kept = got.agg(F.sum("n_events")).first()[0]
+        total = load(spark, sf_dir, "events").count()
+        n_late = (
+            load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0).count()
+        )
+        # all on-time rows kept; strictly fewer than all rows (some of
+        # the late 20% fell behind the watermark and were dropped)
+        assert total - n_late <= kept < total
