@@ -192,3 +192,33 @@ class TestWatermarkLateDrop:
         # all on-time rows kept; strictly fewer than all rows (some of
         # the late 20% fell behind the watermark and were dropped)
         assert total - n_late <= kept < total
+
+
+class TestRocksDBStateStore:
+    def test_rocksdb_provider_matches_default(self, spark, sf_dir):
+        """The windowed streaming aggregation must produce identical
+        results on the RocksDB state store provider — the provider a
+        100 TB deployment actually runs, because HDFSBackedStateStore
+        holds every store's state in executor HEAP while RocksDB spills
+        to local SSD (state can exceed memory). Ships in-box with Spark
+        4; only the conf changes, proving state-store choice is a
+        deployment knob, not a semantics change."""
+        from ai_duckdb_spark.queries.events_q import streaming_tumbling_10min
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        default = spark.conf.get(key)
+        want = sorted(
+            map(tuple, streaming_tumbling_10min(spark, sf_dir).collect())
+        )
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            got = sorted(
+                map(tuple, streaming_tumbling_10min(spark, sf_dir).collect())
+            )
+        finally:
+            spark.conf.set(key, default)
+        assert got == want and len(got) > 0
