@@ -1221,3 +1221,26 @@ class TestOrderedCumsum:
         df = spark.createDataFrame([], "id long, v long")
         out = ordered_cumsum(df, [F.asc("id")], "v", "cum")
         assert out.count() == 0 and "cum" in out.columns
+
+
+class TestMinhashSignatures:
+    def test_signature_properties(self, spark):
+        """The standalone signature primitive (the API callers compose
+        into their own banding schemes): identical token SETS — even
+        reordered with repeats — share a signature; disjoint vocabularies
+        do not, and estimated similarity tracks set overlap."""
+        from ai_duckdb_spark.operators.dedup import minhash_signatures
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "h g f e d c b a a a"),     # same set, reordered + repeats
+            (3, "p q r s t u v w"),         # disjoint
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {
+            r["__id"]: tuple(r["signature"])
+            for r in minhash_signatures(df, "doc_id", "text", 32).collect()
+        }
+        assert sigs[1] == sigs[2]
+        overlap = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+        assert overlap < 0.3
