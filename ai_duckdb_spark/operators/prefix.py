@@ -40,6 +40,19 @@ def ordered_cumsum(
     pass and the output pass share one shuffle instead of re-running
     the scan; the only driver materialization is the n_partitions
     partition totals.
+
+    Fault-tolerance caveat: correctness relies on spark_partition_id()
+    being identical across the totals pass and the output pass, which
+    the localCheckpoint guarantees only while its blocks survive.
+    localCheckpoint is explicitly NON-fault-tolerant — if an executor
+    holding checkpointed blocks is lost, the stage recomputes with
+    fresh range-boundary sampling and the broadcast offsets could be
+    applied to renumbered partitions, yielding silently wrong sums. On
+    a cluster where executor loss is expected, swap the localCheckpoint
+    for a reliable checkpoint (sc.setCheckpointDir + .checkpoint()) or
+    derive the slice id deterministically from collected range
+    boundaries; local[n] (this repo's test/bench rig) has no executor
+    loss, so the cheap variant is used here.
     """
     ranged = df.repartitionByRange(*order_by).localCheckpoint(eager=False)
     tagged = ranged.withColumn("__pid", F.spark_partition_id())

@@ -721,12 +721,15 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data DROP proven end to end (X1): a two-batch
-    replay where the second batch arrives behind the watermark the
-    first advanced, and Spark discards exactly the closed-window rows —
-    the oracle reproduces the drop rule in closed form (see
-    streaming/windows.py watermark_latedrop_stream). The one streaming
-    semantic single-file replays can never show."""
+    """Watermark late-data DROP proven end to end (X1): a FOUR-batch
+    replay (on-time flow, two watermark-propagation ticks, then the
+    late batch — Spark 3.4+ propagates watermarks one trigger late, so
+    a two-batch replay drops nothing) where the final batch arrives
+    behind the watermark the earlier batches advanced, and Spark
+    discards exactly the closed-window rows — the oracle reproduces the
+    drop rule in closed form (see streaming/windows.py
+    watermark_latedrop_stream). The one streaming semantic single-file
+    replays can never show."""
     from ..streaming.windows import watermark_latedrop_stream
 
     return watermark_latedrop_stream(spark, sf_dir)

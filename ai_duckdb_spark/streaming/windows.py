@@ -31,6 +31,16 @@ from ..tables import convert_event_ts, table_path
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
 def scratch_dir(prefix: str) -> str:
     """A scratch directory for checkpoint/sink state, on tmpfs when the
     host has one. The HDFS-backed state store commits one delta file
@@ -40,12 +50,22 @@ def scratch_dir(prefix: str) -> str:
     3.5× on the streaming suite). State-store durability on a LOCAL
     disk buys nothing anyway: recovery after node loss needs a shared
     filesystem, which is what production checkpoint locations are — so
-    locally, RAM-backed tmpfs is the honest equivalent."""
+    locally, RAM-backed tmpfs is the honest equivalent.
+
+    tmpfs is RAM-backed and typically capped at 50% of memory, so every
+    directory handed out is registered for removal at interpreter exit
+    — otherwise repeated bench/pytest runs accumulate checkpoint state
+    until tmpfs fills and mid-run writes start failing."""
+    import atexit
     import os
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch_dirs)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 @contextmanager

@@ -16,10 +16,12 @@ each has a batch twin in the headline — so they are timed separately
 and reported as ``streaming_overhead_total`` instead of being buried
 in the headline ratio.
 
-Output: TWO JSON lines (the round-1 driver truncated one giant line, so
-the first line is a compact self-contained summary — warm/duck totals,
-ratio, worst-5 — and line 2 carries BOTH full per-query maps, Spark and
-DuckDB, so per-query ratios stay auditable after the fact).
+Output: THREE JSON lines — a compact self-contained summary (warm/duck
+totals, ratio, worst-5) printed FIRST and repeated LAST, with line 2
+carrying BOTH full per-query maps, Spark and DuckDB, so per-query ratios
+stay auditable after the fact. The summary is duplicated because the
+driver's artifact keeps only a 2000-char TAIL of stdout: rounds 1-4 all
+recorded "parsed": null with the tail ending inside the per-query map.
 
 Env:
     SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
@@ -192,9 +194,16 @@ def main() -> None:
         summary["worst_ratio_queries"] = {k: round(r, 2) for r, k in worst}
         line2["duckdb_queries"] = d_timings
 
-    # line 1: compact summary (driver-parseable); line 2: both full maps
+    # line 1: compact summary; line 2: both full maps; line 3: the SAME
+    # compact summary again. The driver keeps only the TAIL of stdout
+    # (BENCH_r01..r04 all recorded "parsed": null with a 2000-char tail
+    # that ended inside the giant per-query map), so the summary must be
+    # the LAST line for a tail capture to contain the headline numbers
+    # (warm_total, duck_total, ratio, median_of). It stays first too so
+    # a head capture keeps working.
     print(json.dumps(summary))
     print(json.dumps(line2))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

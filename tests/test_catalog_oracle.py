@@ -73,19 +73,14 @@ def test_entry_smoke(spark):
     assert "total_revenue" in df.columns
 
 
-# Entries registered AFTER the round-2 window freeze (COVERAGE.md
-# rotation note): the 50-slot driver window stays stable so each round
-# re-proves the same set; post-freeze additions are proven by this local
-# oracle suite instead.
+# Entries allowed OUTSIDE the 50-slot driver window. Two kinds:
+# post-freeze additions that never had a slot (proven by this local
+# oracle suite instead), and r5 ROTATIONS OUT (judge r4 item 3): names
+# with driver-green rows in CORRECTNESS_r01/r04 that gave up their slot
+# so the former post-freeze additions could earn driver rows.
 _POST_FREEZE = {
-    "skew_salted_join_flags",
-    "dedup_survivors",
-    "streaming_incremental_dedup",
-    "dedup_exact_spans",
-    "vector_hof_features",
-    "embedding_quantization",
     "knn_graph_nndescent",
-    # r4 additions (window stays frozen per r3 judge item 6)
+    # r4 additions
     "knn_ivfpq_cosine",
     "dedup_semantic_exact",
     "dedup_semdedup",
@@ -97,6 +92,12 @@ _POST_FREEZE = {
     "streaming_cms_sketch",
     "dedup_graph_triangles",
     "multimodal_audio_headers",
+    # r5 rotations OUT — driver-green in r04 (or no_oracle-by-design two
+    # rounds running), still oracle/pytest-proven here every round
+    "dedup_exact_fulltext",
+    "dedup_jaccard_pairs",
+    "sampled_lineitem_stats",
+    "approx_stats",
 }
 
 

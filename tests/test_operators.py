@@ -41,6 +41,83 @@ class TestDedup:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.9, f"LSH recall too low: {recall}"
 
+    def test_minhash_low_threshold_prefilter(self, spark, sf_dir):
+        """Pins the estimate-prefilter floor for thresholds BELOW the old
+        hard-coded 0.6·num_hashes: at threshold=0.5 true pairs with
+        Jaccard in [0.5, 0.6) must survive the prefilter (they were
+        silently discarded before the floor was derived from threshold)."""
+        from ai_duckdb_spark.operators.dedup import minhash_estimate_floor
+
+        # the floor must sit strictly below t·n for any t, and at most 3σ below
+        for t, n in ((0.5, 32), (0.3, 32), (0.8, 32), (0.9, 128), (0.2, 16)):
+            floor = minhash_estimate_floor(t, n)
+            assert floor <= int(t * n), (t, n, floor)
+            assert floor >= 0
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        exact = {
+            (r.id1, r.id2): r.jaccard
+            for r in dedup.jaccard_pairs_exact(docs, "doc_id", "text", 0.5).collect()
+        }
+        mid_band = {k for k, j in exact.items() if 0.5 <= j < 0.6}
+        assert mid_band, "fixture should contain pairs with J in [0.5, 0.6)"
+        approx = {
+            (r.id1, r.id2)
+            for r in dedup.minhash_near_duplicates(
+                docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+            ).collect()
+        }
+        assert approx <= set(exact)
+        # the [0.5, 0.6) band must not be systematically lost to the floor
+        band_recall = len(approx & mid_band) / len(mid_band)
+        assert band_recall >= 0.5, f"[0.5,0.6) band recall: {band_recall}"
+
+    def test_minhash_components_vs_exact_clusters(self, spark, sf_dir):
+        """The connectivity short-circuit must reproduce the exact-Jaccard
+        component structure (near-perfect LSH recall at 0.9 with 32/8)
+        without ever materializing member pairs."""
+        from ai_duckdb_spark.operators.cluster import connected_components_twophase
+
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        exact_pairs = dedup.jaccard_pairs_exact(docs, "doc_id", "text", 0.9)
+        exact_labels = {
+            r.node: r.component
+            for r in connected_components_twophase(exact_pairs, "id1", "id2").collect()
+        }
+        approx = {
+            r.doc_id: (r.component, r.is_survivor)
+            for r in dedup.minhash_components(
+                docs, "doc_id", "text", threshold=0.9, num_hashes=32, bands=8
+            ).collect()
+        }
+        # every input doc gets a row; singletons self-label and survive
+        assert len(approx) == docs.count()
+        for doc_id, (comp, surv) in approx.items():
+            assert surv == (comp == doc_id)
+        # co-clustered-by-exact pairs must co-cluster approximately:
+        # compare the pairwise grouping relation restricted to exact nodes
+        exact_groups: dict[int, set[int]] = {}
+        for node, comp in exact_labels.items():
+            exact_groups.setdefault(comp, set()).add(node)
+        agree = total = 0
+        for members in exact_groups.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    total += 1
+                    agree += approx[a][0] == approx[b][0]
+        assert total > 0
+        assert agree / total >= 0.98, f"component co-membership recall: {agree/total}"
+        # and no over-merge: approx components never join docs the exact
+        # >=0.9 graph keeps apart... unless LSH found a true >=0.9 pair
+        # the bounded exact run also found — so check survivors count is
+        # at least the exact component count (approx can only split, not
+        # merge, given verify removes false positives)
+        n_exact_components = len(exact_groups) + (
+            docs.count() - len(exact_labels)
+        )
+        n_approx_components = len({c for c, _ in approx.values()})
+        assert n_approx_components >= n_exact_components
+
     def test_prefix_filter_equals_inverted_index(self, spark, sf_dir):
         """AllPairs prefix filtering is a pure planning change: the result
         relation must be IDENTICAL to the inverted-index exact tier."""
