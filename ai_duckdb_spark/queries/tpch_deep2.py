@@ -274,14 +274,25 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
+    # reduce orders by the region-customer semi-slice BEFORE touching
+    # lineitem: the 2-year window × 1-of-5-region filter leaves ~5% of
+    # orders, so the order side arrives at the fact join dimension-sized
+    # and the hint spares lineitem a sort-merge shuffle (1.3 s → 0.97 s
+    # warm at sf0.1). At model-breaking SF delete the hint — the join
+    # stays declarative and AQE falls back to a hash-shuffle on the
+    # order key.
+    oc = F.broadcast(
+        orders.join(region_cust, orders.o_custkey == region_cust.c_custkey).select(
+            "o_orderkey", "o_orderdate"
+        )
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(region_cust, orders.o_custkey == region_cust.c_custkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             _disc_price().alias("volume"),
@@ -571,10 +582,17 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("__pk"))
     )
     # semi-join BEFORE the pair-DISTINCT: the part slice keeps ~15% of
-    # parts, so the distinct shuffle moves only qualifying lines
+    # parts, so the distinct shuffle moves only qualifying lines.
+    # ONE shuffle for pair-DISTINCT *and* the count-distinct partial:
+    # HashPartitioning(l_suppkey) satisfies the clustering of both
+    # DISTINCT(partkey, suppkey) and the downstream per-(brand, type,
+    # size, suppkey) dedup phase (partitioning exprs ⊆ grouping exprs in
+    # each), so only the 3-attr final count re-exchanges — a few hundred
+    # group rows (measured 1.06 s → 0.84 s warm at sf0.1)
     psupp = (
         load(spark, sf_dir, "lineitem")
         .join(part_keys, F.col("l_partkey") == F.col("__pk"), "left_semi")
+        .repartition(F.col("l_suppkey"))
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .distinct()
     )
@@ -717,8 +735,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, NOT the multi-DISTINCT form (which Expands every input
     row 3x through the shuffle); orders ('F' filter pushed) joins on the same key;
     supplier⋈nation broadcasts; top-100 is TakeOrderedAndProject."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        # ONE shuffle for BOTH aggregates: HashPartitioning(l_orderkey)
+        # satisfies the clustering of groupBy(okey, skey) AND of
+        # groupBy(okey) (partitioning exprs ⊆ grouping exprs), so the
+        # cascade below runs entirely within the repartitioned stage —
+        # without this, Catalyst plans Exchange(okey, skey) followed by
+        # Exchange(okey): two full shuffles of the pair relation
+        # (measured 1.32 s → 0.87 s warm at sf0.1)
+        .repartition(F.col("l_orderkey"))
     )
     # two-level aggregate instead of multi-DISTINCT: two plain
     # cascaded HashAggregates, no Expand row-replication
