@@ -50,35 +50,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # the relational basics they displace are covered by the full local
 # oracle suite (tests/test_catalog_oracle.py parametrizes every entry).
 #
-# r5 rotation (judge r4 item 3): the 10 COVERAGE.md candidates swap IN
-# (dedup_exact_spans … lateral_top2_orders below) plus the new
-# dedup_minhash_components; 11 rows swap OUT, each already driver-green
-# in CORRECTNESS_r04 (text_fingerprint_bag, token_frequency_top20,
-# text_regex_token_count, dedup_exact_fulltext, dedup_jaccard_pairs,
-# corpus_hash_sample, string_funcs_extended, date_funcs_extended,
-# setops_all_variants) or no_oracle-by-design two rounds running
-# (approx_stats, sampled_lineitem_stats) — the r01/r04 artifacts keep
-# the union auditable, and the local oracle suite still runs ALL of
-# them at the driver's SF every round.
+# r6 rotation (judge r5 item 1): the 12 post-freeze oracle-paired
+# entries named by the r5 verdict swap IN (bm25_search_topk …
+# corpus_weighted_sample below) plus the new-this-round
+# multimodal_pixel_stats; 13 rows swap OUT, each either driver-green in
+# CORRECTNESS_r05 (skew_salted_join_flags, vector_hof_features,
+# embedding_quantization, regr_price_on_quantity, events_gap_fill_locf,
+# group_by_all_status_year, lateral_top2_orders, dedup_exact_token_set,
+# percentiles_quantity) or no_oracle-by-design for 3+ consecutive
+# rounds with a pytest ground truth (dedup_simhash, knn_ivf_cosine,
+# knn_lsh_cosine, knn_ivf_persisted — same policy that retired
+# approx_stats/sampled_lineitem_stats in r5). The r01/r04/r05 artifacts
+# keep the window union auditable, and the local oracle suite still
+# runs ALL entries at the driver's SF every round.
+#
+# r5 rotation history (judge r4 item 3): dedup_exact_spans …
+# dedup_minhash_components swapped in; text_fingerprint_bag,
+# token_frequency_top20, text_regex_token_count, dedup_exact_fulltext,
+# dedup_jaccard_pairs, corpus_hash_sample, string_funcs_extended,
+# date_funcs_extended, setops_all_variants, approx_stats,
+# sampled_lineitem_stats swapped out (all r01/r04-proven).
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
     "streaming_stateful_user_totals",
     "dedup_exact_spans",
     "dedup_survivors",
-    "skew_salted_join_flags",
     "streaming_incremental_dedup",
     "streaming_langid_counts",
-    "vector_hof_features",
-    "embedding_quantization",
-    "regr_price_on_quantity",
-    "events_gap_fill_locf",
-    "group_by_all_status_year",
-    "lateral_top2_orders",
-    "dedup_exact_token_set",
+    "bm25_search_topk",
+    "tfidf_top_terms",
+    "dedup_semantic_exact",
+    "bpe_pair_counts",
+    "corpus_curriculum_budget",
+    "embedding_covariance",
+    "mad_outlier_quantity",
+    "events_capped_sessions",
+    "lm_bigram_score",
+    "maintenance_schema_evolution",
+    "dedup_graph_triangles",
+    "corpus_weighted_sample",
+    "multimodal_pixel_stats",
     "dedup_prefix_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_minhash_components",
-    "dedup_simhash",
     "dedup_bigram_jaccard_pairs",
     "dedup_embedding_cosine",
     "dedup_components",
@@ -89,14 +103,11 @@ DRIVER_WINDOW: list[str] = [
     "corpus_contamination",
     "corpus_gopher_rules",
     "knn_bruteforce_cosine",
-    "knn_ivf_cosine",
-    "knn_lsh_cosine",
     "embedding_centroids",
     "vector_norm_stats",
     "multimodal_frame_sample",
     "multimodal_image_features",
     "multimodal_image_headers",
-    "percentiles_quantity",
     "pandas_udf_token_count",
     "range_join_recent_activity",
     "props_map_functions",
@@ -109,10 +120,7 @@ DRIVER_WINDOW: list[str] = [
     "skyline_parts",
     "string_agg_nations_by_region",
     "stats_corr_qty_price",
-    # r3 addition (judge r2 item 7): the persisted-IVF search path keeps a
-    # driver-visible rows-only row; slot 50 stays q1_pricing_summary via
-    # registration order.
-    "knn_ivf_persisted",
+    # slot 50 stays q1_pricing_summary via registration order.
 ]
 
 

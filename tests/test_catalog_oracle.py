@@ -98,6 +98,17 @@ _POST_FREEZE = {
     "dedup_jaccard_pairs",
     "sampled_lineitem_stats",
     "approx_stats",
+    # r6 rotations OUT (judge r5 item 1) — driver-green in r05
+    # (dedup_exact_token_set) or no_oracle-by-design 3+ rounds running
+    # with pytest ground truths (the approximate similarity tiers)
+    "dedup_exact_token_set",
+    "dedup_simhash",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "knn_ivf_persisted",
+    "skew_salted_join_flags",
+    "vector_hof_features",
+    "embedding_quantization",
 }
 
 

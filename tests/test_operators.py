@@ -449,6 +449,63 @@ class TestMultimodal:
         assert multimodal.decode_audio(b"abc", fake=True) == (8000, 12)
         assert len(multimodal.resize_image(b"abc", 4, 4, fake=True)) == 16
 
+    def test_bmp_pixel_roundtrip_handcrafted(self):
+        """Hand-crafted bitmap: 3x2 image whose six pixels are all
+        distinct, round-tripped through the real BMP writer/decoder in
+        both bottom-up and top-down storage. Exact per-pixel equality in
+        image (top-down) coordinates proves row-order normalization, BGR
+        byte order, and the 4-byte row padding walk (3px*3B = 9B rows →
+        3 pad bytes per row)."""
+        px = {
+            (0, 0): (10, 20, 30), (1, 0): (40, 50, 60), (2, 0): (70, 80, 90),
+            (0, 1): (110, 120, 130), (1, 1): (140, 150, 160), (2, 1): (170, 180, 190),
+        }
+        expected = [[px[(x, y)] for x in range(3)] for y in range(2)]
+        for top_down in (False, True):
+            data = multimodal.make_bmp_image(3, 2, lambda x, y: px[(x, y)], top_down=top_down)
+            decoded = multimodal.decode_bmp_pixels(data)
+            assert decoded is not None, top_down
+            w, h, rows = decoded
+            assert (w, h) == (3, 2)
+            assert rows == expected, f"top_down={top_down}"
+        # the two storage orders produce DIFFERENT bytes but identical decodes
+        a = multimodal.make_bmp_image(3, 2, lambda x, y: px[(x, y)], top_down=False)
+        b = multimodal.make_bmp_image(3, 2, lambda x, y: px[(x, y)], top_down=True)
+        assert a != b
+
+    def test_bmp_pixel_decode_rejects_unsupported(self):
+        import struct
+
+        ok = multimodal.make_bmp_image(2, 2, lambda x, y: (1, 2, 3))
+        assert multimodal.decode_bmp_pixels(b"") is None
+        assert multimodal.decode_bmp_pixels(b"not a bmp at all, but long enough" * 3) is None
+        # header-only BMP (the metadata-tier payload has no pixel array)
+        assert multimodal.decode_bmp_pixels(multimodal.make_image_header("bmp", 2, 2)) is None
+        # compressed (biCompression != 0) and non-24-bit are out of scope
+        rle = ok[:30] + struct.pack("<I", 1) + ok[34:]
+        assert multimodal.decode_bmp_pixels(rle) is None
+        bits8 = ok[:28] + struct.pack("<H", 8) + ok[30:]
+        assert multimodal.decode_bmp_pixels(bits8) is None
+        # truncated pixel array
+        assert multimodal.decode_bmp_pixels(ok[:-1]) is None
+
+    def test_bmp_pixel_stats_distributed_ground_truth(self, spark):
+        """extract_pixel_stats over synthesized payloads matches a pure-
+        Python recomputation of the closed-form channel sums, including
+        a doc id that takes the top-down branch (id % 5 == 0)."""
+        ids = [0, 3, 7, 10, 33]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        stats = multimodal.extract_pixel_stats(
+            multimodal.synthesize_bmp_payloads(df, "doc_id")
+        ).collect()
+        got = {r.doc_id: (r.width, r.height, r.n_pixels, r.sum_r, r.sum_g, r.sum_b) for r in stats}
+        for i in ids:
+            w, h = i % 16 + 1, i * 3 % 12 + 1
+            sr = sum((i + x) % 256 for x in range(w) for _ in range(h))
+            sg = sum((i + y) % 256 for _ in range(w) for y in range(h))
+            sb = sum((i + x * y) % 256 for x in range(w) for y in range(h))
+            assert got[i] == (w, h, w * h, sr, sg, sb), i
+
     def test_frame_sample_content_ground_truth(self, spark):
         df = spark.createDataFrame(
             [(1, "a" * 200), (2, "xy")], ["doc_id", "text"]
