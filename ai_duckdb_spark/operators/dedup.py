@@ -418,10 +418,12 @@ def _minhash_rep_pairs(
       representative before signatures/banding, so the LSH join never
       sees exact-dup cliques;
     * the tiny signature relation (one row per representative) is
-      EAGERLY localCheckpointed — it feeds three consumers (both sides
-      of the banded self-join and the verify prefilter), and without
-      the checkpoint Catalyst recomputes the explode+groupBy signature
-      aggregation once per consumer (measured 3× on the sf0.1 fixture);
+      LAZILY localCheckpointed (eager=False: persisted by the first job
+      that touches it, then shared) — it feeds three consumers (both
+      sides of the banded self-join and the verify prefilter), and
+      without the checkpoint Catalyst recomputes the explode+groupBy
+      signature aggregation once per consumer (measured 3× on the
+      sf0.1 fixture); ``groups`` is checkpointed the same way;
     * candidate pairs are prefiltered on the MinHash ESTIMATE
       (matching components ≥ minhash_estimate_floor, a 3σ margin below
       threshold) against the 32-int signatures BEFORE the token arrays
@@ -501,6 +503,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    core: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash→LSH candidates, verified with Jaccard over 64-bit token
     fingerprints (collision-negligible: ~|vocab|²/2⁶⁴), so no false
@@ -519,9 +522,17 @@ def minhash_near_duplicates(
     a 1M-doc duplicate cluster implies 5·10¹¹ pairs. Production
     pipelines stop at connectivity instead: use minhash_components,
     which feeds the same verified rep-pair graph into connected
-    components WITHOUT ever materializing member pairs."""
-    groups, rep_pairs = _minhash_rep_pairs(
-        df, id_col, text_col, threshold, num_hashes, bands
+    components WITHOUT ever materializing member pairs.
+
+    ``core`` accepts a precomputed (groups, rep_pairs) from
+    ``_minhash_rep_pairs`` so callers running BOTH granularities (this
+    pair tier and minhash_components) pay the MinHash→LSH→verify
+    pipeline once — a real pipeline materializes the rep-pair graph
+    once and derives every downstream relation from it."""
+    groups, rep_pairs = (
+        core
+        if core is not None
+        else _minhash_rep_pairs(df, id_col, text_col, threshold, num_hashes, bands)
     )
 
     # expand representative pairs to member pairs (identical token sets
@@ -555,6 +566,28 @@ def minhash_near_duplicates(
     return cross.unionAll(within)
 
 
+def minhash_component_labels(
+    groups: DataFrame, rep_pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """(node, component) labels over the MinHash near-dup graph: verified
+    rep pairs plus one (rep → member) star edge per identical-set member
+    — the edge set is linear in documents + verified rep pairs, and
+    member pairs are never materialized. Split out of
+    minhash_components so callers can checkpoint the label frame once
+    per corpus (the O(log n) contraction loop is the dominant cost of
+    repeated component queries)."""
+    from .cluster import connected_components_twophase
+
+    member_edges = (
+        groups.select(F.col("__rep").alias("id1"), F.explode("__members").alias("id2"))
+        .filter(F.col("id1") != F.col("id2"))
+    )
+    edges = rep_pairs.select("id1", "id2").unionAll(member_edges)
+    return connected_components_twophase(
+        edges, "id1", "id2", max_iterations=max_iterations
+    )
+
+
 def minhash_components(
     df: DataFrame,
     id_col: str,
@@ -563,6 +596,8 @@ def minhash_components(
     num_hashes: int = 32,
     bands: int = 8,
     max_iterations: int = 25,
+    core: tuple[DataFrame, DataFrame] | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH dedup at CONNECTIVITY granularity — the 100 TB
     short-circuit the pair tier's docstring prescribes.
@@ -580,21 +615,19 @@ def minhash_components(
     minimum doc_id of the document's near-duplicate cluster (singleton
     docs form their own component) and ``is_survivor`` marks the one
     row per component a dedup pipeline keeps.
-    """
-    from .cluster import connected_components_twophase
 
-    groups, rep_pairs = _minhash_rep_pairs(
-        df, id_col, text_col, threshold, num_hashes, bands
-    )
-    # star edges: representative → each non-rep member (identical sets)
-    member_edges = (
-        groups.select(F.col("__rep").alias("id1"), F.explode("__members").alias("id2"))
-        .filter(F.col("id1") != F.col("id2"))
-    )
-    edges = rep_pairs.select("id1", "id2").unionAll(member_edges)
-    labels = connected_components_twophase(
-        edges, "id1", "id2", max_iterations=max_iterations
-    )
+    ``core`` / ``labels`` accept precomputed intermediates (the
+    (groups, rep_pairs) core, or the finished label frame from
+    minhash_component_labels) so repeated queries against one corpus
+    pay the pipeline once — the materialize-once index discipline.
+    """
+    if labels is None:
+        groups, rep_pairs = (
+            core
+            if core is not None
+            else _minhash_rep_pairs(df, id_col, text_col, threshold, num_hashes, bands)
+        )
+        labels = minhash_component_labels(groups, rep_pairs, max_iterations)
     docs = df.select(F.col(id_col).alias("doc_id"))
     return docs.join(
         labels.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
