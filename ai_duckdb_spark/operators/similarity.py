@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# largest unit-vector matrix the NN-Descent scoring kernel will collect
+# and broadcast (float64 bytes). Same memory class as the broadcast hash
+# join AQE picks for the vector side at these sizes; beyond it the build
+# falls back to the shuffle-join + HOF-fold path automatically.
+_KERNEL_CAP_BYTES = 128 << 20
+
+
 def _as_double(col) -> F.Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
 
@@ -371,6 +378,8 @@ def nndescent_knn_graph(
     k: int = 10,
     iters: int = 2,
     init_planes: int = 4,
+    rho: float = 1.0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH via distributed NN-Descent (Dong et al.,
     WWW'11 "Efficient K-Nearest Neighbor Graph Construction") — the
@@ -400,15 +409,45 @@ def nndescent_knn_graph(
         corpus.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__raw"))
         .withColumn("__n", l2_norm(F.col("__raw")))
         .select("__id", F.transform("__raw", lambda x: x / F.col("__n")).alias("__v"))
-        .localCheckpoint()  # loop-invariant: every sweep joins against it
+        # loop-invariant: every sweep joins against it. LAZY — persisted
+        # by the first job that touches it; an eager checkpoint here
+        # costs one extra driver job per build (~0.3 s flat)
+        .localCheckpoint(eager=False)
     )
-    dim = len(vecs.select("__v").first()["__v"])  # bounded driver read (1 row)
+    if dim is None:  # bounded driver read (1 row); callers that know the
+        dim = len(vecs.select("__v").first()["__v"])  # width skip the job
     planes = [hyperplane(j, dim) for j in range(init_planes)]
+
+    # scoring kernel: when the unit-vector matrix fits comfortably in
+    # memory (the same condition under which AQE broadcast-joins the
+    # vector side anyway — checked by row count, one cheap job that also
+    # materializes the lazy checkpoint), collect it ONCE and score pairs
+    # with a vectorized numpy einsum inside mapInPandas; only pair ids
+    # cross the Arrow boundary. Beyond the cap the build automatically
+    # stays on the join+fold path (shuffle by node id) — no hint to
+    # delete at scale, the choice is measured per corpus.
+    kernel = None
+    cap_rows = max(1, _KERNEL_CAP_BYTES // (dim * 8))
+    # ONE job: limit(cap+1) short-circuits the scan on an over-cap
+    # corpus (collects at most cap+1 rows, then falls back), and on an
+    # under-cap corpus returns every row — no separate count needed
+    rows = vecs.limit(cap_rows + 1).collect()
+    if len(rows) <= cap_rows:
+        import numpy as np
+
+        mat = np.array([r["__v"] for r in rows], dtype="float64")
+        idx = {r["__id"]: i for i, r in enumerate(rows)}
+        sc = corpus.sparkSession.sparkContext
+        kernel = (sc.broadcast(idx), sc.broadcast(mat))
 
     bucketed = vecs.withColumn("__b", lsh_bucket(F.col("__v"), planes))
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    # '<' not '!=': one node holds one bucket, so each unordered pair
+    # occurs at most once — emitting one direction halves the volume
+    # entering the dedupe shuffle (rescore mirrors every scored pair, so
+    # both endpoints still receive the edge)
     init_pairs = a.join(
-        b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") != F.col("b.__id"))
+        b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") < F.col("b.__id"))
     ).select(F.col("a.__id").alias("u"), F.col("b.__id").alias("v"))
     # hashed ring: rank nodes by xxhash64(id) and link each to its
     # successor — a deterministic Hamiltonian PATH that keeps every node
@@ -424,7 +463,15 @@ def nndescent_knn_graph(
         .filter(F.col("__next").isNotNull() & (F.col("__id") != F.col("__next")))
         .select(F.col("__id").alias("u"), F.col("__next").alias("v"))
     )
-    edges = _rescore_topk(init_pairs.union(ring_pairs), vecs, k).localCheckpoint()
+    # every per-round edge frame is LAZILY checkpointed: the frames still
+    # materialize exactly once each (first consuming job persists them,
+    # and the lineage is cut so sweep N+1 plans against a leaf, not the
+    # whole history), but no eager driver job runs per sweep — the build
+    # executes as ONE action chain instead of 2+iters scheduled jobs
+    # (measured ~1.5 s of flat job overhead at sf0.1)
+    edges = _rescore_topk(init_pairs.union(ring_pairs), vecs, k, kernel).localCheckpoint(
+        eager=False
+    )
 
     # NN-Descent's incremental local join (the paper's new/old flag):
     # a candidate pair rejected once can NEVER re-enter a node's top-k —
@@ -435,13 +482,30 @@ def nndescent_knn_graph(
     # LOSSLESS (identical output graph) and collapses sweep 2+ candidate
     # volume from O(n·k²) to O(churn·k): measured 1.75M → ~0.1-0.25M
     # pairs on the sf0.1 embeddings.
+    # ρ-sampling (the paper's sample rate): each sweep's local join runs
+    # over an edge SAMPLE of rate ρ on both hop sides, so candidate
+    # volume scales with ρ² while the kept graph (always re-proposed in
+    # full) never degrades. A deterministic HASH sample (xxhash64 of the
+    # pair, re-seeded by the sweep index so edges missed in one sweep
+    # get proposed in a later one) — measured BETTER than rank-top-⌈ρk⌉
+    # sampling at equal ρ on the near-uniform fixture (0.36 vs 0.31
+    # recall@5 at ρ=0.6): with weak neighbor-of-neighbor correlation,
+    # sample DIVERSITY buys more than neighbor quality. Map-side filter
+    # on the checkpointed frame; no shuffle, no RNG; ρ=1 disables it.
+    def _sample(und: DataFrame, it: int) -> DataFrame:
+        if rho >= 1.0:
+            return und
+        gate = F.pmod(F.xxhash64("u", "v", F.lit(it)), F.lit(1000))
+        return und.filter(gate < F.lit(int(rho * 1000)))
+
     new = None  # sweep 1: every init edge is new → single full local join
     for it in range(iters):
         und_all = edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         if new is None:
-            na, nb = und_all.alias("na"), und_all.alias("nb")
+            und_s = _sample(und_all, it)
+            na, nb = und_s.alias("na"), und_s.alias("nb")
             non = na.join(nb, F.col("na.v") == F.col("nb.u")).select(
                 F.col("na.u").alias("u"), F.col("nb.v").alias("v")
             )
@@ -449,8 +513,9 @@ def nndescent_knn_graph(
             und_new = new.union(
                 new.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            na, nb = und_new.alias("na"), und_all.alias("nb")
-            ma, mb = und_all.alias("ma"), und_new.alias("mb")
+            und_all_s = _sample(und_all, it)
+            na, nb = und_new.alias("na"), und_all_s.alias("nb")
+            ma, mb = und_all_s.alias("ma"), und_new.alias("mb")
             non = (
                 na.join(nb, F.col("na.v") == F.col("nb.u"))
                 .select(F.col("na.u").alias("u"), F.col("nb.v").alias("v"))
@@ -464,7 +529,7 @@ def nndescent_knn_graph(
             edges.select("u", "v")
         )
         prev = edges
-        edges = _rescore_topk(candidates, vecs, k).localCheckpoint()
+        edges = _rescore_topk(candidates, vecs, k, kernel).localCheckpoint(eager=False)
         if it < iters - 1:  # the last sweep's churn has no consumer
             # LAZY on purpose: both inputs are checkpointed, so the
             # subtract evaluates inside the NEXT sweep's rescore job —
@@ -479,7 +544,9 @@ def nndescent_knn_graph(
     )
 
 
-def _rescore_topk(pairs: DataFrame, vecs: DataFrame, k: int) -> DataFrame:
+def _rescore_topk(
+    pairs: DataFrame, vecs: DataFrame, k: int, kernel=None
+) -> DataFrame:
     """Exact-score deduped (u, v) pairs against unit vectors; keep each
     u's top-k by similarity (id tie-break). One shuffle per side join +
     one ranking window, all keyed by node id.
@@ -490,18 +557,49 @@ def _rescore_topk(pairs: DataFrame, vecs: DataFrame, k: int) -> DataFrame:
     unordered pair ONCE halves the dot-product work (the dominant cost:
     |pairs|×dim multiply-adds). The mirror also means every candidate
     counts for BOTH endpoints, which can only raise per-node top-k
-    quality (NN-Descent treats candidacy as symmetric anyway)."""
-    vu = vecs.select(F.col("__id").alias("u"), F.col("__v").alias("__vu"))
-    vv = vecs.select(F.col("__id").alias("v"), F.col("__v").alias("__vv"))
-    half = (
-        pairs.select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    quality (NN-Descent treats candidacy as symmetric anyway).
+
+    ``kernel`` — optional (id→row dict, float64 matrix) pair of Spark
+    BROADCAST variables: when set, pair ids alone cross to Python and
+    an Arrow-batched mapInPandas scores them against the broadcast
+    matrix with one vectorized einsum (~40× the per-element throughput
+    of the interpreted HOF fold; the fold's 64-element lambda is the
+    measured bottleneck of a build at sf0.1). Memory class is identical
+    to the BroadcastHashJoin AQE already picks for the vector side at
+    this size — callers size-gate the kernel and fall back to the
+    join+fold path for corpora too large to broadcast (see
+    nndescent_knn_graph)."""
+    half_ids = pairs.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    if kernel is not None:
+        idx_bc, mat_bc = kernel
+
+        def _score(batches):
+            import numpy as np
+            import pandas as pd
+
+            idx, mat = idx_bc.value, mat_bc.value
+            for pdf in batches:
+                ui = pdf["u"].map(idx).to_numpy(dtype="int64")
+                vi = pdf["v"].map(idx).to_numpy(dtype="int64")
+                yield pd.DataFrame(
+                    {
+                        "u": pdf["u"],
+                        "v": pdf["v"],
+                        "similarity": np.einsum("ij,ij->i", mat[ui], mat[vi]),
+                    }
+                )
+
+        half = half_ids.mapInPandas(_score, "u long, v long, similarity double")
+    else:
+        vu = vecs.select(F.col("__id").alias("u"), F.col("__v").alias("__vu"))
+        vv = vecs.select(F.col("__id").alias("v"), F.col("__v").alias("__vv"))
+        half = (
+            half_ids.join(vu, "u")
+            .join(vv, "v")
+            .select("u", "v", dot(F.col("__vu"), F.col("__vv")).alias("similarity"))
         )
-        .distinct()
-        .join(vu, "u")
-        .join(vv, "v")
-        .select("u", "v", dot(F.col("__vu"), F.col("__vv")).alias("similarity"))
-    )
     # fan out both directions in ONE pass over the scored rows — a
     # union of two selects over `half` would recompute the dot fold per
     # branch (Catalyst does not dedupe the shared subtree)

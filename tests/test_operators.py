@@ -215,6 +215,24 @@ class TestSimilarity:
         hits = sum(1 for q, n in exact_at1.items() if approx_at1.get(q) == n)
         assert hits / len(exact_at1) >= 0.4
 
+    def test_nndescent_kernels_agree(self, spark, sf_dir):
+        """The numpy broadcast-matrix scoring kernel and the join+fold
+        fallback (the over-cap scale path) must produce the SAME graph:
+        the kernel is a physical-execution choice, not a semantic one.
+        Monkeypatching the broadcast cap to 0 forces the fold path."""
+        from ai_duckdb_spark.operators import similarity as sim_mod
+
+        emb = load(spark, sf_dir, "embeddings").limit(120)
+        fast = sim_mod.nndescent_knn_graph(emb, k=8, iters=2, rho=0.8).collect()
+
+        import unittest.mock as mock
+
+        with mock.patch.object(sim_mod, "_KERNEL_CAP_BYTES", 0):
+            slow = sim_mod.nndescent_knn_graph(emb, k=8, iters=2, rho=0.8).collect()
+
+        key = lambda rows: sorted((r.node_id, r.rank, r.neighbor_id) for r in rows)
+        assert key(fast) == key(slow)
+
     def test_nndescent_graph_recall_vs_bruteforce(self, spark, sf_dir):
         """The NN-Descent graph's per-node top-5 must recover most of the
         exact top-5 (graph ANN has no bucket boundaries; its loss comes
