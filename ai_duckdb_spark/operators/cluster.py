@@ -209,7 +209,7 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for sweep in range(iters):
         contribs = (
             edges.join(ranks, edges.u == ranks.doc_id)
             .select(F.col("v"), (F.col("rank") / F.col("__deg")).alias("__c"))
@@ -230,7 +230,11 @@ def pagerank(
             .localCheckpoint()
         )
         ranks = stepped.select("doc_id", "rank")
-        if tol > 0.0:
+        # delta check from sweep 2 onward (ADVICE r5): sweep 1 never
+        # converges from the uniform start, so its blocking .first()
+        # aggregation is a pure driver-job tax on every graph — skipping
+        # it costs nothing on converging runs and one job less on all
+        if tol > 0.0 and sweep > 0:
             delta = stepped.agg(
                 F.sum(F.abs(F.col("rank") - F.col("__prev")))
             ).first()[0]

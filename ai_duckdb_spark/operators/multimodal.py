@@ -8,12 +8,15 @@ extraction). Three tiers, by how far into the payload they reach:
 1. HEADER/METADATA — real byte-level parsing, no codec needed:
    PNG/GIF/BMP/JPEG dimensions (``parse_image_header``) and RIFF/WAVE
    chunk walks (``parse_wav_header``).
-2. PIXEL — real full decode for the one raster format that is pure
-   stdlib struct-walking: uncompressed 24-bit BMP
-   (``decode_bmp_pixels`` — row padding, BGR order, bottom-up vs
-   top-down storage all honored).
-3. CODEC — compressed formats (JPEG entropy decode, PNG inflate+filter,
-   audio sample decode, ``resize_image``) stay stubbed behind
+2. PIXEL/SAMPLE — real full decode for every format whose codec is
+   public-spec byte arithmetic over the stdlib: uncompressed 24-bit
+   BMP (``decode_bmp_pixels`` — row padding, BGR order, bottom-up vs
+   top-down storage), 8-bit RGB PNG (``decode_png_pixels`` — CRC
+   verify, stdlib-zlib inflate, all five scanline filters), and mono
+   16-bit PCM WAV (``decode_wav_samples`` — chunk walk + int16
+   unpack).
+3. CODEC — entropy-coded formats (JPEG DCT decode, GIF LZW, lossy
+   audio, ``resize_image`` resampling) stay stubbed behind
    NotImplementedError: those need libraries not in this container.
    The distributed plumbing (schema, batch shape, UDF signature) is
    identical across tiers, so swapping in a real codec touches only
@@ -335,6 +338,339 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
         return None
     channels, rate, bits, block_align = fmt_info
     return (channels, rate, bits, data_size // block_align)
+
+
+def make_png_image(width, height, pixel) -> bytes:
+    """A complete, VALID 8-bit RGB PNG file — real zlib-compressed IDAT,
+    real CRC32s, and per-scanline filters that cycle through None/Sub/Up
+    (row % 3) so a decoder must actually unfilter, not just inflate.
+    ``pixel(x, y) -> (r, g, b)`` in image coordinates. Pure stdlib: PNG's
+    'codec' is DEFLATE (zlib) plus the five scanline filters, both of
+    which are public-spec byte arithmetic."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(width * bpp)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            line += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+        ftype = y % 3  # 0 None, 1 Sub, 2 Up
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        else:
+            raw += bytes((line[i] - prior[i]) & 0xFF for i in range(len(line)))
+        prior = bytes(line)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Pure-stdlib FULL pixel decode of an 8-bit RGB non-interlaced PNG:
+    chunk walk (CRC-verified), IDAT concatenation, zlib inflate, and
+    per-scanline unfiltering implementing all five spec filters
+    (None/Sub/Up/Average/Paeth). Returns (width, height, rows) with
+    (r, g, b) tuples top-down, or None outside the supported geometry
+    (palette/alpha/16-bit/interlaced — the long tail a codec library
+    owns). This plus the BMP tier makes 'pixel decode' a real capability
+    of X9, not a stub: PNG's compression is stdlib zlib."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        return None
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            return None
+        (crc,) = struct.unpack(">I", data[pos + 8 + clen : pos + 12 + clen])
+        if crc != zlib.crc32(ctype + body):
+            return None
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_n != 2 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        return None
+    rows: list[list[tuple[int, int, int]]] = []
+    prior = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(
+            [(line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 3)]
+        )
+        prior = line
+    return (width, height, rows)
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid PNG files, closed-form in
+    the id: width = id%12+1, height = id*5%10+1, pixel(x, y) =
+    ((id + 3x) % 256, (id + 5y) % 256, (id + x + y) % 256); scanline
+    filters cycle None/Sub/Up by row, so decoding exercises real
+    unfiltering on every multi-row image."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 12 + 1, i * 5 % 10 + 1
+                payloads.append(
+                    make_png_image(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (i + 3 * x) % 256,
+                            (i + 5 * y) % 256,
+                            (i + x + y) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_png_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """PIXEL_STATS_SCHEMA stats over fully-decoded PNG payloads — the
+    compressed-format twin of extract_pixel_stats (BMP): inflate +
+    unfilter + channel sums all executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for payload in pdf["payload"]:
+                decoded = decode_png_pixels(payload)
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, rows = decoded
+                sr = sg = sb = 0
+                for row in rows:
+                    for r, g, b in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+def make_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
+    """A complete mono 16-bit PCM RIFF/WAVE file — header AND sample
+    data. PCM is the uncompressed audio case: 'decoding' is the spec's
+    chunk walk plus little-endian int16 unpacking, no codec library
+    involved (the compressed-codec boundary stays stubbed)."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, list[int]] | None:
+    """Pure-stdlib PCM sample decode: walk the RIFF chunks to the data
+    chunk and unpack the int16 samples. Returns (sample_rate, samples)
+    or None for non-WAV / non-PCM / non-16-bit / truncated payloads.
+    The sample tier of X9 audio — real bytes in, real amplitudes out."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt_info = 12, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            if audio_fmt != 1 or bits != 16:  # PCM int16 only
+                return None
+            fmt_info = (channels, rate)
+        elif cid == b"data":
+            if fmt_info is None or pos + 8 + size > len(data) or size % 2:
+                return None
+            n = size // 2
+            return (
+                fmt_info[1],
+                list(struct.unpack(f"<{n}h", data[pos + 8 : pos + 8 + size])),
+            )
+        pos += 8 + size + (size % 2)
+    return None
+
+
+AUDIO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE mono 16-bit PCM WAV files,
+    deterministic and closed-form in the id: rate = RATES[id % 4],
+    n_samples = id % 200 + 1, sample[i] = (id*7919 + i*31) % 65536
+    - 32768 — so an oracle recomputes amplitude statistics without ever
+    seeing the bytes."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 200 + 1
+                samples = [(i * 7919 + j * 31) % 65536 - 32768 for j in range(n)]
+                payloads.append(make_wav_pcm(_SYNTH_RATES[i % 4], samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_audio_sample_stats(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, n_samples, sum_amp, min_amp, max_amp,
+    sum_sq) by DECODING each PCM payload's sample data executor-side —
+    the audio twin of extract_pixel_stats: real amplitude work inside
+    mapInPandas, fixed-width integer stats out (sum_sq is the energy
+    integral a loudness/VAD pass needs; integers keep the oracle hash
+    exact). Unsupported payloads yield zero rows of stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    "sample_rate",
+                    "n_samples",
+                    "sum_amp",
+                    "min_amp",
+                    "max_amp",
+                    "sum_sq",
+                )
+            }
+            for payload in pdf["payload"]:
+                decoded = decode_wav_samples(payload)
+                if not decoded or not decoded[1]:
+                    for k in cols:
+                        cols[k].append(0)
+                    continue
+                rate, samples = decoded
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(len(samples))
+                cols["sum_amp"].append(sum(samples))
+                cols["min_amp"].append(min(samples))
+                cols["max_amp"].append(max(samples))
+                cols["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(cols["n_samples"], dtype="int64"),
+                    "sum_amp": pd.Series(cols["sum_amp"], dtype="int64"),
+                    "min_amp": pd.Series(cols["min_amp"], dtype="int32"),
+                    "max_amp": pd.Series(cols["max_amp"], dtype="int32"),
+                    "sum_sq": pd.Series(cols["sum_sq"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, AUDIO_SAMPLE_SCHEMA)
 
 
 AUDIO_HEADER_SCHEMA = T.StructType(

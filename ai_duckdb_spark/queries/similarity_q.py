@@ -15,11 +15,15 @@ from ..operators.multimodal import (
     extract_audio_headers,
     extract_features,
     extract_image_headers,
+    extract_audio_sample_stats,
     extract_pixel_stats,
+    extract_png_pixel_stats,
     sample_frames,
     synthesize_audio_payloads,
     synthesize_bmp_payloads,
     synthesize_image_payloads,
+    synthesize_png_payloads,
+    synthesize_wav_pcm_payloads,
 )
 from ..tables import load
 from .catalog import register
@@ -363,6 +367,84 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte. Integer-only outputs, so the hash is exact."""
     docs = load(spark, sf_dir, "documents")
     return extract_pixel_stats(synthesize_bmp_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 12 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 5) % 10 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height, x.x, y.y
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 12)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 10)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                      AS width,
+           MIN(height)                                     AS height,
+           CAST(count(*) AS BIGINT)                        AS n_pixels,
+           CAST(sum((doc_id + 3 * x) % 256) AS BIGINT)     AS sum_r,
+           CAST(sum((doc_id + 5 * y) % 256) AS BIGINT)     AS sum_g,
+           CAST(sum((doc_id + x + y) % 256) AS BIGINT)     AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format pixel decode (X9, r6): each payload is a
+    complete VALID PNG (real zlib IDAT, real CRC32s, scanline filters
+    cycling None/Sub/Up per row) and the Spark side fully decodes it —
+    chunk walk, CRC verify, inflate, unfilter — with stdlib zlib inside
+    mapInPandas (operators/multimodal.py decode_png_pixels). PNG's
+    'codec' is DEFLATE plus five public-spec filters, so this tier
+    needs no external library; the palette/alpha/16-bit/interlace long
+    tail stays out of scope. Pixel values are closed-form in doc_id —
+    the oracle recomputes the channel sums without seeing the bytes, so
+    a hash match proves inflate + unfilter byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_png_pixel_stats(synthesize_png_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_audio_sample_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 200 + 1 AS BIGINT) AS n FROM documents
+    ),
+    s AS (
+        SELECT d.doc_id, (d.doc_id * 7919 + j.j * 31) % 65536 - 32768 AS amp
+        FROM d JOIN (SELECT unnest(range(0, 200)) AS j) j ON j.j < d.n
+    )
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+               AS sample_rate,
+           CAST(count(*) AS BIGINT)        AS n_samples,
+           CAST(sum(amp) AS BIGINT)        AS sum_amp,
+           CAST(min(amp) AS INTEGER)       AS min_amp,
+           CAST(max(amp) AS INTEGER)       AS max_amp,
+           CAST(sum(amp * amp) AS BIGINT)  AS sum_sq
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SAMPLE decode (X9, r6): complete mono 16-bit PCM WAV files
+    decoded to amplitude statistics — chunk walk to the data chunk,
+    little-endian int16 unpack, then sum/min/max/energy — executor-side
+    in mapInPandas (operators/multimodal.py decode_wav_samples). PCM is
+    the uncompressed audio case, so 'decode' is pure spec arithmetic
+    (the compressed-codec boundary stays stubbed per brief). Sample
+    values are closed-form in doc_id; integer-only outputs keep the
+    oracle hash exact. sum_sq is the energy integral a loudness/VAD
+    pipeline stage consumes."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_audio_sample_stats(synthesize_wav_pcm_payloads(docs, "doc_id"))
 
 
 @register(

@@ -109,6 +109,10 @@ _POST_FREEZE = {
     "skew_salted_join_flags",
     "vector_hof_features",
     "embedding_quantization",
+    # r6 post-window additions (register after position 50; oracle-paired
+    # in the local gate): the PNG and PCM-WAV full-decode tiers
+    "multimodal_png_pixel_stats",
+    "multimodal_audio_sample_stats",
 }
 
 
