@@ -46,6 +46,20 @@ def executed_plan(df: DataFrame, execute: bool = True) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (optimizedPlan stats), in bytes.
+
+    Costs NO Spark job — the estimate comes from file footers with
+    column pruning applied. Without CBO, filters do NOT shrink it, so a
+    broadcast decision gated on this number is conservative in the safe
+    direction: it refuses to broadcast a relation whose unfiltered scan
+    is already too big, which is exactly the degradation wanted at
+    100× data (q8's order-slice gate; cf. the cosine auto-strategy's
+    rows×dim measure in operators/dedup.py).
+    """
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+
+
 def plan_counts(df: DataFrame, markers=_DEFAULT_MARKERS, execute: bool = True) -> dict[str, int]:
     plan = executed_plan(df, execute=execute)
     return {marker: plan.count(marker) for marker in markers}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Warm-time individual catalog entries and count Spark jobs per run.
+
+Usage: python scripts/time_entries.py entry1 entry2 ... [--sf DIR] [--passes N]
+
+For each entry: one cold pass, then N warm passes; reports median warm
+seconds and the number of Spark jobs the warm action scheduled (each
+job pays a fixed ~0.15-0.3 s driver floor on local mode — SCALE.md
+'Known bounds').
+"""
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_duckdb_spark.queries import catalog  # noqa: E402
+from ai_duckdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = 3
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--passes":
+            passes = int(args[i + 1])
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+
+    spark = get_spark()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name in names:
+        spec = catalog.REGISTRY[name]
+        spec.builder(spark, sf_dir).collect()  # cold
+        times = []
+        jobs = None
+        for _ in range(passes):
+            before = set(tracker.getJobIdsForGroup(None) or [])
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+            after = set(tracker.getJobIdsForGroup(None) or [])
+            jobs = len(after - before)
+        print(
+            f"{name}: median {statistics.median(times):.3f}s "
+            f"(min {min(times):.3f}) jobs/run={jobs}"
+        )
+
+
+if __name__ == "__main__":
+    main()
