@@ -43,13 +43,13 @@ def main() -> None:
     tracker = sc.statusTracker()
     for name in names:
         spec = catalog.REGISTRY[name]
-        spec.builder(spark, sf_dir).collect()  # cold
+        spec.builder(spark, sf_dir).toPandas()  # cold; toPandas = bench protocol
         times = []
         jobs = None
         for _ in range(passes):
             before = set(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).collect()
+            spec.builder(spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
             after = set(tracker.getJobIdsForGroup(None) or [])
             jobs = len(after - before)
