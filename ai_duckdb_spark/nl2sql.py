@@ -85,7 +85,7 @@ class StubSqlGenerator:
             return (
                 f"SELECT * FROM data_table ORDER BY {measure} DESC LIMIT {int(top.group(1))}"
             )
-        if any(k in q for k in ("sum", "总", "合计")) and measure and dim:
+        if any(k in q for k in ("sum", "total", "总", "合计")) and measure and dim:
             return (
                 f"SELECT {dim}, SUM({measure}) AS total_{measure} FROM data_table"
                 f" GROUP BY {dim} ORDER BY total_{measure} DESC"

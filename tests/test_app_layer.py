@@ -544,6 +544,7 @@ class TestNl2Sql:
         gen = StubSqlGenerator()
         assert "LIMIT 3" in gen.generate("f", self.INFO, "top 3 by price")
         assert "SUM(price)" in gen.generate("f", self.INFO, "sum of price by category")
+        assert "SUM(price)" in gen.generate("f", self.INFO, "total price by category")
         assert "GROUP BY category" in gen.generate("f", self.INFO, "average price by category")
         assert "WHERE quantity > 2" in gen.generate("f", self.INFO, "rows with quantity > 2")
         assert gen.generate("f", self.INFO, "tell me a joke") == "SELECT * FROM data_table"
