@@ -541,6 +541,28 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_report(emb, "embedding", ("vec_id",)).orderBy("vec_id")
 
 
+_PQ_BOOKS: dict[tuple[str, int, int, int], list] = {}
+
+
+def shared_pq_books(
+    emb, sf_dir: str, m: int = 8, ksub: int = 16, iters: int = 3
+) -> list:
+    """PQ codebooks trained once per (corpus, quantizer params) — the
+    same offline-index discipline as shared_kmeans_model above: codebook
+    training is query-independent (Lloyd sweeps with a driver collect
+    each), so a warm search should never re-pay it. The model is
+    m·ksub·dsub floats — driver-sized by construction."""
+    key = (sf_dir, m, ksub, iters)
+    if key not in _PQ_BOOKS:
+        vecs = (
+            emb.select(F.col("vec_id").alias("__id"), F.col("embedding").cast("array<double>").alias("__raw"))
+            .withColumn("__n", sim.l2_norm(F.col("__raw")))
+            .select("__id", F.transform("__raw", lambda x: x / F.col("__n")).alias("__v"))
+        )
+        _PQ_BOOKS[key] = sim.pq_train_codebooks(vecs, m=m, ksub=ksub, iters=iters)
+    return _PQ_BOOKS[key]
+
+
 @register("knn_ivfpq_cosine", oracle=None)
 def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF-PQ (operators/similarity.py
@@ -560,6 +582,7 @@ def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivfpq(
         emb, queries, k=5, n_clusters=16, nprobe=4, m=8, ksub=16,
         centroids=shared_kmeans_model(emb, sf_dir),
+        books=shared_pq_books(emb, sf_dir, m=8, ksub=16, iters=3),
     ).orderBy("query_id", "rank")
 
 
