@@ -756,14 +756,25 @@ def embedding_cosine_pairs(
     ``strategy="auto"`` (default) picks by measured corpus size
     (rows × dim × 8 bytes vs ``broadcast_bytes_cap``) — at 100× data the
     default must flip to the shuffle path on its own rather than OOM on
-    a broadcast sized for the test fixture. Explicit strategies:
+    a broadcast sized for the test fixture. Strategies:
 
+      * ``kernel`` (auto's under-cap choice): the vector matrix is
+        collected once and broadcast (same memory class the JVM
+        ``broadcast`` tier ships to every executor anyway); executors
+        receive only their shard of row ids and score the half-matrix
+        block against the broadcast with a dim-loop of vectorized
+        numpy adds. ``acc += A[:, j] * M[:, j]`` performs the SAME
+        sequential IEEE additions as the JVM ``zip_with``/``aggregate``
+        fold (and the norms the same fold + sqrt, computed once per
+        vector instead of once per pair), so every cosine — and
+        therefore the >= threshold decision and the rounded output —
+        is bit-identical to the ``broadcast`` tier (equality
+        pytest-pinned; the oracle hash-match holds either way).
       * ``broadcast``: nested-loop of the corpus against a
         broadcast copy of itself; the per-pair dot product is a JVM
         ``zip_with`` fold — NO shuffle at all (the pos-join alternative
         moves corpus × dim rows through two shuffles and spills first).
-        Right choice whenever one side fits executor memory — which is
-        the sane boundary for exact all-pairs anyway.
+        Same memory boundary as ``kernel``; kept as the pure-JVM form.
       * ``posjoin``: dimension-keyed explode + join; linear rows per
         reducer, for corpora past broadcast size. Beyond THAT, exact
         all-pairs is the wrong tool — gate candidates with
@@ -776,7 +787,61 @@ def embedding_cosine_pairs(
             F.count("*"), F.first(F.size(F.col(vec_col)))
         ).first()
         est_bytes = (n_rows or 0) * (dim or 0) * 8
-        strategy = "broadcast" if est_bytes <= broadcast_bytes_cap else "posjoin"
+        strategy = "kernel" if est_bytes <= broadcast_bytes_cap else "posjoin"
+
+    if strategy == "kernel":
+        import numpy as np
+
+        v = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        rows = v.collect()  # size-gated above: rows × dim × 8 <= cap
+        if rows and isinstance(rows[0]["__id"], int):
+            ids = np.array([r["__id"] for r in rows], dtype="int64")
+            mat = np.array([r["__v"] for r in rows], dtype="float64")
+            n, dim = mat.shape
+            sq = np.zeros(n, dtype="float64")
+            for j in range(dim):  # sequential adds == the JVM l2 fold
+                sq += mat[:, j] * mat[:, j]
+            nrm = np.sqrt(sq)
+            sc = df.sparkSession.sparkContext
+            ids_bc, mat_bc, nrm_bc = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(nrm)
+            idx = {int(i): p for p, i in enumerate(ids)}
+            idx_bc = sc.broadcast(idx)
+            # bound the (chunk × n) score block to ~32 MB of doubles
+            chunk = max(1, 4_000_000 // max(1, n))
+
+            def _score(batches):
+                import pandas as pd
+
+                ids_a, mat_a, nrm_a = ids_bc.value, mat_bc.value, nrm_bc.value
+                pos = idx_bc.value
+                for pdf in batches:
+                    rows_i = pdf["__id"].map(pos).to_numpy(dtype="int64")
+                    for s in range(0, len(rows_i), chunk):
+                        i1 = rows_i[s : s + chunk]
+                        A = mat_a[i1]
+                        acc = np.zeros((len(i1), len(ids_a)), dtype="float64")
+                        for j in range(A.shape[1]):  # JVM fold order
+                            acc += A[:, j, None] * mat_a[None, :, j]
+                        cos = acc / (nrm_a[i1][:, None] * nrm_a[None, :])
+                        mask = (cos >= threshold) & (ids_a[i1][:, None] < ids_a[None, :])
+                        r, c = np.nonzero(mask)
+                        yield pd.DataFrame(
+                            {
+                                "id1": ids_a[i1][r],
+                                "id2": ids_a[c],
+                                "__raw": cos[r, c],
+                            }
+                        )
+
+            return (
+                v.select("__id")
+                .repartition(default_parallelism())
+                .mapInPandas(_score, "id1 long, id2 long, __raw double")
+                .select("id1", "id2", F.round("__raw", 4).alias("cosine"))
+            )
+        strategy = "broadcast"  # non-integer ids: keep the JVM tier
 
     if strategy == "broadcast":
         v = df.select(

@@ -663,19 +663,69 @@ def semdedup(
     assigned = _nearest(vecs, "__id", "__v", _centroids_df(spark, centroids), 1).drop(
         "crank"
     )
-    a = assigned.select(
-        F.col("cid"), F.col("__id").alias("__ida"), F.col("__v").alias("__va")
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
-    )
-    dups = (
-        a.join(b, "cid")
-        .filter(F.col("__idb") < F.col("__ida"))
-        .filter(dot(F.col("__va"), F.col("__vb")) >= eps)
-        .select(F.col("__ida").alias("__dup_id"))
-        .distinct()
-    )
+    # Within-cluster pairwise stage: size-gated physical choice (same
+    # discipline and cap as the NN-Descent scoring kernel). Under the
+    # cap, the NORMALIZED vectors (JVM-computed, so scoring inputs are
+    # bit-identical either way) are collected once and broadcast; the
+    # cid self-join then carries only int ids, and an Arrow pass scores
+    # each batch with a dim-loop of vectorized adds — acc += A[:,j]*B[:,j]
+    # performs the SAME sequential IEEE additions as the JVM fold, so
+    # the >= eps decision is bit-identical (pinned by the one-cluster
+    # equality pytest vs the exact tier). Over the cap the join+fold
+    # path stands unchanged.
+    kernel = None
+    first = vecs.first()
+    if first is not None:
+        dim = len(first["__v"])
+        cap_rows = max(1, _KERNEL_CAP_BYTES // (dim * 8))
+        rows = vecs.limit(cap_rows + 1).collect()
+        if len(rows) <= cap_rows:
+            import numpy as np
+
+            mat = np.array([r["__v"] for r in rows], dtype="float64")
+            idx = {r["__id"]: i for i, r in enumerate(rows)}
+            sc = spark.sparkContext
+            kernel = (sc.broadcast(idx), sc.broadcast(mat), dim)
+
+    if kernel is not None:
+        idx_bc, mat_bc, dim = kernel
+        a = assigned.select(F.col("cid"), F.col("__id").alias("__ida"))
+        b = assigned.select(F.col("cid"), F.col("__id").alias("__idb"))
+        pair_ids = (
+            a.join(b, "cid")
+            .filter(F.col("__idb") < F.col("__ida"))
+            .select("__ida", "__idb")
+        )
+
+        def _dup_filter(batches):
+            import numpy as np
+            import pandas as pd
+
+            idx, mat = idx_bc.value, mat_bc.value
+            for pdf in batches:
+                ai = pdf["__ida"].map(idx).to_numpy(dtype="int64")
+                bi = pdf["__idb"].map(idx).to_numpy(dtype="int64")
+                A, B = mat[ai], mat[bi]
+                acc = np.zeros(len(pdf), dtype="float64")
+                for j in range(dim):  # sequential adds == the JVM fold
+                    acc += A[:, j] * B[:, j]
+                yield pd.DataFrame({"__dup_id": pdf["__ida"][acc >= eps]})
+
+        dups = pair_ids.mapInPandas(_dup_filter, "__dup_id long").distinct()
+    else:
+        a = assigned.select(
+            F.col("cid"), F.col("__id").alias("__ida"), F.col("__v").alias("__va")
+        )
+        b = assigned.select(
+            F.col("cid"), F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
+        )
+        dups = (
+            a.join(b, "cid")
+            .filter(F.col("__idb") < F.col("__ida"))
+            .filter(dot(F.col("__va"), F.col("__vb")) >= eps)
+            .select(F.col("__ida").alias("__dup_id"))
+            .distinct()
+        )
     return (
         assigned.join(dups, assigned.__id == dups.__dup_id, "left")
         .select(

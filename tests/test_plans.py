@@ -156,18 +156,39 @@ def test_persisted_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_cosine_pairs_auto_strategy_switches_on_size(spark, sf_dir):
-    """auto must broadcast below the byte cap and flip to the shuffle
-    (posjoin) path above it — the flip a 100× corpus needs to not OOM."""
+    """auto must take the broadcast-matrix kernel below the byte cap and
+    flip to the shuffle (posjoin) path above it — the flip a 100× corpus
+    needs to not OOM. The pure-JVM broadcast tier stays reachable
+    explicitly and must plan as a shuffle-free nested loop."""
     from ai_duckdb_spark.operators.dedup import embedding_cosine_pairs
     from ai_duckdb_spark.plans import executed_plan
     from ai_duckdb_spark.tables import load
 
     emb = load(spark, sf_dir, "embeddings")
     small = executed_plan(embedding_cosine_pairs(emb, threshold=0.9))
-    assert "BroadcastNestedLoopJoin" in small
+    assert "MapInPandas" in small
+    assert "BroadcastNestedLoopJoin" not in small
+    jvm = executed_plan(embedding_cosine_pairs(emb, threshold=0.9, strategy="broadcast"))
+    assert "BroadcastNestedLoopJoin" in jvm
     big = executed_plan(embedding_cosine_pairs(emb, threshold=0.9, broadcast_bytes_cap=1024))
-    assert "BroadcastNestedLoopJoin" not in big
+    assert "BroadcastNestedLoopJoin" not in big and "MapInPandas" not in big
     assert "Exchange hashpartitioning" in big  # dim-keyed posjoin fan-out
+
+
+def test_cosine_pairs_kernel_bit_identical_to_jvm_tiers(spark, sf_dir):
+    """The numpy kernel must reproduce the JVM broadcast tier's pairs AND
+    rounded cosines exactly (sequential-fold arithmetic, not BLAS) — the
+    property that lets auto pick it without moving the oracle hash."""
+    from ai_duckdb_spark.operators.dedup import embedding_cosine_pairs
+    from ai_duckdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(300)
+    fast = {tuple(r) for r in embedding_cosine_pairs(emb, threshold=0.3).collect()}
+    slow = {
+        tuple(r)
+        for r in embedding_cosine_pairs(emb, threshold=0.3, strategy="broadcast").collect()
+    }
+    assert fast == slow and fast
 
 
 def test_moment_stats_single_shuffle_partial_agg(spark, sf_dir):
