@@ -662,8 +662,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            count(*) AS n_vectors,
-           sum(CASE WHEN dups.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dups,
-           sum(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END)     AS n_survivors
+           CAST(sum(CASE WHEN dups.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_survivors
     FROM embeddings LEFT JOIN dups USING (vec_id)
     GROUP BY label
     ORDER BY label
