@@ -765,7 +765,7 @@ def embedding_cosine_pairs(
         block against the broadcast with a dim-loop of vectorized
         numpy adds. ``acc += A[:, j] * M[:, j]`` performs the SAME
         sequential IEEE additions as the JVM ``zip_with``/``aggregate``
-        fold (and the norms the same fold + sqrt, computed once per
+        fold (and the sum-of-squares the same fold, computed once per
         vector instead of once per pair), so every cosine — and
         therefore the >= threshold decision and the rounded output —
         is bit-identical to the ``broadcast`` tier (equality
@@ -779,8 +779,27 @@ def embedding_cosine_pairs(
         reducer, for corpora past broadcast size. Beyond THAT, exact
         all-pairs is the wrong tool — gate candidates with
         similarity.cosine_topk_lsh buckets and verify only those.
+
+    ALL tiers (and the dedup_semantic_exact oracle) compute the cosine
+    as ``dp / sqrt(sq1 * sq2)`` — one sqrt of the product, never
+    ``sqrt(sq1) * sqrt(sq2)`` — so a boundary pair cannot flip the
+    ``>=`` decision across physical strategies (up to 1 ulp apart
+    otherwise).
+
+    Domain: zero-norm vectors have no defined cosine and are excluded
+    from pairing by an identical ``sum(x²) > 0`` pre-filter in every
+    tier (under ANSI mode the JVM division would otherwise raise
+    DIVIDE_BY_ZERO; pre-filtering keeps the tiers uniform rather than
+    strategy-dependent). Vectors CONTAINING NaN survive the filter
+    (NaN is greater than every double in Spark's ordering) and produce
+    NaN cosines, which every tier KEEPS — Spark evaluates ``NaN >= t``
+    as TRUE, and the numpy kernel preserves that with an explicit
+    ``isnan`` mask. Both behaviors are pinned by a boundary/NaN pytest.
     """
-    from ..operators.similarity import dot, l2_norm
+    from ..operators.similarity import dot, sq_norm
+
+    # identical domain restriction in every tier (see docstring)
+    df = df.filter(sq_norm(F.col(vec_col).cast("array<double>")) > 0)
 
     if strategy == "auto":
         n_rows, dim = df.select(
@@ -801,11 +820,10 @@ def embedding_cosine_pairs(
             mat = np.array([r["__v"] for r in rows], dtype="float64")
             n, dim = mat.shape
             sq = np.zeros(n, dtype="float64")
-            for j in range(dim):  # sequential adds == the JVM l2 fold
+            for j in range(dim):  # sequential adds == the JVM sq fold
                 sq += mat[:, j] * mat[:, j]
-            nrm = np.sqrt(sq)
             sc = df.sparkSession.sparkContext
-            ids_bc, mat_bc, nrm_bc = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(nrm)
+            ids_bc, mat_bc, sq_bc = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(sq)
             idx = {int(i): p for p, i in enumerate(ids)}
             idx_bc = sc.broadcast(idx)
             # bound the (chunk × n) score block to ~32 MB of doubles
@@ -814,7 +832,7 @@ def embedding_cosine_pairs(
             def _score(batches):
                 import pandas as pd
 
-                ids_a, mat_a, nrm_a = ids_bc.value, mat_bc.value, nrm_bc.value
+                ids_a, mat_a, sq_a = ids_bc.value, mat_bc.value, sq_bc.value
                 pos = idx_bc.value
                 for pdf in batches:
                     rows_i = pdf["__id"].map(pos).to_numpy(dtype="int64")
@@ -824,8 +842,13 @@ def embedding_cosine_pairs(
                         acc = np.zeros((len(i1), len(ids_a)), dtype="float64")
                         for j in range(A.shape[1]):  # JVM fold order
                             acc += A[:, j, None] * mat_a[None, :, j]
-                        cos = acc / (nrm_a[i1][:, None] * nrm_a[None, :])
-                        mask = (cos >= threshold) & (ids_a[i1][:, None] < ids_a[None, :])
+                        # oracle form: one sqrt of the product of sq norms;
+                        # NaN >= t is TRUE in Spark's ordering — keep NaNs
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = acc / np.sqrt(sq_a[i1][:, None] * sq_a[None, :])
+                        mask = ((cos >= threshold) | np.isnan(cos)) & (
+                            ids_a[i1][:, None] < ids_a[None, :]
+                        )
                         r, c = np.nonzero(mask)
                         yield pd.DataFrame(
                             {
@@ -846,14 +869,14 @@ def embedding_cosine_pairs(
     if strategy == "broadcast":
         v = df.select(
             F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+        ).withColumn("__sq", sq_norm(F.col("__v")))
+        a = v.select(
+            F.col("__id").alias("id1"), F.col("__v").alias("__v1"), F.col("__sq").alias("__sq1")
+        ).repartition(default_parallelism())
+        b = v.select(
+            F.col("__id").alias("id2"), F.col("__v").alias("__v2"), F.col("__sq").alias("__sq2")
         )
-        a = v.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1")).repartition(
-            default_parallelism()
-        )
-        b = v.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
-        raw = dot(F.col("__v1"), F.col("__v2")) / (
-            l2_norm(F.col("__v1")) * l2_norm(F.col("__v2"))
-        )
+        raw = dot(F.col("__v1"), F.col("__v2")) / F.sqrt(F.col("__sq1") * F.col("__sq2"))
         return (
             a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
             .withColumn("__raw", raw)

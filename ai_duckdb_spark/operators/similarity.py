@@ -42,8 +42,13 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def sq_norm(a: F.Column) -> F.Column:
+    """Sum-of-squares fold (the oracle's ``sum(val*val)`` per vector)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
 def l2_norm(a: F.Column) -> F.Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(sq_norm(a))
 
 
 def cosine_topk_bruteforce(
@@ -679,7 +684,11 @@ def semdedup(
         dim = len(first["__v"])
         cap_rows = max(1, _KERNEL_CAP_BYTES // (dim * 8))
         rows = vecs.limit(cap_rows + 1).collect()
-        if len(rows) <= cap_rows:
+        # id-type guard: the mapInPandas schema below is `__dup_id long`,
+        # so the kernel only engages for integer ids (string/other ids
+        # fall through to the generic join+fold tier, same as
+        # embedding_cosine_pairs' guard)
+        if len(rows) <= cap_rows and rows and isinstance(rows[0]["__id"], int):
             import numpy as np
 
             mat = np.array([r["__v"] for r in rows], dtype="float64")
@@ -709,7 +718,10 @@ def semdedup(
                 acc = np.zeros(len(pdf), dtype="float64")
                 for j in range(dim):  # sequential adds == the JVM fold
                     acc += A[:, j] * B[:, j]
-                yield pd.DataFrame({"__dup_id": pdf["__ida"][acc >= eps]})
+                # NaN >= eps is TRUE in Spark's ordering (zero-norm rows
+                # normalize to NaN components) — keep NaNs like the JVM tier
+                keep = (acc >= eps) | np.isnan(acc)
+                yield pd.DataFrame({"__dup_id": pdf["__ida"][keep]})
 
         dups = pair_ids.mapInPandas(_dup_filter, "__dup_id long").distinct()
     else:

@@ -22,6 +22,43 @@ from ai_duckdb_spark.tables import load
 
 
 class TestDedup:
+    def test_cosine_pairs_boundary_and_nan_identical_across_tiers(self, spark):
+        """Every physical tier (kernel / broadcast / posjoin) must make
+        the SAME >= decision on a knife-edge pair and on NaN cosines.
+
+        The crafted pair has sum-of-squares 2 and 2 with dot 1: the
+        oracle form ``dp / sqrt(sq1*sq2)`` gives exactly 0.5, while the
+        rejected two-sqrt form ``dp / (sqrt(sq1)*sqrt(sq2))`` gives
+        0.49999999999999994 — one ulp below — so a tier using the wrong
+        denominator DROPS the pair at threshold 0.5 and fails here.
+        The zero vector has no defined cosine and is pre-filtered out of
+        EVERY tier identically (under ANSI the JVM division would raise
+        DIVIDE_BY_ZERO). A NaN-component vector survives the filter
+        (NaN > 0 in Spark's ordering) and yields NaN cosines, which all
+        tiers keep — Spark evaluates NaN >= t as TRUE, and the numpy
+        kernel must preserve that with an explicit isnan mask."""
+        import math
+
+        assert math.sqrt(2.0 * 2.0) != math.sqrt(2.0) * math.sqrt(2.0)  # forms differ
+        nan = float("nan")
+        rows = [
+            (1, [1.0, 1.0, 0.0]),  # sq = 2
+            (2, [1.0, 0.0, 1.0]),  # sq = 2, dot(1,2) = 1 -> cos = 1/sqrt(4) = 0.5
+            (3, [0.0, 0.0, 0.0]),  # zero norm -> excluded from pairing entirely
+            (4, [-1.0, 1.0, 0.0]),  # dot(1,4) = 0, dot(2,4) = -1 -> below threshold
+            (5, [nan, 0.0, 0.0]),  # NaN cosine with everyone -> kept (NaN >= t)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        expected = {(1, 2), (1, 5), (2, 5), (4, 5)}
+        for strat in ("kernel", "broadcast", "posjoin"):
+            got = {
+                (r.id1, r.id2)
+                for r in dedup.embedding_cosine_pairs(
+                    emb, threshold=0.5, strategy=strat
+                ).collect()
+            }
+            assert got == expected, f"strategy={strat}: {got}"
+
     def test_minhash_lsh_recall_vs_exact(self, spark, sf_dir):
         """LSH candidates must recover nearly all true >=0.9 pairs."""
         docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1166,6 +1203,20 @@ class TestSemDedup:
         if exact_dups:
             recall = len(clustered_dups) / len(exact_dups)
             assert recall >= 0.3, f"SemDeDup recall too low: {recall}"
+
+    def test_semdedup_string_ids_fall_back_to_jvm_tier(self, spark):
+        """The scoring kernel's mapInPandas schema is ``__dup_id long``,
+        so non-integer ids must route to the generic join+fold tier
+        instead of failing Arrow conversion at runtime."""
+        rows = [
+            ("a", [1.0, 0.0]),
+            ("b", [1.0, 0.0]),
+            ("c", [0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        flags = similarity.semdedup(emb, eps=0.9, n_clusters=1, iters=1).collect()
+        dups = {r.vec_id for r in flags if r.is_dup}
+        assert dups == {"b"}  # keep-lowest-id: 'a' survives, 'c' dissimilar
 
     def test_semdedup_full_cover_when_one_cluster(self, spark, sf_dir):
         """With a single cluster, SemDeDup degenerates to the exact rule
