@@ -180,16 +180,23 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_minhash_lsh, and checkpoints its own label frame once
     per corpus (one core build + one contraction loop per session)."""
     docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_components(
+        docs, "doc_id", "text",
+        labels=_minhash_labels_cached(spark, sf_dir),
+    ).orderBy("doc_id")
+
+
+def _minhash_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed component labels of the verified MinHash rep-pair
+    graph, once per (session, corpus) — shared by the entry above and
+    the bench's index_build line (queries/caches.py)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_LABELS_CACHE:
         groups, rep_pairs = _minhash_core_cached(spark, sf_dir)
         _MINHASH_LABELS_CACHE[key] = dedup.minhash_component_labels(
             groups, rep_pairs
         ).localCheckpoint(eager=False)
-    return dedup.minhash_components(
-        docs, "doc_id", "text",
-        labels=_MINHASH_LABELS_CACHE[key],
-    ).orderBy("doc_id")
+    return _MINHASH_LABELS_CACHE[key]
 
 
 @register("dedup_simhash", oracle=None)

@@ -121,17 +121,26 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters as knn_ivf_cosine, so results are identical to the
     in-memory tier (equality pytest-checked); rows-only + recall vs
     knn_bruteforce_cosine."""
-    import tempfile
-
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    if sf_dir not in _IVF_INDEX_DIRS:  # index builds once per corpus
+    return sim.cosine_topk_ivf_persisted(
+        spark, shared_ivf_index_dir(spark, sf_dir), queries, k=5, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
+def shared_ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) and return the on-disk partitioned IVF
+    index directory — the offline-index half of knn_ivf_persisted,
+    exposed separately so the bench can time the one-shot build as its
+    own index_build line."""
+    import tempfile
+
+    if sf_dir not in _IVF_INDEX_DIRS:
+        emb = load(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix="ivf_index_")
         sim.build_ivf_index(emb, path, n_clusters=16, iters=3)
         _IVF_INDEX_DIRS[sf_dir] = path
-    return sim.cosine_topk_ivf_persisted(
-        spark, _IVF_INDEX_DIRS[sf_dir], queries, k=5, nprobe=4
-    ).orderBy("query_id", "rank")
+    return _IVF_INDEX_DIRS[sf_dir]
 
 
 @register("knn_lsh_cosine", oracle=None)
@@ -167,26 +176,21 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup/self-join case a training pipeline actually runs).
     Rows-only: NN-Descent is iterative and not SQL-expressible; recall
     vs knn_bruteforce_cosine is pytest-checked (test_operators.py)."""
-    emb = load(spark, sf_dir, "embeddings")
     # degree 15 / 4 sweeps at ρ=0.8: the synthetic near-uniform 64-dim
     # corpus is NN-Descent's hard case (weak neighbor-of-neighbor
     # correlation), so exploration comes from graph degree and sweep
     # count; the r6 numpy scoring kernel made sweeps cheap enough to buy
     # a 4th, and ρ-sampling claws its cost back — recall@5 vs brute
     # force (vec_id<20, sf0.1) measured 0.52 here vs 0.43 at the old
-    # (15, 3, ρ=1), while a clean one-shot build dropped
-    # ~7.8-9.5 s → ~5.9-7.5 s warm. Built ONCE per (session, corpus)
-    # and checkpointed — the graph IS the index (same materialize-once
-    # discipline as the cached IVF quantizer above and the MinHash core
-    # in dedup_q): every subsequent query against the same corpus is a
-    # filter over n×k checkpointed edges, which is the access pattern a
-    # real pipeline has after its nightly index build.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _NNDESCENT_GRAPHS:
-        _NNDESCENT_GRAPHS[key] = sim.nndescent_knn_graph(
-            emb, k=15, iters=4, rho=0.8, dim=64
-        ).localCheckpoint(eager=False)
-    g = _NNDESCENT_GRAPHS[key]
+    # (15, 3, ρ=1). One-shot build cost: see the index_build map in the
+    # committed BENCH_LOCAL artifact (scripts/time_entries.py --fresh
+    # reproduces it with caches cleared). Built ONCE per (session,
+    # corpus) and checkpointed — the graph IS the index (same
+    # materialize-once discipline as the cached IVF quantizer above and
+    # the MinHash core in dedup_q): every subsequent query against the
+    # same corpus is a filter over n×k checkpointed edges, which is the
+    # access pattern a real pipeline has after its nightly index build.
+    g = shared_nndescent_graph(spark, sf_dir)
     return (
         g.filter((F.col("node_id") < 10) & (F.col("rank") <= 5))
         .select(
@@ -194,6 +198,20 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def shared_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed NN-Descent k-NN graph, built once per (session,
+    corpus) — exposed separately from the catalog entry so the bench and
+    scripts/time_entries.py --fresh can time the one-shot build honestly
+    (clearing _NNDESCENT_GRAPHS between passes)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NNDESCENT_GRAPHS:
+        emb = load(spark, sf_dir, "embeddings")
+        _NNDESCENT_GRAPHS[key] = sim.nndescent_knn_graph(
+            emb, k=15, iters=4, rho=0.8, dim=64
+        ).localCheckpoint(eager=False)
+    return _NNDESCENT_GRAPHS[key]
 
 
 @register(

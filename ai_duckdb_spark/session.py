@@ -89,14 +89,36 @@ def _default_driver_memory() -> str:
     override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if override:
         return override
+    total_gb = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     total_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{min(24, max(4, total_gb // 4))}g"
+                    break
     except OSError:
         pass
+    # inside a cgroup-limited container /proc/meminfo reports HOST RAM;
+    # sizing off it would request a heap the container cannot back and
+    # OOM-kill the session at start. Take min(cgroup limit, MemTotal) —
+    # v2 memory.max first, v1 memory.limit_in_bytes as fallback (both
+    # report a huge sentinel or "max" when unlimited).
+    for limit_path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(limit_path) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                cg_gb = int(raw) // (1024**3)
+                if 0 < cg_gb < (total_gb if total_gb is not None else 1 << 20):
+                    total_gb = cg_gb
+            break
+        except (OSError, ValueError):
+            continue
+    if total_gb is not None:
+        return f"{min(24, max(4, total_gb // 4))}g"
     return "8g"
 
 
