@@ -50,46 +50,61 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # the relational basics they displace are covered by the full local
 # oracle suite (tests/test_catalog_oracle.py parametrizes every entry).
 #
-# r6 rotation (judge r5 item 1): the 12 post-freeze oracle-paired
-# entries named by the r5 verdict swap IN (bm25_search_topk …
-# corpus_weighted_sample below) plus the new-this-round
-# multimodal_pixel_stats; 13 rows swap OUT, each either driver-green in
-# CORRECTNESS_r05 (skew_salted_join_flags, vector_hof_features,
-# embedding_quantization, regr_price_on_quantity, events_gap_fill_locf,
-# group_by_all_status_year, lateral_top2_orders, dedup_exact_token_set,
-# percentiles_quantity) or no_oracle-by-design for 3+ consecutive
-# rounds with a pytest ground truth (dedup_simhash, knn_ivf_cosine,
-# knn_lsh_cosine, knn_ivf_persisted — same policy that retired
-# approx_stats/sampled_lineitem_stats in r5). The r01/r04/r05 artifacts
-# keep the window union auditable, and the local oracle suite still
-# runs ALL entries at the driver's SF every round.
+# r7 rotation (judge r6 item 6): the never-driver-checked oracle-paired
+# tier named by the r6 verdict swaps IN — multimodal_png_pixel_stats,
+# multimodal_audio_sample_stats, stats_ols_probe, the TPC-H deep cuts
+# (q6/q7/q10/q13/q14/q18/q19/q22), the three sinks, summarize_orders,
+# variant_json_stats, corpus_chunk_windows (17 entries). 17 rows swap
+# OUT, every one green in CORRECTNESS_r06: the 13 r6-swap-ins
+# (streaming_langid_counts, bm25_search_topk, tfidf_top_terms,
+# bpe_pair_counts, corpus_curriculum_budget, embedding_covariance,
+# mad_outlier_quantity, events_capped_sessions, lm_bigram_score,
+# maintenance_schema_evolution, dedup_graph_triangles,
+# corpus_weighted_sample, multimodal_pixel_stats) plus four multi-round
+# greens (knn_bruteforce_cosine, embedding_centroids, vector_norm_stats,
+# props_map_functions). dedup_semantic_exact STAYS to prove the r7
+# oracle-typing fix green (its r6 row is the repo's only driver-red);
+# the MinHash rows-only pair stays one more round per the 3-consecutive-
+# rounds retirement policy. The r01/r04/r05/r06 artifacts keep the
+# window union auditable, and the local oracle suite still runs ALL
+# entries at the driver's SF every round.
 #
+# r6 rotation (judge r5 item 1): bm25_search_topk … corpus_weighted_
+# sample + multimodal_pixel_stats in; skew_salted_join_flags,
+# vector_hof_features, embedding_quantization, regr_price_on_quantity,
+# events_gap_fill_locf, group_by_all_status_year, lateral_top2_orders,
+# dedup_exact_token_set, percentiles_quantity, dedup_simhash,
+# knn_ivf_cosine, knn_lsh_cosine, knn_ivf_persisted out.
 # r5 rotation history (judge r4 item 3): dedup_exact_spans …
-# dedup_minhash_components swapped in; text_fingerprint_bag,
+# dedup_minhash_components in; text_fingerprint_bag,
 # token_frequency_top20, text_regex_token_count, dedup_exact_fulltext,
 # dedup_jaccard_pairs, corpus_hash_sample, string_funcs_extended,
 # date_funcs_extended, setops_all_variants, approx_stats,
-# sampled_lineitem_stats swapped out (all r01/r04-proven).
+# sampled_lineitem_stats out (all r01/r04-proven).
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
     "streaming_stateful_user_totals",
     "dedup_exact_spans",
     "dedup_survivors",
     "streaming_incremental_dedup",
-    "streaming_langid_counts",
-    "bm25_search_topk",
-    "tfidf_top_terms",
     "dedup_semantic_exact",
-    "bpe_pair_counts",
-    "corpus_curriculum_budget",
-    "embedding_covariance",
-    "mad_outlier_quantity",
-    "events_capped_sessions",
-    "lm_bigram_score",
-    "maintenance_schema_evolution",
-    "dedup_graph_triangles",
-    "corpus_weighted_sample",
-    "multimodal_pixel_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_audio_sample_stats",
+    "stats_ols_probe",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "sink_partitioned_roundtrip",
+    "sink_bucketed_join",
+    "sink_orc_roundtrip",
+    "summarize_orders",
+    "variant_json_stats",
+    "corpus_chunk_windows",
     "dedup_prefix_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_minhash_components",
@@ -102,15 +117,11 @@ DRIVER_WINDOW: list[str] = [
     "corpus_pack_sequences",
     "corpus_contamination",
     "corpus_gopher_rules",
-    "knn_bruteforce_cosine",
-    "embedding_centroids",
-    "vector_norm_stats",
     "multimodal_frame_sample",
     "multimodal_image_features",
     "multimodal_image_headers",
     "pandas_udf_token_count",
     "range_join_recent_activity",
-    "props_map_functions",
     "grouped_zscore_pandas",
     "full_outer_nation_parties",
     "scd2_customer_price_history",
