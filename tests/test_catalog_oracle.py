@@ -113,6 +113,12 @@ _POST_FREEZE = {
     # in the local gate): the PNG and PCM-WAV full-decode tiers
     "multimodal_png_pixel_stats",
     "multimodal_audio_sample_stats",
+    # r7 rotations OUT (judge r6 item 6) — every row green in
+    # CORRECTNESS_r06, displaced by the never-driver-checked tier
+    # (TPC-H deep cuts, sinks, decode stats, OLS probe)
+    "knn_bruteforce_cosine",
+    "embedding_centroids",
+    "vector_norm_stats",
 }
 
 
