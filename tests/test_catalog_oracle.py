@@ -119,6 +119,7 @@ _POST_FREEZE = {
     "knn_bruteforce_cosine",
     "embedding_centroids",
     "vector_norm_stats",
+    "multimodal_pixel_stats",
 }
 
 
