@@ -1012,16 +1012,22 @@ def mad_outlier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, deviations are exact multiples of 0.5).
 
     Scale shape (r5 judge item 6 — this was the 7-job floor-tail line):
-    ONE Spark job. The corpus reduces to a (flag, quantity) count
-    histogram — bounded by |flags|·|distinct q| (150 rows here; still
-    histogram-sized at 100 TB because l_quantity is a 50-value integral
-    measure) — which is collected MODEL-SIZED to the driver, where the
-    median, the deviation histogram, the MAD and the fence counts are
-    pure order-statistics arithmetic on ≤150 numbers. Same bounded-
-    collect policy as the BPE merge table / IVF centroids; the former
-    all-Spark formulation paid 6 extra jobs (broadcast stages for two
-    3-row median frames + their joins) ≈ 0.8 s of scale-independent
-    driver floor per run, 1.20 s → ~0.4 s warm at sf0.1. The
+    the corpus reduces to a (flag, quantity) count histogram — bounded
+    by |flags|·|distinct q| (150 rows here; still histogram-sized at
+    100 TB because l_quantity is a 50-value integral measure) — which
+    is collected MODEL-SIZED to the driver, where the median, the
+    deviation histogram, the MAD and the fence counts are pure
+    order-statistics arithmetic on ≤150 numbers. Same bounded-collect
+    policy as the BPE merge table / IVF centroids; the former all-Spark
+    formulation paid broadcast stages for two 3-row median frames +
+    their joins ≈ 0.8 s of scale-independent driver floor per run.
+    Measured at sf0.1 (SCALE.md): 4 jobs/run (the histogram aggregate's
+    AQE stages + the LocalRelation result), ~0.6-0.9 s warm vs 1.20 s
+    before the rework. NOTE the builder is deliberately EAGER: the
+    histogram collect runs at DataFrame-construction time (catalog
+    builder-laziness exception, documented in SCALE.md §eager-builders),
+    so plan inspection on this entry sees only the final LocalRelation.
+    The
     interpolation arithmetic below is IEEE-double identical to the
     oracle SQL's CASE expression (Python floats ARE doubles; same
     left-associative multiply order), so the rework is hash-invariant —
