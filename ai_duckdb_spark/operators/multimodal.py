@@ -9,14 +9,16 @@ extraction). Three tiers, by how far into the payload they reach:
    PNG/GIF/BMP/JPEG dimensions (``parse_image_header``) and RIFF/WAVE
    chunk walks (``parse_wav_header``).
 2. PIXEL/SAMPLE — real full decode for every format whose codec is
-   public-spec byte arithmetic over the stdlib: uncompressed 24-bit
-   BMP (``decode_bmp_pixels`` — row padding, BGR order, bottom-up vs
-   top-down storage), 8-bit RGB PNG (``decode_png_pixels`` — CRC
-   verify, stdlib-zlib inflate, all five scanline filters), and mono
-   16-bit PCM WAV (``decode_wav_samples`` — chunk walk + int16
-   unpack).
-3. CODEC — entropy-coded formats (JPEG DCT decode, GIF LZW, lossy
-   audio, ``resize_image`` resampling) stay stubbed behind
+   public-spec byte/bit arithmetic over the stdlib: uncompressed
+   24-bit BMP (``decode_bmp_pixels`` — row padding, BGR order,
+   bottom-up vs top-down storage), 8-bit RGB PNG
+   (``decode_png_pixels`` — CRC verify, stdlib-zlib inflate, all five
+   scanline filters), GIF (``decode_gif_pixels`` — variable-width LZW
+   decompression, an entropy codec implemented from the public spec),
+   and mono 16-bit PCM WAV (``decode_wav_samples`` — chunk walk +
+   int16 unpack).
+3. CODEC — the remaining entropy-coded formats (JPEG DCT decode,
+   lossy audio, ``resize_image`` resampling) stay stubbed behind
    NotImplementedError: those need libraries not in this container.
    The distributed plumbing (schema, batch shape, UDF signature) is
    identical across tiers, so swapping in a real codec touches only
@@ -915,18 +917,687 @@ def extract_pixel_stats(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF variable-width LZW compression of a palette-index stream.
+
+    Pure bit arithmetic over the public GIF89a spec (appendix F): codes
+    start at ``min_code_size + 1`` bits, widen as the string table grows
+    (encoder widens at ``next_code == (1 << size) + 1`` — exactly one
+    step ahead of the decoder's ``next_code == 1 << size``, because the
+    encoder registers each table entry one emit earlier than the decoder
+    learns it), cap at 12 bits with a frozen table (deferred-clear
+    style), and pack LSB-first. Emits an initial clear code and a
+    trailing end-of-information code, bumping the width schedule after
+    the final data code just as the decoder will after reading it.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    put(clear, code_size)
+
+    def bump() -> None:
+        nonlocal next_code, code_size
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+
+    buf: tuple[int, ...] = ()
+    for k in indices:
+        nxt = buf + (k,)
+        if nxt in table:
+            buf = nxt
+            continue
+        put(table[buf], code_size)
+        if next_code < 4096:
+            table[nxt] = next_code
+        bump()
+        buf = (k,)
+    if buf:
+        put(table[buf], code_size)
+        bump()
+    put(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int] | None:
+    """Decode a GIF LZW code stream back to palette indices.
+
+    Implements the full spec decoder: LSB-first bit reader, clear-code
+    table resets, the ``code == next_code`` (KωK) special case, width
+    growth at ``next_code == 1 << size`` capped at 12 bits, and
+    deferred-clear streams whose table fills to 4096 without a reset.
+    Returns None on any malformed code. ``max_pixels`` bounds output so
+    a corrupt stream cannot balloon memory.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == eoi:
+            break
+        if code == clear:
+            del table[eoi + 1 :]
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code and next_code < 4096:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return list(out)
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    """The closed-form 256-entry global color table used by the GIF
+    tier: palette[i] = (i, (i*7) % 256, 255 - i), so channel sums are
+    recomputable from palette indices alone."""
+    return (i, (i * 7) % 256, 255 - i)
+
+
+def make_gif_image(width, height, index) -> bytes:
+    """A complete, VALID GIF89a file with REAL LZW-compressed pixel data.
+
+    ``index(x, y) -> palette index`` in image coordinates; the 256-entry
+    global color table is ``_gif_palette``. Layout per the public spec:
+    header, logical screen descriptor, global color table, a graphic
+    control extension (so decoders must skip extension blocks), image
+    descriptor, LZW minimum code size byte, the code stream split into
+    <=255-byte sub-blocks, block terminator, trailer. GIF's 'codec' is
+    variable-width LZW — pure bit arithmetic, no library needed.
+    """
+    import struct
+
+    gct = b"".join(bytes(_gif_palette(i)) for i in range(256))
+    indices = [index(x, y) & 0xFF for y in range(height) for x in range(width)]
+    lzw = _gif_lzw_encode(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-entry GCT
+        + gct
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes((8,))  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Pure-stdlib FULL pixel decode of a GIF89a/87a image: logical
+    screen walk, global color table, extension-block skipping, image
+    descriptor, de-sub-blocking, and variable-width LZW decompression
+    (``_gif_lzw_decode``). Returns (width, height, rows) of (r, g, b)
+    tuples top-down, or None outside the supported geometry (local
+    color tables, interlace, truncation — the long tail). This closes
+    the 'GIF LZW' entry of the entropy-coded gap list: LZW is
+    public-spec bit arithmetic, no codec library involved."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    _sw, _sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        return None  # no global color table
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + gct_n * 3 > len(data):
+        return None
+    palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)]
+    pos += gct_n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        else:
+            return None
+    if pos >= len(data) or data[pos] != 0x2C or pos + 10 > len(data):
+        return None
+    _left, _top, width, height, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    if ipacked & 0xC0 or width == 0 or height == 0:
+        return None  # local color table / interlace unsupported
+    pos += 10
+    if pos >= len(data):
+        return None
+    mcs = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(data) and data[pos] != 0:
+        n = data[pos]
+        if pos + 1 + n > len(data):
+            return None
+        lzw += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    if not (2 <= mcs <= 8):
+        return None
+    indices = _gif_lzw_decode(bytes(lzw), mcs, width * height)
+    if indices is None or len(indices) != width * height:
+        return None
+    if any(i >= gct_n for i in indices):
+        return None
+    return (
+        width,
+        height,
+        [[palette[indices[y * width + x]] for x in range(width)] for y in range(height)],
+    )
+
+
+def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid GIF89a files, closed-form
+    in the id: width = id%11+1, height = id*3%9+1, palette index at
+    (x, y) = (id + 3x + 5y) % 256, palette ``_gif_palette``. Repeated
+    indices along rows make the LZW table genuinely grow, so decoding
+    exercises multi-width code reads, not just singletons."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 11 + 1, i * 3 % 9 + 1
+                payloads.append(
+                    make_gif_image(w, h, lambda x, y, i=i: (i + 3 * x + 5 * y) % 256)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_gif_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """PIXEL_STATS_SCHEMA stats over fully-decoded GIF payloads — the
+    LZW twin of extract_png_pixel_stats: de-sub-block + LZW decompress +
+    palette lookup + channel sums, all executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for payload in pdf["payload"]:
+                decoded = decode_gif_pixels(payload)
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, rows = decoded
+                sr = sg = sb = 0
+                for row in rows:
+                    for r, g, b in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+def resize_pixels(
+    rows: list[list[tuple[int, int, int]]],
+    dst_w: int,
+    dst_h: int,
+    method: str = "bilinear",
+) -> list[list[tuple[int, int, int]]]:
+    """Resample a decoded pixel grid to (dst_w, dst_h) in EXACT integer
+    fixed-point arithmetic — deterministic, library-free, and therefore
+    oracle-recomputable (unlike float resamplers whose rounding is
+    implementation-defined).
+
+    Pixel-center (align_corners=False) convention: the source coordinate
+    of destination column x is (x + 0.5)·src_w/dst_w − 0.5, carried in
+    1/256 fixed point as fx = ((2x+1)·src_w·128)//dst_w − 128, clamped
+    to [0, (src_w−1)·256]. ``nearest`` picks round(fx/256) via
+    (fx+128)//256; ``bilinear`` blends the 2×2 neighborhood with 8-bit
+    fractional weights and a +32768 half-up round before the >>16.
+    """
+    src_h = len(rows)
+    src_w = len(rows[0]) if src_h else 0
+    if src_w == 0 or src_h == 0 or dst_w <= 0 or dst_h <= 0:
+        return []
+
+    def axis(dst_n: int, src_n: int) -> list[tuple[int, int, int]]:
+        pts = []
+        for x in range(dst_n):
+            f = (2 * x + 1) * src_n * 128 // dst_n - 128
+            f = max(0, min((src_n - 1) * 256, f))
+            lo = f // 256
+            pts.append((lo, min(lo + 1, src_n - 1), f % 256))
+        return pts
+
+    xs, ys = axis(dst_w, src_w), axis(dst_h, src_h)
+    out: list[list[tuple[int, int, int]]] = []
+    if method == "nearest":
+        for y0, y1, wy in ys:
+            sy = y1 if wy >= 128 else y0
+            out.append([rows[sy][x1 if wx >= 128 else x0] for x0, x1, wx in xs])
+        return out
+    if method != "bilinear":
+        raise ValueError(f"unknown resample method: {method}")
+    for y0, y1, wy in ys:
+        r0, r1 = rows[y0], rows[y1]
+        line = []
+        for x0, x1, wx in xs:
+            p00, p10, p01, p11 = r0[x0], r0[x1], r1[x0], r1[x1]
+            w00 = (256 - wx) * (256 - wy)
+            w10 = wx * (256 - wy)
+            w01 = (256 - wx) * wy
+            w11 = wx * wy
+            line.append(
+                tuple(
+                    (p00[c] * w00 + p10[c] * w10 + p01[c] * w01 + p11[c] * w11 + 32768)
+                    >> 16
+                    for c in range(3)
+                )
+            )
+        out.append(line)
+    return out
+
+
 def resize_image(data: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
     """Resize an image payload to (width, height).
 
-    STUB: needs an image library; ``fake=True`` returns a deterministic
-    byte string of the target pixel count so batch shapes are testable.
+    Real path: decode with whichever stdlib decoder recognizes the
+    payload (BMP/PNG/GIF), resample with the exact fixed-point bilinear
+    kernel (``resize_pixels``), and re-encode as an uncompressed 24-bit
+    BMP (the canonical interchange format of the pixel tier).
+    ``fake=True`` keeps the deterministic byte stub for synthetic
+    non-image payloads; JPEG stays NotImplementedError (DCT entropy
+    decode is the one tier that still needs a codec library).
     """
-    if not fake:
+    if fake:
+        return bytes((i + (data[0] if data else 0)) % 256 for i in range(width * height))
+    decoded = decode_bmp_pixels(data) or decode_png_pixels(data) or decode_gif_pixels(data)
+    if decoded is None:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stub resizer"
+            "unsupported image payload: BMP/PNG/GIF decode+resize is the "
+            "built-in path; JPEG needs a codec library"
         )
-    return bytes((i + (data[0] if data else 0)) % 256 for i in range(width * height))
+    _w, _h, rows = decoded
+    resized = resize_pixels(rows, width, height, method="bilinear")
+    return make_bmp_image(width, height, lambda x, y: resized[y][x])
+
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_quantize(diff: int, step: int) -> tuple[int, int]:
+    """One IMA ADPCM quantizer step: map a predictor-to-sample delta to
+    a 4-bit nibble and the reconstructed delta, per the public IMA/DVI
+    spec's bit-serial loop (sign, step, step/2, step/4 trials with a
+    constant step/8 bias). Returns (nibble, signed_reconstructed_diff).
+    """
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    diffq = step >> 3
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+        diffq += step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+        diffq += step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+        diffq += step >> 2
+    return nibble, -diffq if nibble & 8 else diffq
+
+
+def ima_adpcm_encode(samples: list[int]) -> tuple[int, int, bytes]:
+    """Compress int16 PCM to IMA ADPCM nibbles (4:1, LOSSY).
+
+    Returns (initial_predictor, initial_index, nibble_bytes): the first
+    sample seeds the predictor exactly (it travels in the block header,
+    as in the WAV format-0x11 layout), index starts at 0, and each
+    following sample becomes one 4-bit nibble, packed low-nibble-first.
+    Encoder-side reconstruction mirrors the decoder exactly, so encoder
+    and decoder predictors never drift — the property the recursive
+    oracle relies on.
+    """
+    if not samples:
+        return (0, 0, b"")
+    pred = samples[0]
+    # seed the step index near the first delta (standard encoder-side
+    # optimization — the index travels in the block header, so any
+    # seed is decoder-compatible; this one skips the slew-up from
+    # step=7 on hot signals)
+    d0 = abs(samples[1] - samples[0]) if len(samples) > 1 else 0
+    index0 = min(
+        range(len(_IMA_STEP_TABLE)),
+        key=lambda i: abs(_IMA_STEP_TABLE[i] - d0),
+    )
+    index = index0
+    nibbles: list[int] = []
+    for s in samples[1:]:
+        step = _IMA_STEP_TABLE[index]
+        nibble, diffq = _ima_quantize(s - pred, step)
+        pred = max(-32768, min(32767, pred + diffq))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+        nibbles.append(nibble)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return (samples[0], index0, packed)
+
+
+def ima_adpcm_decode(
+    predictor: int, index: int, data: bytes, n_samples: int
+) -> list[int]:
+    """Decode IMA ADPCM nibbles back to int16 PCM (the block-header
+    predictor is emitted as sample 0), clamping predictor to int16 and
+    index to the 89-entry step table per spec."""
+    out = [predictor]
+    pred = predictor
+    for i in range(n_samples - 1):
+        nibble = (data[i // 2] >> (4 * (i % 2))) & 0xF
+        step = _IMA_STEP_TABLE[index]
+        diffq = step >> 3
+        if nibble & 4:
+            diffq += step
+        if nibble & 2:
+            diffq += step >> 1
+        if nibble & 1:
+            diffq += step >> 2
+        pred = max(-32768, min(32767, pred + (-diffq if nibble & 8 else diffq)))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+        out.append(pred)
+    return out
+
+
+def make_wav_ima_adpcm(sample_rate: int, samples: list[int]) -> bytes:
+    """A complete RIFF/WAVE file in IMA ADPCM format (wFormatTag 0x11,
+    mono, 4 bits/sample): extended fmt chunk with wSamplesPerBlock, a
+    'fact' chunk carrying the true frame count (mandatory for
+    compressed formats), and a data chunk of spec-layout blocks — each
+    a 4-byte header (int16 predictor, uint8 step index, reserved) plus
+    packed nibbles, low nibble first."""
+    import struct
+
+    block_align = 1024  # bytes per block -> (1024-4)*2+1 samples
+    spb = (block_align - 4) * 2 + 1
+    blocks = bytearray()
+    for off in range(0, max(len(samples), 1), spb):
+        chunk = samples[off : off + spb]
+        pred, idx, packed = ima_adpcm_encode(chunk)
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        blocks += packed.ljust(block_align - 4, b"\x00")
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        sample_rate,
+        sample_rate * block_align // spb,
+        block_align,
+        4,
+        2,  # cbSize
+        spb,
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima_adpcm(data: bytes) -> tuple[int, list[int]] | None:
+    """Full decode of a mono IMA ADPCM WAV: RIFF chunk walk, extended
+    fmt parse (format 0x11, 4-bit), 'fact' frame count, then per-block
+    header + nibble decompression via ``ima_adpcm_decode``. Returns
+    (sample_rate, samples) or None outside the supported geometry.
+    This closes the 'lossy audio' entry of the entropy-coded gap list:
+    IMA/DVI ADPCM is public-spec integer arithmetic end-to-end."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = block_align = spb = None
+    n_frames = None
+    body = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + clen]
+        if len(chunk) != clen:
+            return None
+        if cid == b"fmt ":
+            if clen < 16:
+                return None
+            tag, channels, rate, _bps, block_align, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if tag != 0x11 or channels != 1 or bits != 4:
+                return None
+            if clen >= 20:
+                (spb,) = struct.unpack("<H", chunk[18:20])
+        elif cid == b"fact":
+            if clen < 4:
+                return None
+            (n_frames,) = struct.unpack("<I", chunk[:4])
+        elif cid == b"data":
+            body = chunk
+        pos += 8 + clen + (clen & 1)
+    if rate is None or body is None or n_frames is None or block_align is None:
+        return None
+    if spb is None:
+        spb = (block_align - 4) * 2 + 1
+    samples: list[int] = []
+    for off in range(0, len(body), block_align):
+        block = body[off : off + block_align]
+        if len(block) < 4 or len(samples) >= n_frames:
+            break
+        pred, idx, _res = struct.unpack("<hBB", block[:4])
+        want = min(spb, n_frames - len(samples))
+        samples += ima_adpcm_decode(pred, idx, block[4:], want)
+    if len(samples) != n_frames:
+        return None
+    return (rate, samples)
+
+
+def synthesize_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE IMA ADPCM WAV files compressing
+    the SAME closed-form source signal as the PCM tier (rate =
+    RATES[id % 4], n = id % 200 + 1, sample[j] = (id*7919 + j*31) %
+    65536 - 32768), so the lossy encode→decode recurrence is fully
+    determined by the id — which is what lets the oracle replay it."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 200 + 1
+                samples = [(i * 7919 + j * 31) % 65536 - 32768 for j in range(n)]
+                payloads.append(make_wav_ima_adpcm(_SYNTH_RATES[i % 4], samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_adpcm_sample_stats(binary_df: DataFrame) -> DataFrame:
+    """AUDIO_SAMPLE_SCHEMA stats over fully-decoded IMA ADPCM payloads
+    — the lossy-codec twin of extract_audio_sample_stats: RIFF walk,
+    block-header parse, nibble decompression, amplitude reduction, all
+    executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in ("sample_rate", "n_samples", "sum_amp", "min_amp", "max_amp", "sum_sq")
+            }
+            for payload in pdf["payload"]:
+                decoded = decode_wav_ima_adpcm(payload)
+                if decoded is None:
+                    for k in cols:
+                        cols[k].append(0)
+                    continue
+                rate, samples = decoded
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(len(samples))
+                cols["sum_amp"].append(sum(samples))
+                cols["min_amp"].append(min(samples))
+                cols["max_amp"].append(max(samples))
+                cols["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(cols["n_samples"], dtype="int64"),
+                    "sum_amp": pd.Series(cols["sum_amp"], dtype="int64"),
+                    "min_amp": pd.Series(cols["min_amp"], dtype="int32"),
+                    "max_amp": pd.Series(cols["max_amp"], dtype="int32"),
+                    "sum_sq": pd.Series(cols["sum_sq"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, AUDIO_SAMPLE_SCHEMA)
+
+
+def extract_resized_pixel_stats(
+    binary_df: DataFrame, dst_w: int, dst_h: int, method: str = "bilinear"
+) -> DataFrame:
+    """PIXEL_STATS_SCHEMA stats over payloads decoded AND resampled to
+    (dst_w, dst_h) — the thumbnail/normalize stage of an image training
+    pipeline: decode (BMP/PNG/GIF), exact fixed-point resize
+    (``resize_pixels``), channel sums, all executor-side in mapInPandas.
+    The reported width/height are the DESTINATION dims, so downstream
+    consumers see the normalized geometry."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for payload in pdf["payload"]:
+                decoded = (
+                    decode_bmp_pixels(payload)
+                    or decode_png_pixels(payload)
+                    or decode_gif_pixels(payload)
+                )
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                _w, _h, rows = decoded
+                resized = resize_pixels(rows, dst_w, dst_h, method=method)
+                sr = sg = sb = 0
+                for row in resized:
+                    for r, g, b in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                out["width"].append(dst_w)
+                out["height"].append(dst_h)
+                out["n_pixels"].append(dst_w * dst_h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
 def sample_frames(binary_df: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:

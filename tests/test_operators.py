@@ -660,6 +660,149 @@ class TestMultimodal:
             s = [(i * 7919 + j * 31) % 65536 - 32768 for j in range(i % 200 + 1)]
             assert got[i] == (len(s), sum(s), min(s), max(s), sum(v * v for v in s)), i
 
+    def test_gif_lzw_roundtrip_and_rejects(self):
+        """GIF LZW encode/decode roundtrips exactly: the closed-form
+        catalog geometry, a repetitive image (long LZW matches, width
+        growth), and a 200x150 random-palette image that fills the
+        string table to 4096 and exercises the frozen-table
+        (deferred-clear) path. Truncated and header-only payloads are
+        rejected rather than misdecoded."""
+        import random
+
+        for i in (0, 3, 10, 64, 255, 256, 511):
+            w, h = i % 11 + 1, i * 3 % 9 + 1
+            data = multimodal.make_gif_image(w, h, lambda x, y, i=i: (i + 3 * x + 5 * y) % 256)
+            decoded = multimodal.decode_gif_pixels(data)
+            assert decoded is not None, i
+            dw, dh, rows = decoded
+            assert (dw, dh) == (w, h)
+            for y in range(h):
+                for x in range(w):
+                    assert rows[y][x] == multimodal._gif_palette((i + 3 * x + 5 * y) % 256)
+        # repetitive content: multi-pixel LZW matches and width growth
+        dw, dh, rows = multimodal.decode_gif_pixels(
+            multimodal.make_gif_image(120, 9, lambda x, y: (x // 17) % 4)
+        )
+        assert (dw, dh) == (120, 9) and rows[5][20] == multimodal._gif_palette(1)
+        # random 256-color image large enough to freeze the table at 4096
+        random.seed(7)
+        px = [[random.randrange(256) for _ in range(200)] for _ in range(150)]
+        dw, dh, rows = multimodal.decode_gif_pixels(
+            multimodal.make_gif_image(200, 150, lambda x, y: px[y][x])
+        )
+        assert (dw, dh) == (200, 150)
+        assert all(
+            rows[y][x] == multimodal._gif_palette(px[y][x]) for y in range(150) for x in range(200)
+        )
+        # malformed payloads
+        assert multimodal.decode_gif_pixels(b"") is None
+        assert multimodal.decode_gif_pixels(multimodal.make_image_header("gif", 3, 3)) is None
+        ok = multimodal.make_gif_image(5, 4, lambda x, y: x + y)
+        assert multimodal.decode_gif_pixels(ok[:-10]) is None
+
+    def test_gif_pixel_stats_distributed_ground_truth(self, spark):
+        ids = [0, 3, 7, 10, 33]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        stats = multimodal.extract_gif_pixel_stats(
+            multimodal.synthesize_gif_payloads(df, "doc_id")
+        ).collect()
+        got = {r.doc_id: (r.width, r.height, r.n_pixels, r.sum_r, r.sum_g, r.sum_b) for r in stats}
+        for i in ids:
+            w, h = i % 11 + 1, i * 3 % 9 + 1
+            idxs = [(i + 3 * x + 5 * y) % 256 for x in range(w) for y in range(h)]
+            assert got[i] == (
+                w,
+                h,
+                w * h,
+                sum(idxs),
+                sum(v * 7 % 256 for v in idxs),
+                sum(255 - v for v in idxs),
+            ), i
+
+    def test_resize_pixels_exact_kernel(self):
+        """The fixed-point resampler is exact and deterministic:
+        identity resize returns the input, a constant image stays
+        constant under any scale, nearest picks pixel centers, and a
+        2x upscale of a 2x2 gradient matches hand-computed bilinear
+        blends (pixel-center convention, half-up rounding)."""
+        rows = [[(10, 20, 30), (50, 60, 70)], [(90, 100, 110), (130, 140, 150)]]
+        assert multimodal.resize_pixels(rows, 2, 2) == rows
+        const = [[(7, 8, 9)] * 5 for _ in range(3)]
+        for method in ("bilinear", "nearest"):
+            out = multimodal.resize_pixels(const, 4, 7, method=method)
+            assert out == [[(7, 8, 9)] * 4 for _ in range(7)]
+        # 2x2 -> 4x4 bilinear: corner pixels clamp to the corners, and
+        # the interior blends at 1/4-3/4 pixel-center weights
+        out = multimodal.resize_pixels(rows, 4, 4)
+        assert out[0][0] == (10, 20, 30) and out[3][3] == (130, 140, 150)
+        # fx at x=1: (3*2*128)//4 - 128 = 64 -> wx=64; value = p0*192+p1*64
+        assert out[0][1][0] == (10 * 192 * 256 + 50 * 64 * 256 + 32768) >> 16
+        # nearest: wx=64 < 128 -> left pixel
+        outn = multimodal.resize_pixels(rows, 4, 4, method="nearest")
+        assert outn[0][1] == (10, 20, 30) and outn[0][2] == (50, 60, 70)
+        # degenerate input
+        assert multimodal.resize_pixels([], 3, 3) == []
+
+    def test_resize_image_real_path_roundtrip(self):
+        """resize_image decodes BMP/PNG/GIF payloads, resamples, and
+        re-encodes as BMP whose decode matches resize_pixels applied to
+        the source; unrecognized payloads raise NotImplementedError."""
+        import pytest as _pytest
+
+        src = multimodal.make_bmp_image(6, 5, lambda x, y: ((x * 40) % 256, y * 50, x + y))
+        _w, _h, rows = multimodal.decode_bmp_pixels(src)
+        expect = multimodal.resize_pixels(rows, 3, 2)
+        out = multimodal.resize_image(src, 3, 2)
+        assert multimodal.decode_bmp_pixels(out) == (3, 2, expect)
+        # PNG and GIF inputs route through their decoders
+        png = multimodal.make_png_image(4, 4, lambda x, y: (x * 60, y * 60, 5))
+        assert multimodal.decode_bmp_pixels(multimodal.resize_image(png, 2, 2)) is not None
+        gif = multimodal.make_gif_image(4, 4, lambda x, y: (x + y) % 256)
+        assert multimodal.decode_bmp_pixels(multimodal.resize_image(gif, 2, 2)) is not None
+        with _pytest.raises(NotImplementedError):
+            multimodal.resize_image(b"not an image payload at all", 2, 2)
+
+    def test_ima_adpcm_codec_roundtrip(self):
+        """The IMA ADPCM coder is a real lossy codec: container+codec
+        roundtrip preserves count/rate and the first sample exactly,
+        tracks smooth signals at >25 dB SNR, survives multi-block
+        payloads and full-scale clamping, and rejects PCM/truncated
+        payloads rather than misdecoding them."""
+        import math
+
+        smooth = [int(12000 * math.sin(i / 11.0)) for i in range(500)]
+        wav = multimodal.make_wav_ima_adpcm(22050, smooth)
+        rate, got = multimodal.decode_wav_ima_adpcm(wav)
+        assert rate == 22050 and len(got) == 500 and got[0] == smooth[0]
+        err = sum((a - b) ** 2 for a, b in zip(smooth, got))
+        sig = sum(a * a for a in smooth)
+        assert 10 * math.log10(sig / err) > 25
+        # multi-block: 1024-byte blocks carry 2041 samples each
+        long = [(i * 313) % 65536 - 32768 for i in range(5000)]
+        rate, got = multimodal.decode_wav_ima_adpcm(multimodal.make_wav_ima_adpcm(8000, long))
+        assert len(got) == 5000 and all(-32768 <= s <= 32767 for s in got)
+        # decode is bit-deterministic: same input -> same bytes -> same output
+        assert multimodal.make_wav_ima_adpcm(8000, long) == multimodal.make_wav_ima_adpcm(8000, long)
+        # rejects: PCM wav, header-only wav, garbage, truncation
+        assert multimodal.decode_wav_ima_adpcm(multimodal.make_wav_pcm(8000, [1, 2, 3])) is None
+        assert multimodal.decode_wav_ima_adpcm(multimodal.make_wav_header(8000, 1, 16, 5)) is None
+        assert multimodal.decode_wav_ima_adpcm(b"RIFFxxxxWAVE") is None
+        assert multimodal.decode_wav_ima_adpcm(wav[:-7]) is None
+
+    def test_adpcm_sample_stats_distributed_ground_truth(self, spark):
+        ids = [0, 7, 42, 123, 199]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        stats = multimodal.extract_adpcm_sample_stats(
+            multimodal.synthesize_adpcm_payloads(df, "doc_id")
+        ).collect()
+        got = {r.doc_id: (r.n_samples, r.sum_amp, r.min_amp, r.max_amp, r.sum_sq) for r in stats}
+        for i in ids:
+            src = [(i * 7919 + j * 31) % 65536 - 32768 for j in range(i % 200 + 1)]
+            _rate, s = multimodal.decode_wav_ima_adpcm(
+                multimodal.make_wav_ima_adpcm(multimodal._SYNTH_RATES[i % 4], src)
+            )
+            assert got[i] == (len(s), sum(s), min(s), max(s), sum(v * v for v in s)), i
+
     def test_frame_sample_content_ground_truth(self, spark):
         df = spark.createDataFrame(
             [(1, "a" * 200), (2, "xy")], ["doc_id", "text"]
