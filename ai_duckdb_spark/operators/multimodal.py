@@ -9,20 +9,22 @@ extraction). Three tiers, by how far into the payload they reach:
    PNG/GIF/BMP/JPEG dimensions (``parse_image_header``) and RIFF/WAVE
    chunk walks (``parse_wav_header``).
 2. PIXEL/SAMPLE — real full decode for every format whose codec is
-   public-spec byte/bit arithmetic over the stdlib: uncompressed
-   24-bit BMP (``decode_bmp_pixels`` — row padding, BGR order,
-   bottom-up vs top-down storage), 8-bit RGB PNG
+   public-spec byte/bit arithmetic over the stdlib (+numpy):
+   uncompressed 24-bit BMP (``decode_bmp_pixels`` — row padding, BGR
+   order, bottom-up vs top-down storage), 8-bit RGB PNG
    (``decode_png_pixels`` — CRC verify, stdlib-zlib inflate, all five
    scanline filters), GIF (``decode_gif_pixels`` — variable-width LZW
-   decompression, an entropy codec implemented from the public spec),
-   and mono 16-bit PCM WAV (``decode_wav_samples`` — chunk walk +
-   int16 unpack).
-3. CODEC — the remaining entropy-coded formats (JPEG DCT decode,
-   lossy audio, ``resize_image`` resampling) stay stubbed behind
-   NotImplementedError: those need libraries not in this container.
-   The distributed plumbing (schema, batch shape, UDF signature) is
-   identical across tiers, so swapping in a real codec touches only
-   the per-payload function.
+   entropy decode), baseline grayscale JPEG (``decode_jpeg_pixels`` —
+   Huffman entropy decode, dequant, numpy IDCT), mono 16-bit PCM WAV
+   (``decode_wav_samples``), IMA ADPCM lossy audio
+   (``decode_wav_ima_adpcm`` — 4-bit adaptive quantizer), and exact
+   fixed-point resampling (``resize_pixels``).
+3. Out-of-scope long tail (color/subsampled/progressive JPEG,
+   palette/16-bit/interlaced PNG and GIF variants, perceptual audio
+   codecs): unsupported payloads return None / NotImplementedError
+   rather than misdecoding. The distributed plumbing (schema, batch
+   shape, UDF signature) is identical across tiers, so widening a
+   codec touches only the per-payload function.
 """
 
 from __future__ import annotations
@@ -1482,6 +1484,415 @@ def decode_wav_ima_adpcm(data: bytes) -> tuple[int, list[int]] | None:
     if len(samples) != n_frames:
         return None
     return (rate, samples)
+
+
+# Baseline JPEG (ITU T.81) — the public-spec constants: zig-zag scan
+# order (figure A.6), the Annex K.1 luminance quantization table, and
+# the Annex K.3/K.5 "typical" Huffman tables (BITS + HUFFVAL form).
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+_JPEG_QTABLE = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment per T.81 C.2: symbol ->
+    (code, length), codes counted up within a length then doubled."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2.0)
+    return m
+
+
+def make_jpeg_image(width, height, pixel) -> bytes:
+    """A complete, VALID baseline grayscale JPEG (ITU T.81 sequential
+    DCT): level shift, float 2D DCT per 8x8 block (edge-replicated
+    padding), Annex K.1 quantization, zig-zag, DC DPCM + Annex K.3/K.5
+    Huffman entropy coding with 0xFF byte stuffing, wrapped in real
+    SOI/DQT/SOF0/DHT/SOS/EOI segments. ``pixel(x, y) -> luma 0..255``.
+    """
+    import struct
+
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    img = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    for y in range(bh * 8):
+        sy = min(y, height - 1)
+        for x in range(bw * 8):
+            img[y, x] = pixel(min(x, width - 1), sy) & 0xFF
+    img -= 128.0
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def put_magnitude(v: int) -> None:
+        s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        h, hl = (dc_huff if _putting_dc else ac_huff)[(_run << 4) | s if not _putting_dc else s]
+        put(h, hl)
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = m @ block @ m.T
+            codes = np.rint(coef / q).astype(np.int64)
+            zz = [int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            _putting_dc, _run = True, 0
+            put_magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            _putting_dc = False
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_huff[0xF0]  # ZRL
+                    put(code, length)
+                    run -= 16
+                _run = run
+                put_magnitude(zz[k])
+                run = 0
+            if last_nz < 63:
+                code, length = ac_huff[0x00]  # EOB
+                put(code, length)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = bytes((0,)) + bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    dht = (
+        bytes((0x00,)) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes((0x10,)) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
+    """Pure numpy/stdlib FULL decode of a baseline grayscale JPEG:
+    segment walk, DQT/DHT/SOF0/SOS parse, Huffman entropy decode (DC
+    DPCM magnitude-extend, AC run/size with EOB and ZRL, 0xFF00
+    unstuffing), dequantization, de-zig-zag, float IDCT, level shift,
+    clamp, crop. Returns (width, height, rows) of luma ints, or None
+    outside the supported geometry (progressive, multi-component,
+    restart markers, 16-bit tables). This retires the last stub of the
+    entropy-coded gap list — 'JPEG DCT decode' — with the spec's own
+    arithmetic; only the color/subsampling long tail stays out of
+    scope."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables unsupported
+                qtables[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                return None  # 8-bit single-component only
+            height, width = struct.unpack(">HH", body[1:5])
+            if body[7] != 0x11:
+                return None  # no subsampling in one component
+            comp_q = body[8]
+        elif marker in _JPEG_SOF:
+            return None  # progressive/extended unsupported
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hufftabs[(tc, th)] = table
+                b += 17 + n
+        elif marker == 0xDA:
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + seglen
+            break
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        pos += 2 + seglen
+    if scan_start is None or width is None or comp_q not in qtables:
+        return None
+    dc_tab = hufftabs.get((0, dc_id))
+    ac_tab = hufftabs.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        return None
+
+    # entropy-coded bit stream with 0xFF00 unstuffing
+    bits_pos = scan_start
+    acc = nbits = 0
+
+    def read_bit() -> int | None:
+        nonlocal bits_pos, acc, nbits
+        if nbits == 0:
+            if bits_pos >= len(data):
+                return None
+            b = data[bits_pos]
+            if b == 0xFF:
+                nxt = data[bits_pos + 1] if bits_pos + 1 < len(data) else 0xD9
+                if nxt == 0x00:
+                    bits_pos += 2
+                else:
+                    return None  # marker: stream exhausted
+            else:
+                bits_pos += 1
+            acc, nbits = b, 8
+        nbits -= 1
+        return (acc >> nbits) & 1
+
+    def read_huff(table) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            bit = read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            if (length, code) in table:
+                return table[(length, code)]
+        return None
+
+    def receive_extend(s: int) -> int | None:
+        v = 0
+        for _ in range(s):
+            bit = read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    m = _jpeg_dct_matrix()
+    q = np.asarray(qtables[comp_q], dtype=np.float64)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            s = read_huff(dc_tab)
+            if s is None or s > 11:
+                return None
+            diff = receive_extend(s)
+            if diff is None:
+                return None
+            prev_dc += diff
+            zz = np.zeros(64, dtype=np.float64)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_tab)
+                if rs is None:
+                    return None
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    return None
+                v = receive_extend(rs & 0xF)
+                if v is None:
+                    return None
+                zz[k] = v
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[list(_JPEG_ZIGZAG)] = zz * q
+            block = m.T @ coef.reshape(8, 8) @ m
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    pixels = np.clip(np.rint(out + 128.0), 0, 255).astype(np.int64)
+    return (width, height, [list(map(int, row[:width])) for row in pixels[:height]])
+
+
+LUMA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("min_luma", T.IntegerType()),
+        T.StructField("max_luma", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid baseline grayscale JPEGs,
+    closed-form in the id: width = id%20+1, height = id*3%18+1, and the
+    8x8 block at (bx, by) is the CONSTANT even value
+    2*((id + 3*bx + 7*by) % 128). Per-block-constant even-valued images
+    quantize to DC-only coefficients with zero rounding loss (q00 = 16,
+    DC = 8*(v-128) with v-128 even), so the lossy pipeline reconstructs
+    them bit-exactly — which is what makes the decoded output
+    oracle-recomputable while the decoder stays a general baseline
+    JPEG decoder. DC DPCM still varies across blocks, so the Huffman
+    stream is non-trivial."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 20 + 1, i * 3 % 18 + 1
+                payloads.append(
+                    make_jpeg_image(
+                        w, h, lambda x, y, i=i: 2 * ((i + 3 * (x // 8) + 7 * (y // 8)) % 128)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_jpeg_luma_stats(binary_df: DataFrame) -> DataFrame:
+    """LUMA_STATS_SCHEMA stats over fully-decoded baseline JPEG
+    payloads: Huffman entropy decode + dequant + IDCT executor-side in
+    mapInPandas, fixed-width luma statistics out."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_luma", "min_luma", "max_luma")}
+            for payload in pdf["payload"]:
+                decoded = decode_jpeg_pixels(payload)
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, rows = decoded
+                flat = [v for row in rows for v in row]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_luma"].append(sum(flat))
+                out["min_luma"].append(min(flat))
+                out["max_luma"].append(max(flat))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_luma": pd.Series(out["sum_luma"], dtype="int64"),
+                    "min_luma": pd.Series(out["min_luma"], dtype="int32"),
+                    "max_luma": pd.Series(out["max_luma"], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, LUMA_STATS_SCHEMA)
 
 
 def synthesize_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -803,6 +803,67 @@ class TestMultimodal:
             )
             assert got[i] == (len(s), sum(s), min(s), max(s), sum(v * v for v in s)), i
 
+    def test_jpeg_codec_roundtrips(self):
+        """The baseline JPEG coder is real: per-block-constant even
+        images reconstruct BIT-EXACTLY (DC-only, zero quantization
+        loss — the oracle contract), smooth images round-trip at
+        >35 dB PSNR through full AC Huffman coding, busy and noise
+        images decode at plausible lossy quality, and malformed or
+        unsupported payloads are rejected."""
+        import math
+        import random
+
+        for i in (0, 1, 19, 255, 511):
+            w, h = i % 20 + 1, i * 3 % 18 + 1
+            f = lambda x, y, i=i: 2 * ((i + 3 * (x // 8) + 7 * (y // 8)) % 128)
+            decoded = multimodal.decode_jpeg_pixels(multimodal.make_jpeg_image(w, h, f))
+            assert decoded is not None, i
+            dw, dh, rows = decoded
+            assert (dw, dh) == (w, h)
+            assert all(rows[y][x] == f(x, y) for y in range(h) for x in range(w)), i
+        smooth = [
+            [int(127 + 100 * math.sin(x / 6) * math.cos(y / 5)) for x in range(40)]
+            for y in range(24)
+        ]
+        _w, _h, rows = multimodal.decode_jpeg_pixels(
+            multimodal.make_jpeg_image(40, 24, lambda x, y: smooth[y][x])
+        )
+        err = sum((rows[y][x] - smooth[y][x]) ** 2 for y in range(24) for x in range(40)) / 960
+        assert 10 * math.log10(255**2 / max(err, 1e-9)) > 35
+        # busy pattern exercises AC runs/ZRL; decodes at lossy-but-sane quality
+        busy = [[(x * 7 + y * 13 + ((x * y) % 5) * 10) % 256 for x in range(37)] for y in range(29)]
+        _w, _h, rows = multimodal.decode_jpeg_pixels(
+            multimodal.make_jpeg_image(37, 29, lambda x, y: busy[y][x])
+        )
+        err = sum((rows[y][x] - busy[y][x]) ** 2 for y in range(29) for x in range(37)) / (37 * 29)
+        assert 10 * math.log10(255**2 / max(err, 1e-9)) > 20
+        random.seed(1)
+        noise = [[random.randrange(256) for _ in range(16)] for _ in range(16)]
+        assert multimodal.decode_jpeg_pixels(
+            multimodal.make_jpeg_image(16, 16, lambda x, y: noise[y][x])
+        )[0:2] == (16, 16)
+        # rejects
+        assert multimodal.decode_jpeg_pixels(b"") is None
+        assert multimodal.decode_jpeg_pixels(multimodal.make_image_header("jpeg", 4, 4)) is None
+        ok = multimodal.make_jpeg_image(9, 9, lambda x, y: 100)
+        assert multimodal.decode_jpeg_pixels(ok[:30]) is None
+
+    def test_jpeg_luma_stats_distributed_ground_truth(self, spark):
+        ids = [0, 3, 7, 10, 33]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        stats = multimodal.extract_jpeg_luma_stats(
+            multimodal.synthesize_jpeg_payloads(df, "doc_id")
+        ).collect()
+        got = {r.doc_id: (r.width, r.height, r.n_pixels, r.sum_luma, r.min_luma, r.max_luma) for r in stats}
+        for i in ids:
+            w, h = i % 20 + 1, i * 3 % 18 + 1
+            vs = [
+                2 * ((i + 3 * (x // 8) + 7 * (y // 8)) % 128)
+                for x in range(w)
+                for y in range(h)
+            ]
+            assert got[i] == (w, h, w * h, sum(vs), min(vs), max(vs)), i
+
     def test_frame_sample_content_ground_truth(self, spark):
         df = spark.createDataFrame(
             [(1, "a" * 200), (2, "xy")], ["doc_id", "text"]
