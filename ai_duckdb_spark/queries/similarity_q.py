@@ -649,6 +649,137 @@ def multimodal_jpeg_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jpeg_luma_stats(synthesize_jpeg_payloads(docs, "doc_id"))
 
 
+_MEDIA_DIRS: dict[str, str] = {}
+
+
+@register(
+    "multimodal_binary_ingest",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 11 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 9 AS INTEGER) + 1  AS height
+        FROM documents
+        WHERE doc_id < 400
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 3 * x.x + 5 * y.y) % 256 AS idx
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 11)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 9)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                 AS width,
+           MIN(height)                                AS height,
+           CAST(count(*) AS BIGINT)                   AS n_pixels,
+           CAST(sum(idx) AS BIGINT)                   AS sum_r,
+           CAST(sum((idx * 7) % 256) AS BIGINT)       AS sum_g,
+           CAST(sum(255 - idx) AS BIGINT)             AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-BASED media ingestion (S-tier x X9): real .gif FILES on
+    disk read back through Spark's ``binaryFile`` source — the shape a
+    100 TB image corpus actually arrives in (a lake of media files +
+    object-store listing), unlike the in-query synthesized payloads of
+    the other tiers. Fixture setup writes a bounded 400-file slice
+    EXECUTOR-SIDE (mapInPandas batches write their own partition's
+    files — the distributed media-sink shape), cached per corpus like
+    the sink entries. The read is
+    ``spark.read.format('binaryFile').option('pathGlobFilter',
+    '*.gif')``, the doc id is parsed from the file NAME, and the
+    content column goes through the same full LZW decode as
+    multimodal_gif_pixel_stats. At scale the listing parallelizes over
+    the driver's file index, decode is map-only over executors, and
+    ``binaryFile`` carries per-file length/mtime for free — no shuffle
+    anywhere before the final per-doc stats (which are per-file, so
+    none is needed). The oracle recomputes the channel sums closed-form
+    for the same id slice: a hash match proves file write → listing →
+    binary read → decode end-to-end. (The fixture writer uses local
+    ``open()`` — correct in local mode where executors share the
+    driver's filesystem; a multi-node cluster would swap in an
+    object-store client for the same per-batch write loop. The READ
+    side, which is the part a real pipeline exercises, is
+    cluster-correct as-is.)"""
+    import os
+    import tempfile
+
+    from ..operators.multimodal import decode_gif_pixels, make_gif_image
+
+    key = f"gif-files:{sf_dir}"
+    if key not in _MEDIA_DIRS:
+        path = tempfile.mkdtemp(prefix="media_gif_")
+        docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 400
+        )
+
+        def _write(batches):
+            import pandas as pd  # local import: runs on executors
+
+            for pdf in batches:
+                n = 0
+                for i in pdf["doc_id"].astype("int64"):
+                    i = int(i)
+                    w, h = i % 11 + 1, i * 3 % 9 + 1
+                    payload = make_gif_image(
+                        w, h, lambda x, y, i=i: (i + 3 * x + 5 * y) % 256
+                    )
+                    with open(os.path.join(path, f"doc_{i}.gif"), "wb") as f:
+                        f.write(payload)
+                    n += 1
+                yield pd.DataFrame({"n": [n]})
+
+        docs.mapInPandas(_write, "n long").agg(F.sum("n")).collect()
+        _MEDIA_DIRS[key] = path
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(_MEDIA_DIRS[key])
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(pth))
+                doc_id = int(name[len("doc_") : -len(".gif")])
+                decoded = decode_gif_pixels(bytes(content))
+                if decoded is None:
+                    continue
+                w, h, rows = decoded
+                sr = sum(p[0] for row in rows for p in row)
+                sg = sum(p[1] for row in rows for p in row)
+                sb = sum(p[2] for row in rows for p in row)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+
+    return binary.select("path", "content").mapInPandas(_decode, PIXEL_STATS_SCHEMA)
+
+
 @register(
     "multimodal_adpcm_sample_stats",
     oracle="""
