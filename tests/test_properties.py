@@ -256,3 +256,99 @@ class TestBpeMergeProperty:
         }
         for w in set(words):
             assert got[w] == self._ref_apply(list(w), *rule), (w, rule, got[w])
+
+
+# ---------------------------------------------------------------------------
+# r7 codec tier: pure-Python roundtrip properties (no Spark session).
+# The LZW/ADPCM/resize kernels are exact integer/bit arithmetic, so the
+# properties are equalities, not tolerances.
+# ---------------------------------------------------------------------------
+
+
+class TestCodecProperties:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=600),
+        st.integers(min_value=2, max_value=8),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_gif_lzw_roundtrip_any_stream(self, indices, mcs):
+        """GIF LZW decode(encode(s)) == s for arbitrary index streams at
+        every legal minimum code size (indices capped to the alphabet)."""
+        from ai_duckdb_spark.operators import multimodal as M
+
+        alphabet = 1 << mcs
+        stream = [i % alphabet for i in indices]
+        packed = M._gif_lzw_encode(stream, mcs)
+        assert M._gif_lzw_decode(packed, mcs, len(stream)) == stream
+
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_gif_container_roundtrip(self, w, h, seed):
+        """Full GIF file roundtrip at arbitrary geometry: every pixel
+        decodes to the palette entry of its encoded index."""
+        from ai_duckdb_spark.operators import multimodal as M
+
+        f = lambda x, y: (seed + 11 * x + 17 * y) % 256
+        dw, dh, rows = M.decode_gif_pixels(M.make_gif_image(w, h, f))
+        assert (dw, dh) == (w, h)
+        assert all(
+            rows[y][x] == M._gif_palette(f(x, y)) for y in range(h) for x in range(w)
+        )
+
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_adpcm_decode_is_deterministic_and_bounded(self, samples):
+        """IMA ADPCM container roundtrip: frame count and rate are
+        preserved exactly, sample 0 is lossless (it rides in the block
+        header), every decoded sample stays in int16 range, and decode
+        is bit-deterministic."""
+        from ai_duckdb_spark.operators import multimodal as M
+
+        wav = M.make_wav_ima_adpcm(16000, samples)
+        rate, got = M.decode_wav_ima_adpcm(wav)
+        assert rate == 16000 and len(got) == len(samples)
+        assert got[0] == samples[0]
+        assert all(-32768 <= s <= 32767 for s in got)
+        assert M.decode_wav_ima_adpcm(M.make_wav_ima_adpcm(16000, samples))[1] == got
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_resize_constant_invariance_and_range(self, sw, sh, dw, dh, v):
+        """Resampling invariants at arbitrary geometry: a constant image
+        is a fixed point of both kernels, outputs stay in the source
+        value range, and identity-size bilinear returns the input."""
+        from ai_duckdb_spark.operators import multimodal as M
+
+        const = [[(v, v, v)] * sw for _ in range(sh)]
+        for method in ("bilinear", "nearest"):
+            out = M.resize_pixels(const, dw, dh, method=method)
+            assert out == [[(v, v, v)] * dw for _ in range(dh)]
+        grad = [[(x * 20 % 256, y * 30 % 256, (x + y) % 256) for x in range(sw)] for y in range(sh)]
+        out = M.resize_pixels(grad, dw, dh)
+        lo = [min(p[c] for row in grad for p in row) for c in range(3)]
+        hi = [max(p[c] for row in grad for p in row) for c in range(3)]
+        assert all(lo[c] <= p[c] <= hi[c] for row in out for p in row for c in range(3))
+        assert M.resize_pixels(grad, sw, sh) == grad
+
+    @given(st.integers(min_value=1, max_value=20), st.integers(min_value=1, max_value=18), st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_block_constant_exactness(self, w, h, seed):
+        """The oracle contract at arbitrary geometry: per-8x8-block
+        constant EVEN values survive the full lossy JPEG pipeline
+        bit-exactly (DC-only coefficients, zero quantization loss)."""
+        from ai_duckdb_spark.operators import multimodal as M
+
+        f = lambda x, y: 2 * ((seed + 3 * (x // 8) + 7 * (y // 8)) % 128)
+        dw, dh, rows = M.decode_jpeg_pixels(M.make_jpeg_image(w, h, f))
+        assert (dw, dh) == (w, h)
+        assert all(rows[y][x] == f(x, y) for y in range(h) for x in range(w))
