@@ -1643,17 +1643,191 @@ def make_jpeg_image(width, height, pixel) -> bytes:
     )
 
 
-def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
-    """Pure numpy/stdlib FULL decode of a baseline grayscale JPEG:
-    segment walk, DQT/DHT/SOF0/SOS parse, Huffman entropy decode (DC
-    DPCM magnitude-extend, AC run/size with EOB and ZRL, 0xFF00
-    unstuffing), dequantization, de-zig-zag, float IDCT, level shift,
-    clamp, crop. Returns (width, height, rows) of luma ints, or None
-    outside the supported geometry (progressive, multi-component,
-    restart markers, 16-bit tables). This retires the last stub of the
-    entropy-coded gap list — 'JPEG DCT decode' — with the spec's own
-    arithmetic; only the color/subsampling long tail stays out of
-    scope."""
+# Annex K.2 chrominance quantization table (row-major).
+_JPEG_CHROMA_QTABLE = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+
+def _fx_rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """EXACT fixed-point RGB -> YCbCr (the JFIF matrix scaled by 2^16,
+    half-up rounding, floor shift, clamp to 0..255). Integer end-to-end
+    so an SQL oracle can replay it; the coefficient triples sum to
+    exactly 65536 / 0 so constant-gray inputs map to (v, 128, 128)."""
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _fx_ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """EXACT fixed-point YCbCr -> RGB (inverse JFIF matrix scaled by
+    2^16, half-up rounding, floor shift, clamp) — the decoder-side
+    conversion the color oracle replays in SQL."""
+    r = y + ((91881 * (cr - 128) + 32768) >> 16)
+    g = y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+    b = y + ((116130 * (cb - 128) + 32768) >> 16)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+    return clamp(r), clamp(g), clamp(b)
+
+
+def make_jpeg_color_image(width, height, pixel) -> bytes:
+    """A complete, VALID baseline COLOR JPEG (4:4:4 YCbCr, interleaved
+    MCUs): exact fixed-point RGB->YCbCr, per-component float DCT with
+    TWO quantization tables (luma/chroma, both with DC step 8 so
+    per-block-constant components reconstruct exactly), per-component
+    DC DPCM, Annex K.3/K.5 Huffman coding (spec-legally assigned to all
+    three components), 0xFF stuffing. ``pixel(x, y) -> (r, g, b)``."""
+    import struct
+
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(3)]
+    for y in range(bh * 8):
+        sy = min(y, height - 1)
+        for x in range(bw * 8):
+            r, g, b = pixel(min(x, width - 1), sy)
+            yy, cb, cr = _fx_rgb_to_ycbcr(r & 0xFF, g & 0xFF, b & 0xFF)
+            planes[0][y, x] = yy
+            planes[1][y, x] = cb
+            planes[2][y, x] = cr
+    for p in planes:
+        p -= 128.0
+    # DC quantization step 8 in BOTH tables: DC = 8*(value-128), so the
+    # quantized code is exact for ANY constant block — the bit-exactness
+    # contract without the even-values restriction of the gray tier
+    qluma = list(_JPEG_QTABLE)
+    qluma[0] = 8
+    qchroma = list(_JPEG_CHROMA_QTABLE)
+    qchroma[0] = 8
+    qarrs = [
+        np.asarray(qluma, dtype=np.float64).reshape(8, 8),
+        np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
+        np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
+    ]
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def put_coef(huff, prefix: int, v: int) -> None:
+        s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        code, length = huff[(prefix << 4) | s]
+        put(code, length)
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                block = planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                codes = np.rint((m @ block @ m.T) / qarrs[c]).astype(np.int64)
+                zz = [int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                put_coef(dc_huff, 0, zz[0] - prev_dc[c])
+                prev_dc[c] = zz[0]
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_huff[0xF0]  # ZRL
+                        put(code, length)
+                        run -= 16
+                    put_coef(ac_huff, run, zz[k])
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_huff[0x00]  # EOB
+                    put(code, length)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = (
+        bytes((0,)) + bytes(qluma[_JPEG_ZIGZAG[k]] for k in range(64))
+        + bytes((1,)) + bytes(qchroma[_JPEG_ZIGZAG[k]] for k in range(64))
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        (1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    dht = (
+        bytes((0x00,)) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes((0x10,)) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_color_pixels(
+    data: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """FULL decode of a baseline 4:4:4 COLOR JPEG via the shared core
+    plus the exact fixed-point YCbCr->RGB conversion. Returns
+    (width, height, rows) of (r, g, b) tuples top-down, or None outside
+    the supported geometry (subsampled/progressive stay the long
+    tail)."""
+    import numpy as np
+
+    decoded = _decode_jpeg_planes(data)
+    if decoded is None or len(decoded[2]) != 3:
+        return None
+    width, height, (py, pcb, pcr) = decoded
+    cb = pcb - 128
+    cr = pcr - 128
+    r = np.clip(py + ((91881 * cr + 32768) >> 16), 0, 255)
+    g = np.clip(py - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
+    b = np.clip(py + ((116130 * cb + 32768) >> 16), 0, 255)
+    return (
+        width,
+        height,
+        [
+            [(int(r[y, x]), int(g[y, x]), int(b[y, x])) for x in range(width)]
+            for y in range(height)
+        ],
+    )
+
+
+def _decode_jpeg_planes(data: bytes):
+    """Shared baseline-JPEG decode core: segment walk, DQT/DHT/SOF0/SOS
+    parse, interleaved-MCU Huffman entropy decode (per-component DC
+    DPCM, AC run/size with EOB/ZRL, 0xFF00 unstuffing), dequant,
+    de-zig-zag, float IDCT. Supports 1 or 3 components, all 1x1
+    sampling (grayscale / 4:4:4 color). Returns
+    (width, height, [plane, ...]) with each plane a cropped int64 numpy
+    array of level-shifted clamped samples in scan order, or None
+    outside the supported geometry (progressive, subsampled, restart
+    markers, 16-bit tables)."""
     import struct
 
     import numpy as np
@@ -1664,7 +1838,9 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
     qtables: dict[int, list[int]] = {}
     hufftabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id) in SOF order
+    scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
+    scan_order: list[int] = []
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1685,12 +1861,16 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
                 qtables[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC0:
-            if body[0] != 8 or body[5] != 1:
-                return None  # 8-bit single-component only
+            nf = body[5]
+            if body[0] != 8 or nf not in (1, 3):
+                return None  # 8-bit, grayscale or 4:4:4 color only
             height, width = struct.unpack(">HH", body[1:5])
-            if body[7] != 0x11:
-                return None  # no subsampling in one component
-            comp_q = body[8]
+            comps = []
+            for c in range(nf):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    return None  # subsampling unsupported
+                comps.append((cid, tq))
         elif marker in _JPEG_SOF:
             return None  # progressive/extended unsupported
         elif marker == 0xC4:
@@ -1712,20 +1892,27 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
                 hufftabs[(tc, th)] = table
                 b += 17 + n
         elif marker == 0xDA:
-            if body[0] != 1:
+            ns = body[0]
+            if ns != len(comps) or ns == 0:
                 return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c : 3 + 2 * c]
+                scan_tabs[cs] = (tda >> 4, tda & 0xF)
+                scan_order.append(cs)
             scan_start = pos + 2 + seglen
             break
         elif marker == 0xDD:
             return None  # restart intervals unsupported
         pos += 2 + seglen
-    if scan_start is None or width is None or comp_q not in qtables:
+    if scan_start is None or width is None or not comps:
         return None
-    dc_tab = hufftabs.get((0, dc_id))
-    ac_tab = hufftabs.get((1, ac_id))
-    if dc_tab is None or ac_tab is None:
-        return None
+    comp_q = {cid: tq for cid, tq in comps}
+    for cid in scan_order:
+        if cid not in comp_q or comp_q[cid] not in qtables:
+            return None
+        dc_id, ac_id = scan_tabs[cid]
+        if (0, dc_id) not in hufftabs or (1, ac_id) not in hufftabs:
+            return None
 
     # entropy-coded bit stream with 0xFF00 unstuffing
     bits_pos = scan_start
@@ -1772,45 +1959,144 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
         return v
 
     m = _jpeg_dct_matrix()
-    q = np.asarray(qtables[comp_q], dtype=np.float64)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
+    planes = {cid: np.empty((bh * 8, bw * 8), dtype=np.float64) for cid in scan_order}
+    qarr = {cid: np.asarray(qtables[comp_q[cid]], dtype=np.float64) for cid in scan_order}
+    prev_dc = {cid: 0 for cid in scan_order}
+    zzidx = list(_JPEG_ZIGZAG)
     for by in range(bh):
         for bx in range(bw):
-            s = read_huff(dc_tab)
-            if s is None or s > 11:
-                return None
-            diff = receive_extend(s)
-            if diff is None:
-                return None
-            prev_dc += diff
-            zz = np.zeros(64, dtype=np.float64)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_huff(ac_tab)
-                if rs is None:
+            for cid in scan_order:  # interleaved MCU: one 1x1 block per component
+                dc_tab = hufftabs[(0, scan_tabs[cid][0])]
+                ac_tab = hufftabs[(1, scan_tabs[cid][1])]
+                s = read_huff(dc_tab)
+                if s is None or s > 11:
                     return None
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
+                diff = receive_extend(s)
+                if diff is None:
+                    return None
+                prev_dc[cid] += diff
+                zz = np.zeros(64, dtype=np.float64)
+                zz[0] = prev_dc[cid]
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_tab)
+                    if rs is None:
+                        return None
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        return None
+                    v = receive_extend(rs & 0xF)
+                    if v is None:
+                        return None
+                    zz[k] = v
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[zzidx] = zz * qarr[cid]
+                block = m.T @ coef.reshape(8, 8) @ m
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = [
+        np.clip(np.rint(planes[cid] + 128.0), 0, 255).astype(np.int64)[:height, :width]
+        for cid in scan_order
+    ]
+    return (width, height, out)
+
+
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]] | None:
+    """Pure numpy/stdlib FULL decode of a baseline GRAYSCALE JPEG via
+    the shared core (``_decode_jpeg_planes``): Huffman entropy decode
+    (DC DPCM magnitude-extend, AC run/size with EOB and ZRL, 0xFF00
+    unstuffing), dequantization, de-zig-zag, float IDCT, level shift,
+    clamp, crop. Returns (width, height, rows) of luma ints, or None
+    outside the supported geometry. This retires the 'JPEG DCT decode'
+    entry of the entropy-coded gap list with the spec's own
+    arithmetic."""
+    decoded = _decode_jpeg_planes(data)
+    if decoded is None or len(decoded[2]) != 1:
+        return None
+    width, height, (plane,) = decoded
+    return (width, height, [list(map(int, row)) for row in plane])
+def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid baseline 4:4:4 COLOR
+    JPEGs, closed-form in the id: width = id%20+1, height = id*3%18+1,
+    and the 8x8 block at (bx, by) is the constant color
+    R=(id+5bx+11by)%256, G=(id*3+7bx+by)%256, B=(id*7+bx+13by)%256.
+    With DC quantization step 8 in both tables, constant blocks
+    reconstruct their YCbCr values exactly, so the decoded RGB equals
+    the exact fixed-point roundtrip _fx_ycbcr_to_rgb(_fx_rgb_to_ycbcr)
+    — deterministic integer arithmetic an oracle can replay."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 20 + 1, i * 3 % 18 + 1
+
+                def rgb(x, y, i=i):
+                    bx, by = x // 8, y // 8
+                    return (
+                        (i + 5 * bx + 11 * by) % 256,
+                        (i * 3 + 7 * bx + by) % 256,
+                        (i * 7 + bx + 13 * by) % 256,
+                    )
+
+                payloads.append(make_jpeg_color_image(w, h, rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_jpeg_color_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """PIXEL_STATS_SCHEMA stats over fully-decoded baseline COLOR JPEG
+    payloads — interleaved-MCU Huffman decode, two quantization tables,
+    IDCT, fixed-point YCbCr->RGB, channel sums, all executor-side in
+    mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for payload in pdf["payload"]:
+                decoded = decode_jpeg_color_pixels(payload)
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
                     continue
-                k += rs >> 4
-                if k > 63:
-                    return None
-                v = receive_extend(rs & 0xF)
-                if v is None:
-                    return None
-                zz[k] = v
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[list(_JPEG_ZIGZAG)] = zz * q
-            block = m.T @ coef.reshape(8, 8) @ m
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    pixels = np.clip(np.rint(out + 128.0), 0, 255).astype(np.int64)
-    return (width, height, [list(map(int, row[:width])) for row in pixels[:height]])
+                w, h, rows = decoded
+                sr = sg = sb = 0
+                for row in rows:
+                    for r, g, b in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
 LUMA_STATS_SCHEMA = T.StructType(

@@ -18,6 +18,7 @@ from ..operators.multimodal import (
     extract_adpcm_sample_stats,
     extract_audio_sample_stats,
     extract_gif_pixel_stats,
+    extract_jpeg_color_pixel_stats,
     extract_jpeg_luma_stats,
     extract_pixel_stats,
     extract_png_pixel_stats,
@@ -28,6 +29,7 @@ from ..operators.multimodal import (
     synthesize_bmp_payloads,
     synthesize_gif_payloads,
     synthesize_image_payloads,
+    synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
     synthesize_png_payloads,
     synthesize_wav_pcm_payloads,
@@ -778,6 +780,82 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import PIXEL_STATS_SCHEMA
 
     return binary.select("path", "content").mapInPandas(_decode, PIXEL_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_color_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 20 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 18 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 5 * (x.x // 8) + 11 * (y.y // 8)) % 256      AS r,
+               (d.doc_id * 3 + 7 * (x.x // 8) + (y.y // 8)) % 256      AS g,
+               (d.doc_id * 7 + (x.x // 8) + 13 * (y.y // 8)) % 256     AS b
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 20)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 18)) AS y) y ON y.y < d.height
+    ),
+    ycc AS (
+        -- the codec's exact fixed-point RGB->YCbCr; the +16777216/-256
+        -- bias turns DuckDB's truncating // into the floor shift the
+        -- codec uses (numerators are bounded well inside the bias)
+        SELECT doc_id, width, height,
+               GREATEST(0, LEAST(255,
+                   (19595 * r + 38470 * g + 7471 * b + 32768) // 65536)) AS yv,
+               GREATEST(0, LEAST(255,
+                   (-11059 * r - 21709 * g + 32768 * b + 32768 + 16777216)
+                       // 65536 - 256 + 128)) AS cb,
+               GREATEST(0, LEAST(255,
+                   (32768 * r - 27439 * g - 5329 * b + 32768 + 16777216)
+                       // 65536 - 256 + 128)) AS cr
+        FROM px
+    ),
+    rgb2 AS (
+        SELECT doc_id, width, height,
+               GREATEST(0, LEAST(255, yv +
+                   ((91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)))
+                   AS r2,
+               GREATEST(0, LEAST(255, yv -
+                   ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
+                     + 16777216) // 65536 - 256))) AS g2,
+               GREATEST(0, LEAST(255, yv +
+                   ((116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)))
+                   AS b2
+        FROM ycc
+    )
+    SELECT doc_id,
+           MIN(width)                 AS width,
+           MIN(height)                AS height,
+           CAST(count(*) AS BIGINT)   AS n_pixels,
+           CAST(sum(r2) AS BIGINT)    AS sum_r,
+           CAST(sum(g2) AS BIGINT)    AS sum_g,
+           CAST(sum(b2) AS BIGINT)    AS sum_b
+    FROM rgb2
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode (X9, r7 — beyond the gap list's grayscale
+    ask): each payload is a complete valid baseline 4:4:4 YCbCr JPEG
+    (three components, interleaved MCUs, TWO quantization tables, DC
+    DPCM per component) and the Spark side fully decodes it — Huffman
+    entropy decode across the interleaved scan, per-component dequant +
+    IDCT, then the codec's EXACT fixed-point YCbCr->RGB — inside
+    mapInPandas (operators/multimodal.py decode_jpeg_color_pixels).
+    Per-block-constant colors with DC step 8 reconstruct their YCbCr
+    exactly, so the decoded RGB is the deterministic integer roundtrip
+    _fx_ycbcr_to_rgb(_fx_rgb_to_ycbcr(...)) — which the oracle REPLAYS
+    per pixel in SQL (floor-shift via bias arithmetic). A hash match
+    proves the three-component entropy decode and both color matrices
+    bit-for-bit. Chroma subsampling (4:2:0) and progressive scans
+    remain the documented long tail."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_jpeg_color_pixel_stats(synthesize_jpeg_color_payloads(docs, "doc_id"))
 
 
 @register(

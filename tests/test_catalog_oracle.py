@@ -120,6 +120,16 @@ _POST_FREEZE = {
     "embedding_centroids",
     "vector_norm_stats",
     "multimodal_pixel_stats",
+    # r7 post-window additions (the rotation was already pinned when
+    # they shipped; local-oracle-green + driver-sim-verified, candidates
+    # for the r8 rotation): the entropy-coded codec tier + binaryFile
+    # ingestion
+    "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_luma_stats",
+    "multimodal_jpeg_color_stats",
+    "multimodal_adpcm_sample_stats",
+    "multimodal_resize_stats",
+    "multimodal_binary_ingest",
 }
 
 

@@ -848,6 +848,82 @@ class TestMultimodal:
         ok = multimodal.make_jpeg_image(9, 9, lambda x, y: 100)
         assert multimodal.decode_jpeg_pixels(ok[:30]) is None
 
+    def test_jpeg_color_codec_roundtrips(self):
+        """Baseline 4:4:4 color JPEG: per-block-constant colors decode
+        to the EXACT fixed-point YCbCr roundtrip (the oracle contract),
+        smooth color content round-trips at >30 dB PSNR through the
+        interleaved three-component scan, and cross-format payloads are
+        rejected by the wrong decoder."""
+        import math
+
+        for i in (0, 7, 100, 255, 9999):
+            w, h = i % 20 + 1, i * 3 % 18 + 1
+
+            def rgb(x, y, i=i):
+                bx, by = x // 8, y // 8
+                return (
+                    (i + 5 * bx + 11 * by) % 256,
+                    (i * 3 + 7 * bx + by) % 256,
+                    (i * 7 + bx + 13 * by) % 256,
+                )
+
+            dw, dh, rows = multimodal.decode_jpeg_color_pixels(
+                multimodal.make_jpeg_color_image(w, h, rgb)
+            )
+            assert (dw, dh) == (w, h)
+            for y in range(h):
+                for x in range(w):
+                    expect = multimodal._fx_ycbcr_to_rgb(
+                        *multimodal._fx_rgb_to_ycbcr(*rgb(x, y))
+                    )
+                    assert rows[y][x] == expect, (i, x, y)
+        smooth = [
+            [
+                (int(127 + 100 * math.sin(x / 6)), int(127 + 100 * math.cos(y / 5)), 80)
+                for x in range(32)
+            ]
+            for y in range(24)
+        ]
+        _w, _h, rows = multimodal.decode_jpeg_color_pixels(
+            multimodal.make_jpeg_color_image(32, 24, lambda x, y: smooth[y][x])
+        )
+        err = sum(
+            (rows[y][x][c] - smooth[y][x][c]) ** 2
+            for y in range(24)
+            for x in range(32)
+            for c in range(3)
+        ) / (32 * 24 * 3)
+        assert 10 * math.log10(255**2 / max(err, 1e-9)) > 30
+        # component-count mismatch rejected, not misdecoded
+        gray = multimodal.make_jpeg_image(8, 8, lambda x, y: 100)
+        color = multimodal.make_jpeg_color_image(8, 8, lambda x, y: (1, 2, 3))
+        assert multimodal.decode_jpeg_pixels(color) is None
+        assert multimodal.decode_jpeg_color_pixels(gray) is None
+
+    def test_jpeg_color_stats_distributed_ground_truth(self, spark):
+        ids = [0, 3, 7, 33]
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        stats = multimodal.extract_jpeg_color_pixel_stats(
+            multimodal.synthesize_jpeg_color_payloads(df, "doc_id")
+        ).collect()
+        got = {r.doc_id: (r.n_pixels, r.sum_r, r.sum_g, r.sum_b) for r in stats}
+        for i in ids:
+            w, h = i % 20 + 1, i * 3 % 18 + 1
+            sr = sg = sb = 0
+            for x in range(w):
+                for y in range(h):
+                    bx, by = x // 8, y // 8
+                    src = (
+                        (i + 5 * bx + 11 * by) % 256,
+                        (i * 3 + 7 * bx + by) % 256,
+                        (i * 7 + bx + 13 * by) % 256,
+                    )
+                    r, g, b = multimodal._fx_ycbcr_to_rgb(
+                        *multimodal._fx_rgb_to_ycbcr(*src)
+                    )
+                    sr, sg, sb = sr + r, sg + g, sb + b
+            assert got[i] == (w * h, sr, sg, sb), i
+
     def test_jpeg_luma_stats_distributed_ground_truth(self, spark):
         ids = [0, 3, 7, 10, 33]
         df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
