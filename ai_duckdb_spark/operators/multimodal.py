@@ -1675,28 +1675,45 @@ def _fx_ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def make_jpeg_color_image(width, height, pixel) -> bytes:
-    """A complete, VALID baseline COLOR JPEG (4:4:4 YCbCr, interleaved
-    MCUs): exact fixed-point RGB->YCbCr, per-component float DCT with
-    TWO quantization tables (luma/chroma, both with DC step 8 so
+def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> bytes:
+    """A complete, VALID baseline COLOR JPEG (YCbCr, interleaved MCUs):
+    exact fixed-point RGB->YCbCr, per-component float DCT with TWO
+    quantization tables (luma/chroma, both with DC step 8 so
     per-block-constant components reconstruct exactly), per-component
     DC DPCM, Annex K.3/K.5 Huffman coding (spec-legally assigned to all
-    three components), 0xFF stuffing. ``pixel(x, y) -> (r, g, b)``."""
+    three components), 0xFF stuffing. ``pixel(x, y) -> (r, g, b)``.
+    ``subsampling``: '444' (one 1x1 block per component per MCU) or
+    '420' (16x16 MCUs of four luma blocks + one block each of the
+    half-resolution chroma planes, downsampled by an exact half-up 2x2
+    box average — the layout real-world baseline JPEGs use)."""
     import struct
 
     import numpy as np
 
-    m = _jpeg_dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(3)]
-    for y in range(bh * 8):
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "420"
+    align = 16 if sub else 8
+    pw = (width + align - 1) // align * align
+    ph = (height + align - 1) // align * align
+    planes = [np.empty((ph, pw), dtype=np.float64) for _ in range(3)]
+    for y in range(ph):
         sy = min(y, height - 1)
-        for x in range(bw * 8):
+        for x in range(pw):
             r, g, b = pixel(min(x, width - 1), sy)
             yy, cb, cr = _fx_rgb_to_ycbcr(r & 0xFF, g & 0xFF, b & 0xFF)
             planes[0][y, x] = yy
             planes[1][y, x] = cb
             planes[2][y, x] = cr
+    if sub:
+        # exact half-up 2x2 box average in INTEGER space (values are
+        # still integers here), so constant tiles downsample losslessly
+        for c in (1, 2):
+            p = planes[c].astype(np.int64)
+            planes[c] = (
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+            ).astype(np.float64)
+    m = _jpeg_dct_matrix()
     for p in planes:
         p -= 128.0
     # DC quantization step 8 in BOTH tables: DC = 8*(value-128), so the
@@ -1737,29 +1754,43 @@ def make_jpeg_color_image(width, height, pixel) -> bytes:
             put(v if v >= 0 else v + (1 << s) - 1, s)
 
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(3):  # interleaved MCU: Y, Cb, Cr
-                block = planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                codes = np.rint((m @ block @ m.T) / qarrs[c]).astype(np.int64)
-                zz = [int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
-                put_coef(dc_huff, 0, zz[0] - prev_dc[c])
-                prev_dc[c] = zz[0]
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_huff[0xF0]  # ZRL
-                        put(code, length)
-                        run -= 16
-                    put_coef(ac_huff, run, zz[k])
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_huff[0x00]  # EOB
-                    put(code, length)
+
+    def emit_block(c: int, py0: int, px0: int) -> None:
+        block = planes[c][py0 : py0 + 8, px0 : px0 + 8]
+        codes = np.rint((m @ block @ m.T) / qarrs[c]).astype(np.int64)
+        zz = [int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        put_coef(dc_huff, 0, zz[0] - prev_dc[c])
+        prev_dc[c] = zz[0]
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_huff[0xF0]  # ZRL
+                put(code, length)
+                run -= 16
+            put_coef(ac_huff, run, zz[k])
+            run = 0
+        if last_nz < 63:
+            code, length = ac_huff[0x00]  # EOB
+            put(code, length)
+
+    if sub:
+        mcux, mcuy = pw // 16, ph // 16
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vr in range(2):  # four luma data units, raster order
+                    for hr in range(2):
+                        emit_block(0, (my * 2 + vr) * 8, (mx * 2 + hr) * 8)
+                emit_block(1, my * 8, mx * 8)
+                emit_block(2, my * 8, mx * 8)
+    else:
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                    emit_block(c, by * 8, bx * 8)
     if nbits:
         put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
 
@@ -1770,8 +1801,9 @@ def make_jpeg_color_image(width, height, pixel) -> bytes:
         bytes((0,)) + bytes(qluma[_JPEG_ZIGZAG[k]] for k in range(64))
         + bytes((1,)) + bytes(qchroma[_JPEG_ZIGZAG[k]] for k in range(64))
     )
+    ysamp = 0x22 if sub else 0x11
     sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
-        (1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+        (1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1)
     )
     dht = (
         bytes((0x00,)) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -1863,14 +1895,21 @@ def _decode_jpeg_planes(data: bytes):
         elif marker == 0xC0:
             nf = body[5]
             if body[0] != 8 or nf not in (1, 3):
-                return None  # 8-bit, grayscale or 4:4:4 color only
+                return None  # 8-bit, grayscale or color only
             height, width = struct.unpack(">HH", body[1:5])
             comps = []
             for c in range(nf):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    return None  # subsampling unsupported
-                comps.append((cid, tq))
+                comps.append((cid, tq, sampling >> 4, sampling & 0xF))
+            samplings = [(h_, v_) for _cid, _tq, h_, v_ in comps]
+            # supported geometries: all 1x1 (grayscale / 4:4:4), or
+            # luma 2x2 + chroma 1x1 (4:2:0) — the shapes real baseline
+            # files use; 4:2:2 etc. stay the long tail
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (nf == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                return None
         elif marker in _JPEG_SOF:
             return None  # progressive/extended unsupported
         elif marker == 0xC4:
@@ -1906,7 +1945,8 @@ def _decode_jpeg_planes(data: bytes):
         pos += 2 + seglen
     if scan_start is None or width is None or not comps:
         return None
-    comp_q = {cid: tq for cid, tq in comps}
+    comp_q = {cid: tq for cid, tq, _h, _v in comps}
+    comp_hv = {cid: (h_, v_) for cid, _tq, h_, v_ in comps}
     for cid in scan_order:
         if cid not in comp_q or comp_q[cid] not in qtables:
             return None
@@ -1959,51 +1999,66 @@ def _decode_jpeg_planes(data: bytes):
         return v
 
     m = _jpeg_dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = {cid: np.empty((bh * 8, bw * 8), dtype=np.float64) for cid in scan_order}
+    hmax = max(h_ for h_, _v in comp_hv.values())
+    vmax = max(v_ for _h, v_ in comp_hv.values())
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * 8 * comp_hv[cid][1], mcux * 8 * comp_hv[cid][0]), dtype=np.float64)
+        for cid in scan_order
+    }
     qarr = {cid: np.asarray(qtables[comp_q[cid]], dtype=np.float64) for cid in scan_order}
     prev_dc = {cid: 0 for cid in scan_order}
     zzidx = list(_JPEG_ZIGZAG)
-    for by in range(bh):
-        for bx in range(bw):
-            for cid in scan_order:  # interleaved MCU: one 1x1 block per component
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # interleaved MCU: h x v data units per component, raster order
+            for cid in scan_order:
+                ch, cv = comp_hv[cid]
                 dc_tab = hufftabs[(0, scan_tabs[cid][0])]
                 ac_tab = hufftabs[(1, scan_tabs[cid][1])]
-                s = read_huff(dc_tab)
-                if s is None or s > 11:
-                    return None
-                diff = receive_extend(s)
-                if diff is None:
-                    return None
-                prev_dc[cid] += diff
-                zz = np.zeros(64, dtype=np.float64)
-                zz[0] = prev_dc[cid]
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_tab)
-                    if rs is None:
-                        return None
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        return None
-                    v = receive_extend(rs & 0xF)
-                    if v is None:
-                        return None
-                    zz[k] = v
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[zzidx] = zz * qarr[cid]
-                block = m.T @ coef.reshape(8, 8) @ m
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = [
-        np.clip(np.rint(planes[cid] + 128.0), 0, 255).astype(np.int64)[:height, :width]
-        for cid in scan_order
-    ]
+                for vr in range(cv):
+                    for hr in range(ch):
+                        s = read_huff(dc_tab)
+                        if s is None or s > 11:
+                            return None
+                        diff = receive_extend(s)
+                        if diff is None:
+                            return None
+                        prev_dc[cid] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_tab)
+                            if rs is None:
+                                return None
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                return None
+                            v = receive_extend(rs & 0xF)
+                            if v is None:
+                                return None
+                            zz[k] = v
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[zzidx] = zz * qarr[cid]
+                        block = m.T @ coef.reshape(8, 8) @ m
+                        py0 = (my * cv + vr) * 8
+                        px0 = (mx * ch + hr) * 8
+                        planes[cid][py0 : py0 + 8, px0 : px0 + 8] = block
+    out = []
+    for cid in scan_order:
+        plane = np.clip(np.rint(planes[cid] + 128.0), 0, 255).astype(np.int64)
+        ch, cv = comp_hv[cid]
+        if (ch, cv) != (hmax, vmax):  # replication upsample to full res
+            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(plane[:height, :width])
     return (width, height, out)
 
 
@@ -2048,6 +2103,42 @@ def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
                     )
 
                 payloads.append(make_jpeg_color_image(w, h, rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def synthesize_jpeg420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid baseline 4:2:0 COLOR
+    JPEGs, closed-form in the id: width = id%24+1, height = id*3%20+1,
+    and the 16x16 MCU tile at (tx, ty) is the constant color
+    R=(id+5tx+11ty)%256, G=(id*3+7tx+ty)%256, B=(id*7+tx+13ty)%256.
+    Constant 16x16 tiles survive the half-up 2x2 chroma box average,
+    DC-step-8 quantization, and replication upsample EXACTLY, so the
+    decoded RGB equals the fixed-point YCbCr roundtrip — the same
+    oracle contract as the 4:4:4 tier, now through the subsampled MCU
+    layout real-world JPEGs use."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 24 + 1, i * 3 % 20 + 1
+
+                def rgb(x, y, i=i):
+                    tx, ty = x // 16, y // 16
+                    return (
+                        (i + 5 * tx + 11 * ty) % 256,
+                        (i * 3 + 7 * tx + ty) % 256,
+                        (i * 7 + tx + 13 * ty) % 256,
+                    )
+
+                payloads.append(make_jpeg_color_image(w, h, rgb, subsampling="420"))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     schema = T.StructType(

@@ -29,6 +29,7 @@ from ..operators.multimodal import (
     synthesize_bmp_payloads,
     synthesize_gif_payloads,
     synthesize_image_payloads,
+    synthesize_jpeg420_payloads,
     synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
     synthesize_png_payloads,
@@ -856,6 +857,78 @@ def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain the documented long tail."""
     docs = load(spark, sf_dir, "documents")
     return extract_jpeg_color_pixel_stats(synthesize_jpeg_color_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_jpeg420_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 24 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 20 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 5 * (x.x // 16) + 11 * (y.y // 16)) % 256     AS r,
+               (d.doc_id * 3 + 7 * (x.x // 16) + (y.y // 16)) % 256     AS g,
+               (d.doc_id * 7 + (x.x // 16) + 13 * (y.y // 16)) % 256    AS b
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 20)) AS y) y ON y.y < d.height
+    ),
+    ycc AS (
+        SELECT doc_id, width, height,
+               GREATEST(0, LEAST(255,
+                   (19595 * r + 38470 * g + 7471 * b + 32768) // 65536)) AS yv,
+               GREATEST(0, LEAST(255,
+                   (-11059 * r - 21709 * g + 32768 * b + 32768 + 16777216)
+                       // 65536 - 256 + 128)) AS cb,
+               GREATEST(0, LEAST(255,
+                   (32768 * r - 27439 * g - 5329 * b + 32768 + 16777216)
+                       // 65536 - 256 + 128)) AS cr
+        FROM px
+    ),
+    rgb2 AS (
+        SELECT doc_id, width, height,
+               GREATEST(0, LEAST(255, yv +
+                   ((91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)))
+                   AS r2,
+               GREATEST(0, LEAST(255, yv -
+                   ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
+                     + 16777216) // 65536 - 256))) AS g2,
+               GREATEST(0, LEAST(255, yv +
+                   ((116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)))
+                   AS b2
+        FROM ycc
+    )
+    SELECT doc_id,
+           MIN(width)                 AS width,
+           MIN(height)                AS height,
+           CAST(count(*) AS BIGINT)   AS n_pixels,
+           CAST(sum(r2) AS BIGINT)    AS sum_r,
+           CAST(sum(g2) AS BIGINT)    AS sum_g,
+           CAST(sum(b2) AS BIGINT)    AS sum_b
+    FROM rgb2
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLED color JPEG decode (X9, r7): each payload is a
+    baseline 4:2:0 JPEG — the MCU layout real-world files use: 16x16
+    MCUs of four luma data units plus one block each of the
+    HALF-RESOLUTION chroma planes (exact half-up 2x2 box-average
+    downsample on encode, replication upsample on decode). The Spark
+    side fully decodes the interleaved multi-data-unit scan
+    executor-side (operators/multimodal.py _decode_jpeg_planes handles
+    per-component sampling factors). Constant 16x16 tiles survive the
+    whole pipeline exactly, so the oracle is the same per-pixel
+    fixed-point color replay as the 4:4:4 tier — a hash match proves
+    the subsampled MCU walk, both resolutions' block placement, the
+    downsample/upsample pair, and the color matrices bit-for-bit.
+    Remaining long tail: 4:2:2, progressive scans, restart markers."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_jpeg_color_pixel_stats(synthesize_jpeg420_payloads(docs, "doc_id"))
 
 
 @register(

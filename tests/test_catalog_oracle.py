@@ -127,6 +127,7 @@ _POST_FREEZE = {
     "multimodal_gif_pixel_stats",
     "multimodal_jpeg_luma_stats",
     "multimodal_jpeg_color_stats",
+    "multimodal_jpeg420_stats",
     "multimodal_adpcm_sample_stats",
     "multimodal_resize_stats",
     "multimodal_binary_ingest",

@@ -900,6 +900,51 @@ class TestMultimodal:
         assert multimodal.decode_jpeg_pixels(color) is None
         assert multimodal.decode_jpeg_color_pixels(gray) is None
 
+    def test_jpeg_420_subsampled_roundtrips(self):
+        """4:2:0: per-16x16-tile-constant colors are bit-exact through
+        the subsampled MCU walk (four luma units + half-res chroma,
+        box-average down / replication up), smooth content round-trips
+        at >28 dB PSNR, and odd dimensions (non-multiple-of-16) crop
+        correctly."""
+        import math
+
+        for i in (0, 1, 17, 255, 9999):
+            w, h = i % 24 + 1, i * 3 % 20 + 1
+
+            def rgb(x, y, i=i):
+                tx, ty = x // 16, y // 16
+                return (
+                    (i + 5 * tx + 11 * ty) % 256,
+                    (i * 3 + 7 * tx + ty) % 256,
+                    (i * 7 + tx + 13 * ty) % 256,
+                )
+
+            dw, dh, rows = multimodal.decode_jpeg_color_pixels(
+                multimodal.make_jpeg_color_image(w, h, rgb, subsampling="420")
+            )
+            assert (dw, dh) == (w, h)
+            for y in range(h):
+                for x in range(w):
+                    expect = multimodal._fx_ycbcr_to_rgb(
+                        *multimodal._fx_rgb_to_ycbcr(*rgb(x, y))
+                    )
+                    assert rows[y][x] == expect, (i, x, y)
+        smooth = [
+            [(int(127 + 90 * math.sin(x / 7)), int(127 + 90 * math.cos(y / 6)), 70) for x in range(33)]
+            for y in range(25)
+        ]
+        dw, dh, rows = multimodal.decode_jpeg_color_pixels(
+            multimodal.make_jpeg_color_image(33, 25, lambda x, y: smooth[y][x], subsampling="420")
+        )
+        assert (dw, dh) == (33, 25)
+        err = sum(
+            (rows[y][x][c] - smooth[y][x][c]) ** 2
+            for y in range(25)
+            for x in range(33)
+            for c in range(3)
+        ) / (33 * 25 * 3)
+        assert 10 * math.log10(255**2 / max(err, 1e-9)) > 28
+
     def test_jpeg_color_stats_distributed_ground_truth(self, spark):
         ids = [0, 3, 7, 33]
         df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
