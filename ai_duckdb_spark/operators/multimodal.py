@@ -1675,58 +1675,47 @@ def _fx_ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> bytes:
-    """A complete, VALID baseline COLOR JPEG (YCbCr, interleaved MCUs):
-    exact fixed-point RGB->YCbCr, per-component float DCT with TWO
-    quantization tables (luma/chroma, both with DC step 8 so
-    per-block-constant components reconstruct exactly), per-component
-    DC DPCM, Annex K.3/K.5 Huffman coding (spec-legally assigned to all
-    three components), 0xFF stuffing. ``pixel(x, y) -> (r, g, b)``.
-    ``subsampling``: '444' (one 1x1 block per component per MCU) or
-    '420' (16x16 MCUs of four luma blocks + one block each of the
-    half-resolution chroma planes, downsampled by an exact half-up 2x2
-    box average — the layout real-world baseline JPEGs use)."""
+def _encode_jpeg_color_planes(width, height, yp, cbp, crp, sub: bool) -> bytes:
+    """Entropy-encode full-resolution integer YCbCr planes (numpy,
+    padded to the MCU alignment) into a complete baseline color JPEG —
+    the shared fast path behind ``make_jpeg_color_image`` and the
+    vectorized payload synthesizers. The DCT runs as ONE einsum over
+    all blocks per component; only the bit-serial Huffman emission
+    stays a per-block Python loop (bounded by block count, not pixel
+    count). ``sub`` selects 4:2:0 (exact half-up 2x2 box-average chroma
+    downsample + 16x16 MCUs) vs 4:4:4."""
     import struct
 
     import numpy as np
 
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"unsupported subsampling: {subsampling}")
-    sub = subsampling == "420"
-    align = 16 if sub else 8
-    pw = (width + align - 1) // align * align
-    ph = (height + align - 1) // align * align
-    planes = [np.empty((ph, pw), dtype=np.float64) for _ in range(3)]
-    for y in range(ph):
-        sy = min(y, height - 1)
-        for x in range(pw):
-            r, g, b = pixel(min(x, width - 1), sy)
-            yy, cb, cr = _fx_rgb_to_ycbcr(r & 0xFF, g & 0xFF, b & 0xFF)
-            planes[0][y, x] = yy
-            planes[1][y, x] = cb
-            planes[2][y, x] = cr
-    if sub:
-        # exact half-up 2x2 box average in INTEGER space (values are
-        # still integers here), so constant tiles downsample losslessly
-        for c in (1, 2):
-            p = planes[c].astype(np.int64)
-            planes[c] = (
-                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
-            ).astype(np.float64)
+    ph, pw = yp.shape
     m = _jpeg_dct_matrix()
-    for p in planes:
-        p -= 128.0
-    # DC quantization step 8 in BOTH tables: DC = 8*(value-128), so the
-    # quantized code is exact for ANY constant block — the bit-exactness
-    # contract without the even-values restriction of the gray tier
     qluma = list(_JPEG_QTABLE)
     qluma[0] = 8
     qchroma = list(_JPEG_CHROMA_QTABLE)
     qchroma[0] = 8
-    qarrs = [
-        np.asarray(qluma, dtype=np.float64).reshape(8, 8),
-        np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
-        np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
+    if sub:
+        cbp, crp = (
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+            for p in (np.asarray(cbp, dtype=np.int64), np.asarray(crp, dtype=np.int64))
+        )
+
+    zig = np.asarray(_JPEG_ZIGZAG)
+
+    def block_codes(plane, qtable):
+        """(bh, bw, 64) quantized zig-zag coefficient matrix, one einsum."""
+        p = np.asarray(plane, dtype=np.float64) - 128.0
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coefs = m @ blocks @ m.T  # broadcast matmul over all blocks
+        q = np.asarray(qtable, dtype=np.float64).reshape(8, 8)
+        codes = np.rint(coefs / q).astype(np.int64)
+        return codes.reshape(bh, bw, 64)[:, :, zig]
+
+    comp_codes = [
+        block_codes(yp, qluma),
+        block_codes(cbp, qchroma),
+        block_codes(crp, qchroma),
     ]
     dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1754,28 +1743,29 @@ def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> byt
             put(v if v >= 0 else v + (1 << s) - 1, s)
 
     prev_dc = [0, 0, 0]
+    eob = ac_huff[0x00]
+    zrl = ac_huff[0xF0]
 
-    def emit_block(c: int, py0: int, px0: int) -> None:
-        block = planes[c][py0 : py0 + 8, px0 : px0 + 8]
-        codes = np.rint((m @ block @ m.T) / qarrs[c]).astype(np.int64)
-        zz = [int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
-        put_coef(dc_huff, 0, zz[0] - prev_dc[c])
-        prev_dc[c] = zz[0]
+    def emit_block(c: int, by: int, bx: int) -> None:
+        zz = comp_codes[c][by, bx]
+        dc = int(zz[0])
+        put_coef(dc_huff, 0, dc - prev_dc[c])
+        prev_dc[c] = dc
+        nz = np.nonzero(zz[1:])[0]
+        if nz.size == 0:
+            put(*eob)
+            return
         run = 0
-        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-        for k in range(1, last_nz + 1):
-            if zz[k] == 0:
-                run += 1
-                continue
+        prev_k = 0
+        for k in nz + 1:
+            run = int(k) - prev_k - 1
             while run > 15:
-                code, length = ac_huff[0xF0]  # ZRL
-                put(code, length)
+                put(*zrl)
                 run -= 16
-            put_coef(ac_huff, run, zz[k])
-            run = 0
-        if last_nz < 63:
-            code, length = ac_huff[0x00]  # EOB
-            put(code, length)
+            put_coef(ac_huff, run, int(zz[k]))
+            prev_k = int(k)
+        if prev_k < 63:
+            put(*eob)
 
     if sub:
         mcux, mcuy = pw // 16, ph // 16
@@ -1783,14 +1773,14 @@ def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> byt
             for mx in range(mcux):
                 for vr in range(2):  # four luma data units, raster order
                     for hr in range(2):
-                        emit_block(0, (my * 2 + vr) * 8, (mx * 2 + hr) * 8)
-                emit_block(1, my * 8, mx * 8)
-                emit_block(2, my * 8, mx * 8)
+                        emit_block(0, my * 2 + vr, mx * 2 + hr)
+                emit_block(1, my, mx)
+                emit_block(2, my, mx)
     else:
         for by in range(ph // 8):
             for bx in range(pw // 8):
                 for c in range(3):  # interleaved MCU: Y, Cb, Cr
-                    emit_block(c, by * 8, bx * 8)
+                    emit_block(c, by, bx)
     if nbits:
         put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
 
@@ -1821,14 +1811,44 @@ def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> byt
     )
 
 
-def decode_jpeg_color_pixels(
-    data: bytes,
-) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
-    """FULL decode of a baseline 4:4:4 COLOR JPEG via the shared core
-    plus the exact fixed-point YCbCr->RGB conversion. Returns
-    (width, height, rows) of (r, g, b) tuples top-down, or None outside
-    the supported geometry (subsampled/progressive stay the long
-    tail)."""
+def make_jpeg_color_image(width, height, pixel, subsampling: str = "444") -> bytes:
+    """A complete, VALID baseline COLOR JPEG (YCbCr, interleaved MCUs):
+    exact fixed-point RGB->YCbCr, per-component float DCT with TWO
+    quantization tables (luma/chroma, both with DC step 8 so
+    per-block-constant components reconstruct exactly), per-component
+    DC DPCM, Annex K.3/K.5 Huffman coding (spec-legally assigned to all
+    three components), 0xFF stuffing. ``pixel(x, y) -> (r, g, b)``.
+    ``subsampling``: '444' (one 1x1 block per component per MCU) or
+    '420' (16x16 MCUs of four luma blocks + one block each of the
+    half-resolution chroma planes, downsampled by an exact half-up 2x2
+    box average — the layout real-world baseline JPEGs use)."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "420"
+    align = 16 if sub else 8
+    pw = (width + align - 1) // align * align
+    ph = (height + align - 1) // align * align
+    yp = np.empty((ph, pw), dtype=np.int64)
+    cbp = np.empty((ph, pw), dtype=np.int64)
+    crp = np.empty((ph, pw), dtype=np.int64)
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            r, g, b = pixel(min(x, width - 1), sy)
+            yy, cb, cr = _fx_rgb_to_ycbcr(r & 0xFF, g & 0xFF, b & 0xFF)
+            yp[y, x] = yy
+            cbp[y, x] = cb
+            crp[y, x] = cr
+    return _encode_jpeg_color_planes(width, height, yp, cbp, crp, sub)
+
+
+def decode_jpeg_color_arrays(data: bytes):
+    """FULL decode of a baseline COLOR JPEG (4:4:4 or 4:2:0) via the
+    shared core plus the exact fixed-point YCbCr->RGB conversion,
+    returned as (width, height, (r, g, b)) numpy int64 arrays — the
+    zero-copy path the stats extractor reduces over."""
     import numpy as np
 
     decoded = _decode_jpeg_planes(data)
@@ -1840,6 +1860,19 @@ def decode_jpeg_color_pixels(
     r = np.clip(py + ((91881 * cr + 32768) >> 16), 0, 255)
     g = np.clip(py - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
     b = np.clip(py + ((116130 * cb + 32768) >> 16), 0, 255)
+    return (width, height, (r, g, b))
+
+
+def decode_jpeg_color_pixels(
+    data: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """FULL decode of a baseline COLOR JPEG (4:4:4 or 4:2:0) to
+    (width, height, rows) of (r, g, b) tuples top-down, or None outside
+    the supported geometry (4:2:2/progressive stay the long tail)."""
+    decoded = decode_jpeg_color_arrays(data)
+    if decoded is None:
+        return None
+    width, height, (r, g, b) = decoded
     return (
         width,
         height,
@@ -2003,13 +2036,11 @@ def _decode_jpeg_planes(data: bytes):
     vmax = max(v_ for _h, v_ in comp_hv.values())
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        cid: np.empty((mcuy * 8 * comp_hv[cid][1], mcux * 8 * comp_hv[cid][0]), dtype=np.float64)
-        for cid in scan_order
-    }
-    qarr = {cid: np.asarray(qtables[comp_q[cid]], dtype=np.float64) for cid in scan_order}
+    # entropy pass collects plain-Python coefficient vectors; the
+    # dequant + de-zig-zag + IDCT run ONCE per component as batched
+    # numpy over all blocks (per-block numpy calls dominate otherwise)
+    coefs: dict[int, list[list[int]]] = {cid: [] for cid in scan_order}
     prev_dc = {cid: 0 for cid in scan_order}
-    zzidx = list(_JPEG_ZIGZAG)
     for my in range(mcuy):
         for mx in range(mcux):
             # interleaved MCU: h x v data units per component, raster order
@@ -2017,45 +2048,49 @@ def _decode_jpeg_planes(data: bytes):
                 ch, cv = comp_hv[cid]
                 dc_tab = hufftabs[(0, scan_tabs[cid][0])]
                 ac_tab = hufftabs[(1, scan_tabs[cid][1])]
-                for vr in range(cv):
-                    for hr in range(ch):
-                        s = read_huff(dc_tab)
-                        if s is None or s > 11:
+                for _unit in range(ch * cv):
+                    s = read_huff(dc_tab)
+                    if s is None or s > 11:
+                        return None
+                    diff = receive_extend(s)
+                    if diff is None:
+                        return None
+                    prev_dc[cid] += diff
+                    zz = [0] * 64
+                    zz[0] = prev_dc[cid]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(ac_tab)
+                        if rs is None:
                             return None
-                        diff = receive_extend(s)
-                        if diff is None:
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
                             return None
-                        prev_dc[cid] += diff
-                        zz = np.zeros(64, dtype=np.float64)
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            rs = read_huff(ac_tab)
-                            if rs is None:
-                                return None
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                return None
-                            v = receive_extend(rs & 0xF)
-                            if v is None:
-                                return None
-                            zz[k] = v
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[zzidx] = zz * qarr[cid]
-                        block = m.T @ coef.reshape(8, 8) @ m
-                        py0 = (my * cv + vr) * 8
-                        px0 = (mx * ch + hr) * 8
-                        planes[cid][py0 : py0 + 8, px0 : px0 + 8] = block
+                        v = receive_extend(rs & 0xF)
+                        if v is None:
+                            return None
+                        zz[k] = v
+                        k += 1
+                    coefs[cid].append(zz)
+    zzidx = np.asarray(_JPEG_ZIGZAG)
     out = []
     for cid in scan_order:
-        plane = np.clip(np.rint(planes[cid] + 128.0), 0, 255).astype(np.int64)
         ch, cv = comp_hv[cid]
+        qvec = np.asarray(qtables[comp_q[cid]], dtype=np.float64)
+        arr = np.asarray(coefs[cid], dtype=np.float64) * qvec[None, :]
+        flat = np.zeros_like(arr)
+        flat[:, zzidx] = arr
+        blocks = m.T @ flat.reshape(-1, 8, 8) @ m  # batched IDCT
+        pix = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.int64)
+        # blocks arrive in MCU order: (my, mx, vr, hr) — reassemble
+        bw_c, bh_c = mcux * ch, mcuy * cv
+        pix = pix.reshape(mcuy, mcux, cv, ch, 8, 8)
+        plane = pix.transpose(0, 2, 4, 1, 3, 5).reshape(bh_c * 8, bw_c * 8)
         if (ch, cv) != (hmax, vmax):  # replication upsample to full res
             plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(plane[:height, :width])
@@ -2089,26 +2124,45 @@ def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                i = int(i)
-                w, h = i % 20 + 1, i * 3 % 18 + 1
-
-                def rgb(x, y, i=i):
-                    bx, by = x // 8, y // 8
-                    return (
-                        (i + 5 * bx + 11 * by) % 256,
-                        (i * 3 + 7 * bx + by) % 256,
-                        (i * 7 + bx + 13 * by) % 256,
-                    )
-
-                payloads.append(make_jpeg_color_image(w, h, rgb))
+            payloads = [
+                _encode_jpeg_color_planes(
+                    int(i) % 20 + 1,
+                    int(i) * 3 % 18 + 1,
+                    *_closed_form_color_planes(int(i), int(i) % 20 + 1, int(i) * 3 % 18 + 1, 8, False),
+                    False,
+                )
+                for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def _closed_form_color_planes(i: int, w: int, h: int, tile: int, sub: bool):
+    """Vectorized builder for the catalog's closed-form color fixtures:
+    constant color R=(i+5t_x+11t_y)%256, G=(i*3+7t_x+t_y)%256,
+    B=(i*7+t_x+13t_y)%256 per ``tile``-pixel tile, edge-replication
+    padded to the MCU alignment and converted with the exact
+    fixed-point RGB->YCbCr — all numpy broadcasting, no per-pixel
+    Python (the sf0.1 synth walks 60k docs x up to 1024 padded pixels).
+    Returns (Y, Cb, Cr) int64 planes."""
+    import numpy as np
+
+    align = 16 if sub else 8
+    pw = (w + align - 1) // align * align
+    ph = (h + align - 1) // align * align
+    tx = (np.minimum(np.arange(pw), w - 1) // tile)[None, :]
+    ty = (np.minimum(np.arange(ph), h - 1) // tile)[:, None]
+    r = (i + 5 * tx + 11 * ty) % 256
+    g = (i * 3 + 7 * tx + ty) % 256
+    b = (i * 7 + tx + 13 * ty) % 256
+    yv = np.clip((19595 * r + 38470 * g + 7471 * b + 32768) >> 16, 0, 255)
+    cb = np.clip(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128, 0, 255)
+    cr = np.clip(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128, 0, 255)
+    return yv, cb, cr
 
 
 def synthesize_jpeg420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2125,20 +2179,15 @@ def synthesize_jpeg420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                i = int(i)
-                w, h = i % 24 + 1, i * 3 % 20 + 1
-
-                def rgb(x, y, i=i):
-                    tx, ty = x // 16, y // 16
-                    return (
-                        (i + 5 * tx + 11 * ty) % 256,
-                        (i * 3 + 7 * tx + ty) % 256,
-                        (i * 7 + tx + 13 * ty) % 256,
-                    )
-
-                payloads.append(make_jpeg_color_image(w, h, rgb, subsampling="420"))
+            payloads = [
+                _encode_jpeg_color_planes(
+                    int(i) % 24 + 1,
+                    int(i) * 3 % 20 + 1,
+                    *_closed_form_color_planes(int(i), int(i) % 24 + 1, int(i) * 3 % 20 + 1, 16, True),
+                    True,
+                )
+                for i in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     schema = T.StructType(
@@ -2157,24 +2206,18 @@ def extract_jpeg_color_pixel_stats(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
             for payload in pdf["payload"]:
-                decoded = decode_jpeg_color_pixels(payload)
+                decoded = decode_jpeg_color_arrays(payload)
                 if decoded is None:
                     for k in out:
                         out[k].append(0)
                     continue
-                w, h, rows = decoded
-                sr = sg = sb = 0
-                for row in rows:
-                    for r, g, b in row:
-                        sr += r
-                        sg += g
-                        sb += b
+                w, h, (r, g, b) = decoded
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)
-                out["sum_r"].append(sr)
-                out["sum_g"].append(sg)
-                out["sum_b"].append(sb)
+                out["sum_r"].append(int(r.sum()))
+                out["sum_g"].append(int(g.sum()))
+                out["sum_b"].append(int(b.sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -2244,19 +2287,18 @@ def extract_jpeg_luma_stats(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("width", "height", "n_pixels", "sum_luma", "min_luma", "max_luma")}
             for payload in pdf["payload"]:
-                decoded = decode_jpeg_pixels(payload)
-                if decoded is None:
+                decoded = _decode_jpeg_planes(payload)
+                if decoded is None or len(decoded[2]) != 1:
                     for k in out:
                         out[k].append(0)
                     continue
-                w, h, rows = decoded
-                flat = [v for row in rows for v in row]
+                w, h, (plane,) = decoded
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)
-                out["sum_luma"].append(sum(flat))
-                out["min_luma"].append(min(flat))
-                out["max_luma"].append(max(flat))
+                out["sum_luma"].append(int(plane.sum()))
+                out["min_luma"].append(int(plane.min()))
+                out["max_luma"].append(int(plane.max()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
