@@ -15,12 +15,14 @@ extraction). Three tiers, by how far into the payload they reach:
    (``decode_png_pixels`` — CRC verify, stdlib-zlib inflate, all five
    scanline filters), GIF (``decode_gif_pixels`` — variable-width LZW
    entropy decode), baseline grayscale JPEG (``decode_jpeg_pixels`` —
-   Huffman entropy decode, dequant, numpy IDCT), mono 16-bit PCM WAV
-   (``decode_wav_samples``), IMA ADPCM lossy audio
-   (``decode_wav_ima_adpcm`` — 4-bit adaptive quantizer), and exact
-   fixed-point resampling (``resize_pixels``).
-3. Out-of-scope long tail (color/subsampled/progressive JPEG,
-   palette/16-bit/interlaced PNG and GIF variants, perceptual audio
+   Huffman entropy decode, dequant, numpy IDCT), baseline COLOR JPEG
+   in 4:4:4 and 4:2:0 (interleaved MCUs, two quant tables, exact
+   fixed-point JFIF YCbCr transform, half-up chroma box-average),
+   mono 16-bit PCM WAV (``decode_wav_samples``), IMA ADPCM lossy
+   audio (``decode_wav_ima_adpcm`` — 4-bit adaptive quantizer), and
+   exact fixed-point resampling (``resize_pixels``).
+3. Out-of-scope long tail (progressive JPEG, palette/16-bit/
+   interlaced PNG and GIF variants, perceptual audio
    codecs): unsupported payloads return None / NotImplementedError
    rather than misdecoding. The distributed plumbing (schema, batch
    shape, UDF signature) is identical across tiers, so widening a
