@@ -96,7 +96,10 @@ class ChatDatabase:
                     session_id,
                     file_info["filename"],
                     file_info["filepath"],
-                    json.dumps(file_info["data_info"], ensure_ascii=False),
+                    # default=str is belt-and-braces: profile_dataframe
+                    # already normalizes, but callers may pass their own
+                    # data_info dicts with datetime/Decimal scalars
+                    json.dumps(file_info["data_info"], ensure_ascii=False, default=str),
                 ),
             )
             conn.execute(

@@ -23,8 +23,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _json_safe(v):
+    # the profile travels through json.dumps (metadata.save_file_info),
+    # flask jsonify, and the NL prompt — Spark rows carry date/datetime/
+    # Decimal/bytearray scalars none of those accept, so normalize here
+    # (date-typed CSV uploads 500'd the /api/upload route before this)
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
 def profile_dataframe(df: DataFrame) -> dict:
-    head = [row.asDict() for row in df.limit(5).collect()]
+    head = [_json_safe(row.asDict()) for row in df.limit(5).collect()]
     return {
         "行数": df.count(),
         "列数": len(df.columns),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -103,6 +104,64 @@ class TestWebApp:
         assert client.post(f"/api/switch_session/{sid}").status_code == 200
         assert client.post("/api/switch_session/ghost").status_code == 404
         assert any(s["id"] == sid for s in client.get("/api/sessions").get_json()["sessions"])
+
+
+class TestFrontendJs:
+    """Execute the page's ACTUAL inline JavaScript against a live server.
+
+    tests/frontend_driver.mjs fetches `/`, extracts the inline <script>
+    verbatim, runs it in a node `vm` under a minimal DOM + cookie-jar
+    fetch shim, and fires the same handlers a browser would: file-input
+    upload, form submit, Enter-to-send, new-session click, session-list
+    switching. Assertions are on what the page's own `md()` renderer put
+    into #chat — so the frontend wiring (reference static/js/app.js:
+    55-133 upload/ask flow, app.py:109-111 index serving) is covered by
+    its real code, not a re-implementation. Caught on first run: a
+    date-typed CSV column 500'd /api/upload (datetime not JSON
+    serializable — fixed in profile._json_safe) and the upload notice
+    read `data_info.row_count` while the backend serves `行数`.
+    """
+
+    def test_frontend_js_end_to_end(self, spark, tmp_path):
+        import shutil
+        import subprocess
+        import threading
+
+        node = shutil.which("node")
+        if node is None:
+            pytest.skip("node runtime not available")
+        pytest.importorskip("flask")
+        from werkzeug.serving import make_server
+
+        from ai_duckdb_spark.webapp import create_app
+
+        # 200 rows with a DATE column — the shape that crashed upload
+        # before profile._json_safe existed
+        csv = tmp_path / "orders_sample.csv"
+        rows = ["o_orderkey,o_orderstatus,o_totalprice,o_orderdate"]
+        rows += [f"{i},{'OF'[i % 2]},{100.0 + i},2024-01-{i % 28 + 1:02d}" for i in range(200)]
+        csv.write_text("\n".join(rows) + "\n")
+
+        app = create_app(
+            upload_folder=str(tmp_path / "uploads"), db_path=str(tmp_path / "chat.db")
+        )
+        srv = make_server("127.0.0.1", 0, app, threaded=True)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            driver = os.path.join(os.path.dirname(__file__), "frontend_driver.mjs")
+            proc = subprocess.run(
+                [node, driver, f"http://127.0.0.1:{srv.server_port}", str(csv)],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+            assert verdict["pass"], verdict
+            assert all(verdict["checks"].values()), verdict["checks"]
+        finally:
+            srv.shutdown()
+            t.join(timeout=10)
 
 
 class TestCli:
