@@ -18,11 +18,13 @@ extraction). Three tiers, by how far into the payload they reach:
    Huffman entropy decode, dequant, numpy IDCT), baseline COLOR JPEG
    in 4:4:4 and 4:2:0 (interleaved MCUs, two quant tables, exact
    fixed-point JFIF YCbCr transform, half-up chroma box-average),
+   Adam7-INTERLACED and indexed-color (PLTE) PNG
+   (``decode_png_pixels`` handles interlace=1 and color type 3),
    mono 16-bit PCM WAV (``decode_wav_samples``), IMA ADPCM lossy
    audio (``decode_wav_ima_adpcm`` — 4-bit adaptive quantizer), and
    exact fixed-point resampling (``resize_pixels``).
-3. Out-of-scope long tail (progressive JPEG, palette/16-bit/
-   interlaced PNG and GIF variants, perceptual audio
+3. Out-of-scope long tail (progressive JPEG, 16-bit/grayscale/
+   alpha PNG, interlaced GIF, perceptual audio
    codecs): unsupported payloads return None / NotImplementedError
    rather than misdecoding. The distributed plumbing (schema, batch
    shape, UDF signature) is identical across tiers, so widening a
@@ -393,57 +395,45 @@ def make_png_image(width, height, pixel) -> bytes:
     )
 
 
-def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
-    """Pure-stdlib FULL pixel decode of an 8-bit RGB non-interlaced PNG:
-    chunk walk (CRC-verified), IDAT concatenation, zlib inflate, and
-    per-scanline unfiltering implementing all five spec filters
-    (None/Sub/Up/Average/Paeth). Returns (width, height, rows) with
-    (r, g, b) tuples top-down, or None outside the supported geometry
-    (palette/alpha/16-bit/interlaced — the long tail a codec library
-    owns). This plus the BMP tier makes 'pixel decode' a real capability
-    of X9, not a stub: PNG's compression is stdlib zlib."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass —
+# the interlace layout from the PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    if len(data) < 8 or data[:8] != _PNG_SIG:
-        return None
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (clen,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + clen]
-        if len(body) != clen or pos + 12 + clen > len(data):
-            return None
-        (crc,) = struct.unpack(">I", data[pos + 8 + clen : pos + 12 + clen])
-        if crc != zlib.crc32(ctype + body):
-            return None
-        if ctype == b"IHDR":
-            width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or ctype_n != 2 or comp != 0 or filt != 0 or interlace != 0:
-                return None
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    bpp, stride = 3, width * 3
-    if len(raw) != height * (stride + 1):
-        return None
-    rows: list[list[tuple[int, int, int]]] = []
+
+def _png_filter_line(line: bytes, prior: bytes, ftype: int, bpp: int) -> bytes:
+    """FORWARD-filter one scanline (encoder side) for filter 0/1/2."""
+    if ftype == 0:
+        return bytes(line)
+    if ftype == 1:  # Sub
+        return bytes(
+            (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+            for i in range(len(line))
+        )
+    return bytes((line[i] - prior[i]) & 0xFF for i in range(len(line)))  # Up
+
+
+def _png_unfilter(raw: bytes, offset: int, n_rows: int, stride: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``offset`` (each preceded by its filter-type byte), implementing all
+    five spec filters. The prior row starts at zeros — pass boundaries in
+    interlaced images reset it, per spec. Returns (lines, new_offset) or
+    None on a bad filter byte / truncation."""
+    lines: list[bytearray] = []
     prior = bytearray(stride)
-    for y in range(height):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
+    for _ in range(n_rows):
+        if offset + 1 + stride > len(raw):
+            return None
+        ftype = raw[offset]
+        line = bytearray(raw[offset + 1 : offset + 1 + stride])
+        offset += 1 + stride
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -465,11 +455,250 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             return None
-        rows.append(
-            [(line[i], line[i + 1], line[i + 2]) for i in range(0, stride, 3)]
-        )
+        lines.append(line)
         prior = line
-    return (width, height, rows)
+    return lines, offset
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Pure-stdlib FULL pixel decode of an 8-bit PNG: chunk walk
+    (CRC-verified), IDAT concatenation, zlib inflate, and per-scanline
+    unfiltering implementing all five spec filters (None/Sub/Up/Average/
+    Paeth). Supports truecolor (type 2) and PALETTE (type 3, PLTE
+    lookup), each in both NON-INTERLACED and Adam7-INTERLACED layouts
+    (seven sub-images on the spec §8.2 grid, each pass unfiltered
+    independently with its prior row reset, then scattered into place).
+    Returns (width, height, rows) with (r, g, b) tuples top-down, or
+    None outside the supported geometry (alpha/16-bit/grayscale — the
+    remaining long tail a codec library owns). This plus the BMP tier
+    makes 'pixel decode' a real capability of X9, not a stub: PNG's
+    compression is stdlib zlib."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        return None
+    pos, width = 8, None
+    idat = bytearray()
+    plte: list[tuple[int, int, int]] | None = None
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            return None
+        (crc,) = struct.unpack(">I", data[pos + 8 + clen : pos + 12 + clen])
+        if crc != zlib.crc32(ctype + body):
+            return None
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_n not in (2, 3) or comp != 0 or filt != 0:
+                return None
+            if interlace not in (0, 1):
+                return None
+        elif ctype == b"PLTE":
+            if clen % 3 != 0:
+                return None
+            plte = [(body[i], body[i + 1], body[i + 2]) for i in range(0, clen, 3)]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat or (ctype_n == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = 3 if ctype_n == 2 else 1
+
+    def to_rgb(line: bytearray, n_px: int) -> list[tuple[int, int, int]]:
+        if ctype_n == 2:
+            return [(line[i], line[i + 1], line[i + 2]) for i in range(0, n_px * 3, 3)]
+        try:
+            return [plte[line[i]] for i in range(n_px)]
+        except IndexError:
+            return []
+
+    if interlace == 0:
+        if len(raw) != height * (width * bpp + 1):
+            return None
+        got = _png_unfilter(raw, 0, height, width * bpp, bpp)
+        if got is None:
+            return None
+        lines, _ = got
+        rows = [to_rgb(line, width) for line in lines]
+        if any(len(r) != width for r in rows):
+            return None
+        return (width, height, rows)
+
+    # Adam7: seven independent sub-images; empty passes contribute no bytes
+    full: list[list[tuple[int, int, int] | None]] = [
+        [None] * width for _ in range(height)
+    ]
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        got = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+        if got is None:
+            return None
+        lines, offset = got
+        for r, line in enumerate(lines):
+            rgb = to_rgb(line, pw)
+            if len(rgb) != pw:
+                return None
+            y = y0 + r * dy
+            for c in range(pw):
+                full[y][x0 + c * dx] = rgb[c]
+    if offset != len(raw) or any(px is None for row in full for px in row):
+        return None
+    return (width, height, full)
+
+
+def make_png_interlaced(width, height, pixel) -> bytes:
+    """A complete, VALID Adam7-INTERLACED 8-bit RGB PNG: the seven spec
+    §8.2 sub-images serialized pass by pass, each pass's scanlines
+    filtered independently (None/Sub/Up cycling by in-pass row, prior
+    row resetting at every pass boundary) before one zlib stream.
+    ``pixel(x, y) -> (r, g, b)`` in full-image coordinates."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    bpp = 3
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        prior = bytes(pw * bpp)
+        for r in range(ph):
+            y = y0 + r * dy
+            line = bytearray()
+            for c in range(pw):
+                pr, pg, pb = pixel(x0 + c * dx, y)
+                line += bytes((pr & 0xFF, pg & 0xFF, pb & 0xFF))
+            ftype = r % 3
+            raw.append(ftype)
+            raw += _png_filter_line(line, prior, ftype, bpp)
+            prior = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_png_palette(width, height, palette, index) -> bytes:
+    """A complete, VALID indexed-color (type 3) 8-bit PNG: a PLTE chunk
+    carrying ``palette`` (list of (r, g, b)) and 1-byte-per-pixel index
+    scanlines, filtered None/Sub/Up by row with bpp=1 — the filter
+    arithmetic runs over INDEX bytes, not channel bytes, which is
+    exactly what makes indexed decode a distinct code path to prove.
+    ``index(x, y) -> int`` in [0, len(palette))."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    plte = b"".join(bytes((r & 0xFF, g & 0xFF, b & 0xFF)) for r, g, b in palette)
+    raw = bytearray()
+    prior = bytes(width)
+    for y in range(height):
+        line = bytes(index(x, y) & 0xFF for x in range(width))
+        ftype = y % 3
+        raw.append(ftype)
+        raw += _png_filter_line(line, prior, ftype, 1)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)  # type 3
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_interlaced_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid Adam7-interlaced RGB PNGs,
+    closed-form in the id: width = id%14+2, height = (id*7)%11+2 (both
+    ≥2 so several passes are non-empty), pixel(x, y) =
+    ((id + 2x + y) % 256, (2*id + 3y) % 256, (id + x*y) % 256)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 14 + 2, i * 7 % 11 + 2
+                payloads.append(
+                    make_png_interlaced(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (i + 2 * x + y) % 256,
+                            (2 * i + 3 * y) % 256,
+                            (i + x * y) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def synthesize_png_palette_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid indexed-color (PLTE) PNGs,
+    closed-form in the id: width = id%15+1, height = (id*3)%13+1, a full
+    256-entry palette p(i) = ((7i+13)%256, (11i+29)%256, (3i+41)%256),
+    and index(x, y) = (id + 4x + 9y) % 256."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        palette = [((7 * i + 13) % 256, (11 * i + 29) % 256, (3 * i + 41) % 256) for i in range(256)]
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 15 + 1, i * 3 % 13 + 1
+                payloads.append(
+                    make_png_palette(
+                        w, h, palette, lambda x, y, i=i: (i + 4 * x + 9 * y) % 256
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
 
 
 def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -32,6 +32,8 @@ from ..operators.multimodal import (
     synthesize_jpeg420_payloads,
     synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
+    synthesize_png_interlaced_payloads,
+    synthesize_png_palette_payloads,
     synthesize_png_payloads,
     synthesize_wav_pcm_payloads,
 )
@@ -450,6 +452,85 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash match proves inflate + unfilter byte-for-byte."""
     docs = load(spark, sf_dir, "documents")
     return extract_png_pixel_stats(synthesize_png_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_png_interlaced_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 14 + 2 AS INTEGER)       AS width,
+               CAST((doc_id * 7) % 11 AS INTEGER) + 2 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height, x.x, y.y
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 16)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 13)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                        AS width,
+           MIN(height)                                       AS height,
+           CAST(count(*) AS BIGINT)                          AS n_pixels,
+           CAST(sum((doc_id + 2 * x + y) % 256) AS BIGINT)   AS sum_r,
+           CAST(sum((2 * doc_id + 3 * y) % 256) AS BIGINT)   AS sum_g,
+           CAST(sum((doc_id + x * y) % 256) AS BIGINT)       AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED pixel decode (X9, r7): each payload is a valid
+    interlace=1 PNG — seven spec-§8.2 sub-images in one zlib stream,
+    every pass filtered independently with its prior row reset — and the
+    Spark side fully decodes it executor-side (operators/multimodal.py
+    decode_png_pixels Adam7 branch: per-pass unfilter + grid scatter).
+    Pixel values are closed-form in doc_id so the oracle recomputes the
+    channel sums without seeing the bytes: a hash match proves the
+    pass-boundary unfilter resets AND the scatter geometry, the two
+    things a progressive layout adds over the sequential one."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_png_pixel_stats(synthesize_png_interlaced_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_png_palette_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 15 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 13 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 4 * x.x + 9 * y.y) % 256 AS idx
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 15)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 13)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                       AS width,
+           MIN(height)                                      AS height,
+           CAST(count(*) AS BIGINT)                         AS n_pixels,
+           CAST(sum((7 * idx + 13) % 256) AS BIGINT)        AS sum_r,
+           CAST(sum((11 * idx + 29) % 256) AS BIGINT)       AS sum_g,
+           CAST(sum((3 * idx + 41) % 256) AS BIGINT)        AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-color (PLTE) pixel decode (X9, r7): payloads are valid
+    color-type-3 PNGs — a 256-entry PLTE chunk plus 1-byte-per-pixel
+    index scanlines whose filter arithmetic runs over INDEX bytes
+    (bpp=1), not channel bytes — decoded executor-side by the same
+    chunk walk with palette lookup. The oracle replays palette(index)
+    in closed form, so a hash match proves the bpp-1 unfilter and the
+    PLTE mapping exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_png_pixel_stats(synthesize_png_palette_payloads(docs, "doc_id"))
 
 
 @register(

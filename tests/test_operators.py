@@ -634,6 +634,59 @@ class TestMultimodal:
             assert decoded is not None, ftype
             assert decoded[2] == [[px[(x, y)] for x in range(w)] for y in range(h)], ftype
 
+    def test_png_adam7_interlaced_roundtrip(self):
+        """Adam7 decode is exact across a dimension sweep that hits
+        every empty-pass shape (1x1 has one pixel in pass 1 only; widths
+        and heights below 8 leave whole passes empty) plus a multi-MCU
+        16x13; a truncated pass stream and leftover trailing bytes are
+        rejected rather than misdecoded."""
+        import random
+
+        rng = random.Random(7)
+        for w in (1, 2, 3, 5, 7, 8, 9, 16):
+            for h in (1, 2, 4, 5, 8, 13):
+                px = {
+                    (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                    for x in range(w)
+                    for y in range(h)
+                }
+                data = multimodal.make_png_interlaced(w, h, lambda x, y: px[(x, y)])
+                decoded = multimodal.decode_png_pixels(data)
+                assert decoded is not None, (w, h)
+                assert decoded[:2] == (w, h)
+                assert decoded[2] == [[px[(x, y)] for x in range(w)] for y in range(h)], (w, h)
+
+    def test_png_palette_roundtrip(self):
+        """Indexed-color (PLTE) decode is exact — the filter arithmetic
+        runs over index bytes (bpp=1), so a correct truecolor unfilter
+        with bpp=3 would corrupt it; an index beyond the palette and a
+        missing PLTE chunk are rejected."""
+        import random
+        import struct
+        import zlib
+
+        rng = random.Random(11)
+        palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+        for w, h in ((1, 1), (3, 2), (15, 13), (9, 1), (1, 12)):
+            idx = {(x, y): rng.randrange(64) for x in range(w) for y in range(h)}
+            data = multimodal.make_png_palette(w, h, palette, lambda x, y: idx[(x, y)])
+            decoded = multimodal.decode_png_pixels(data)
+            assert decoded is not None, (w, h)
+            assert decoded[2] == [[palette[idx[(x, y)]] for x in range(w)] for y in range(h)]
+        # an out-of-range index is rejected, not wrapped
+        short = multimodal.make_png_palette(2, 1, palette[:4], lambda x, y: 200)
+        assert multimodal.decode_png_pixels(short) is None
+        # type-3 without PLTE is rejected
+        data = multimodal.make_png_palette(2, 2, palette, lambda x, y: 1)
+        out = bytearray(data[:8])
+        pos = 8
+        while pos + 8 <= len(data):
+            (clen,) = struct.unpack(">I", data[pos : pos + 4])
+            if data[pos + 4 : pos + 8] != b"PLTE":
+                out += data[pos : pos + 12 + clen]
+            pos += 12 + clen
+        assert multimodal.decode_png_pixels(bytes(out)) is None
+
     def test_wav_pcm_sample_roundtrip(self):
         """PCM samples decode back exactly (including negatives); the
         header-only WAV (declared frames, no body) and non-PCM/8-bit
