@@ -409,7 +409,9 @@ _ADAM7 = [
 
 
 def _png_filter_line(line: bytes, prior: bytes, ftype: int, bpp: int) -> bytes:
-    """FORWARD-filter one scanline (encoder side) for filter 0/1/2."""
+    """FORWARD-filter one scanline (encoder side) for all five spec
+    filter types (None/Sub/Up/Average/Paeth) — the exact inverses of
+    ``_png_unfilter``, so encode→decode roundtrips bit-for-bit."""
     if ftype == 0:
         return bytes(line)
     if ftype == 1:  # Sub
@@ -417,7 +419,23 @@ def _png_filter_line(line: bytes, prior: bytes, ftype: int, bpp: int) -> bytes:
             (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
             for i in range(len(line))
         )
-    return bytes((line[i] - prior[i]) & 0xFF for i in range(len(line)))  # Up
+    if ftype == 2:  # Up
+        return bytes((line[i] - prior[i]) & 0xFF for i in range(len(line)))
+    if ftype == 3:  # Average
+        return bytes(
+            (line[i] - ((line[i - bpp] if i >= bpp else 0) + prior[i]) // 2) & 0xFF
+            for i in range(len(line))
+        )
+    out = bytearray()  # Paeth
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((line[i] - pred) & 0xFF)
+    return bytes(out)
 
 
 def _png_unfilter(raw: bytes, offset: int, n_rows: int, stride: int, bpp: int):
@@ -559,6 +577,150 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
     if offset != len(raw) or any(px is None for row in full for px in row):
         return None
     return (width, height, full)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale / RGB / grey+alpha / RGBA
+
+
+def decode_png_samples(
+    data: bytes,
+) -> tuple[int, int, int, int, list[list[tuple[int, ...]]]] | None:
+    """Generalized PNG SAMPLE decoder for the channel-based color types
+    the RGB-only ``decode_png_pixels`` rejects: greyscale (0),
+    truecolor (2), greyscale+alpha (4) and RGBA (6), each at bit depth
+    8 OR 16 (16-bit samples are big-endian per spec §7.1), interlace 0
+    or Adam7. Same pure-stdlib pipeline — CRC-verified chunk walk,
+    IDAT concatenation, zlib inflate, all-five-filter unfiltering (the
+    filter byte offset ``bpp`` is channels*depth/8, so 16-bit rows
+    exercise byte-level filters spanning sample halves, the part a
+    naive per-sample port gets wrong). Returns (width, height,
+    color_type, depth, rows) with per-pixel channel tuples of raw
+    sample ints (0..255 or 0..65535), or None outside the supported
+    geometry (palette type 3 is owned by ``decode_png_pixels``)."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        return None
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            return None
+        (crc,) = struct.unpack(">I", data[pos + 8 + clen : pos + 12 + clen])
+        if crc != zlib.crc32(ctype + body):
+            return None
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth not in (8, 16) or ctype_n not in _PNG_CHANNELS:
+                return None
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    nch = _PNG_CHANNELS[ctype_n]
+    sb = depth // 8  # bytes per sample
+    bpp = nch * sb
+
+    def to_samples(line: bytearray, n_px: int) -> list[tuple[int, ...]]:
+        if sb == 1:
+            return [tuple(line[i * nch : (i + 1) * nch]) for i in range(n_px)]
+        return [
+            tuple(
+                (line[(i * nch + c) * 2] << 8) | line[(i * nch + c) * 2 + 1]
+                for c in range(nch)
+            )
+            for i in range(n_px)
+        ]
+
+    if interlace == 0:
+        if len(raw) != height * (width * bpp + 1):
+            return None
+        got = _png_unfilter(raw, 0, height, width * bpp, bpp)
+        if got is None:
+            return None
+        lines, _ = got
+        rows = [to_samples(line, width) for line in lines]
+        return (width, height, ctype_n, depth, rows)
+
+    full: list[list[tuple[int, ...] | None]] = [[None] * width for _ in range(height)]
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        got = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+        if got is None:
+            return None
+        lines, offset = got
+        for r, line in enumerate(lines):
+            px = to_samples(line, pw)
+            y = y0 + r * dy
+            for c in range(pw):
+                full[y][x0 + c * dx] = px[c]
+    if offset != len(raw) or any(p is None for row in full for p in row):
+        return None
+    return (width, height, ctype_n, depth, full)
+
+
+def make_png_channels(width, height, color_type, depth, sample) -> bytes:
+    """A complete, VALID PNG of any channel-based color type (0/2/4/6)
+    at depth 8 or 16: ``sample(x, y) -> tuple`` of channel values.
+    Scanline filters cycle through ALL FIVE spec types by row
+    (None/Sub/Up/Average/Paeth), so a multi-row decode exercises the
+    full unfilter matrix — including Average/Paeth, which the older
+    RGB fixtures left to pytest-only coverage."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    nch = _PNG_CHANNELS[color_type]
+    sb = depth // 8
+    bpp = nch * sb
+    raw = bytearray()
+    prior = bytes(width * bpp)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            vals = sample(x, y)
+            for v in vals:
+                if sb == 2:
+                    line += struct.pack(">H", v & 0xFFFF)
+                else:
+                    line.append(v & 0xFF)
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_line(line, prior, ftype, bpp)
+        prior = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_png_interlaced(width, height, pixel) -> bytes:
@@ -774,6 +936,202 @@ def extract_png_pixel_stats(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+def synthesize_png_gray16_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid 16-BIT GREYSCALE (type 0,
+    depth 16) PNGs, closed-form in the id: width = id%13+1, height =
+    (id*7)%9+1, sample(x, y) = (id*131 + 257x + 263y) % 65536 — values
+    spanning well past 8 bits so a decoder that drops the low byte (or
+    reads little-endian) cannot match. Filters cycle all five types."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 1, i * 7 % 9 + 1
+                payloads.append(
+                    make_png_channels(
+                        w, h, 0, 16,
+                        lambda x, y, i=i: ((i * 131 + 257 * x + 263 * y) % 65536,),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+GRAY16_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_v", T.LongType()),
+        T.StructField("min_v", T.LongType()),
+        T.StructField("max_v", T.LongType()),
+    ]
+)
+
+
+def extract_png_gray16_stats(binary_df: DataFrame) -> DataFrame:
+    """sum/min/max amplitude stats over fully-decoded 16-bit greyscale
+    PNG payloads (decode_png_samples), executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_v", "min_v", "max_v")}
+            for payload in pdf["payload"]:
+                decoded = decode_png_samples(payload)
+                if decoded is None or decoded[2] != 0 or decoded[3] != 16:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, _ct, _d, rows = decoded
+                vals = [px[0] for row in rows for px in row]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_v"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_v": pd.Series(out["sum_v"], dtype="int64"),
+                    "min_v": pd.Series(out["min_v"], dtype="int64"),
+                    "max_v": pd.Series(out["max_v"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, GRAY16_STATS_SCHEMA)
+
+
+def synthesize_png_rgba_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload, bg_r, bg_g, bg_b) with COMPLETE valid RGBA
+    (type 6, depth 8) PNGs plus a closed-form background color for
+    compositing: width = id%10+1, height = (id*3)%11+1, pixel(x, y) =
+    ((id+5x)%256, (id+7y)%256, (id+3x+2y)%256, alpha (id*11+17x+29y)%256),
+    background ((id*13+7)%256, (id*17+11)%256, (id*19+23)%256). Filters
+    cycle all five types at bpp=4."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, bgr, bgg, bgb = [], [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = i % 10 + 1, i * 3 % 11 + 1
+                payloads.append(
+                    make_png_channels(
+                        w, h, 6, 8,
+                        lambda x, y, i=i: (
+                            (i + 5 * x) % 256,
+                            (i + 7 * y) % 256,
+                            (i + 3 * x + 2 * y) % 256,
+                            (i * 11 + 17 * x + 29 * y) % 256,
+                        ),
+                    )
+                )
+                bgr.append((i * 13 + 7) % 256)
+                bgg.append((i * 17 + 11) % 256)
+                bgb.append((i * 19 + 23) % 256)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "bg_r": pd.Series(bgr, dtype="int32"),
+                    "bg_g": pd.Series(bgg, dtype="int32"),
+                    "bg_b": pd.Series(bgb, dtype="int32"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("bg_r", T.IntegerType()),
+            T.StructField("bg_g", T.IntegerType()),
+            T.StructField("bg_b", T.IntegerType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+ALPHA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_a", T.LongType()),
+    ]
+)
+
+
+def extract_png_alpha_composite_stats(binary_df: DataFrame) -> DataFrame:
+    """Alpha-COMPOSITE stats over fully-decoded RGBA PNG payloads: each
+    pixel is blended over the row's (bg_r, bg_g, bg_b) background with
+    the exact integer source-over formula
+    ``out = (c*a + bg*(255-a) + 127) // 255`` (round-half-up emulated
+    with the +127 bias — replayable in portable SQL, no float rounding),
+    then reduced to per-channel sums plus the raw alpha sum. This is the
+    real pipeline op a thumbnail/training-image normalizer runs on
+    transparent inputs; executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "sum_a")}
+            for payload, bg in zip(
+                pdf["payload"], zip(pdf["bg_r"], pdf["bg_g"], pdf["bg_b"])
+            ):
+                decoded = decode_png_samples(payload)
+                if decoded is None or decoded[2] != 6 or decoded[3] != 8:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, _ct, _d, rows = decoded
+                bgr, bgg, bgb = (int(v) for v in bg)
+                sr = sg = sb = sa = 0
+                for row in rows:
+                    for r, g, b, a in row:
+                        inv = 255 - a
+                        sr += (r * a + bgr * inv + 127) // 255
+                        sg += (g * a + bgg * inv + 127) // 255
+                        sb += (b * a + bgb * inv + 127) // 255
+                        sa += a
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["sum_a"].append(sa)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                    "sum_a": pd.Series(out["sum_a"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, ALPHA_STATS_SCHEMA)
 
 
 def make_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
@@ -1274,7 +1632,16 @@ def _gif_palette(i: int) -> tuple[int, int, int]:
     return (i, (i * 7) % 256, 255 - i)
 
 
-def make_gif_image(width, height, index) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF89a §20 four-pass interlace row order: rows 0,8,16,… then
+    4,12,… then 2,6,… then every odd row."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def make_gif_image(width, height, index, interlace: bool = False) -> bytes:
     """A complete, VALID GIF89a file with REAL LZW-compressed pixel data.
 
     ``index(x, y) -> palette index`` in image coordinates; the 256-entry
@@ -1284,11 +1651,14 @@ def make_gif_image(width, height, index) -> bytes:
     descriptor, LZW minimum code size byte, the code stream split into
     <=255-byte sub-blocks, block terminator, trailer. GIF's 'codec' is
     variable-width LZW — pure bit arithmetic, no library needed.
-    """
+    With ``interlace=True`` the image-descriptor interlace flag (0x40)
+    is set and the rows enter the LZW stream in the spec §20 four-pass
+    order (8/8, 8/8+4, 4/4+2, 2/2+1)."""
     import struct
 
     gct = b"".join(bytes(_gif_palette(i)) for i in range(256))
-    indices = [index(x, y) & 0xFF for y in range(height) for x in range(width)]
+    row_order = _gif_interlace_rows(height) if interlace else range(height)
+    indices = [index(x, y) & 0xFF for y in row_order for x in range(width)]
     lzw = _gif_lzw_encode(indices, 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -1301,7 +1671,7 @@ def make_gif_image(width, height, index) -> bytes:
         + gct
         + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
         + bytes((8,))  # LZW minimum code size
         + bytes(blocks)
         + b"\x00\x3b"
@@ -1314,9 +1684,10 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
     descriptor, de-sub-blocking, and variable-width LZW decompression
     (``_gif_lzw_decode``). Returns (width, height, rows) of (r, g, b)
     tuples top-down, or None outside the supported geometry (local
-    color tables, interlace, truncation — the long tail). This closes
-    the 'GIF LZW' entry of the entropy-coded gap list: LZW is
-    public-spec bit arithmetic, no codec library involved."""
+    color tables, truncation — the long tail). Handles both sequential
+    and INTERLACED (§20 four-pass) row layouts. This closes the
+    'GIF LZW' entry of the entropy-coded gap list: LZW is public-spec
+    bit arithmetic, no codec library involved."""
     import struct
 
     if len(data) < 13 or data[:6] not in (b"GIF89a", b"GIF87a"):
@@ -1344,8 +1715,9 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
     if pos >= len(data) or data[pos] != 0x2C or pos + 10 > len(data):
         return None
     _left, _top, width, height, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-    if ipacked & 0xC0 or width == 0 or height == 0:
-        return None  # local color table / interlace unsupported
+    if ipacked & 0x80 or width == 0 or height == 0:
+        return None  # local color table unsupported
+    interlaced = bool(ipacked & 0x40)
     pos += 10
     if pos >= len(data):
         return None
@@ -1365,6 +1737,12 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
         return None
     if any(i >= gct_n for i in indices):
         return None
+    if interlaced:
+        # stream row k belongs at display row _gif_interlace_rows(h)[k]
+        deinter = [None] * height
+        for k, y in enumerate(_gif_interlace_rows(height)):
+            deinter[y] = indices[k * width : (k + 1) * width]
+        indices = [v for row in deinter for v in row]
     return (
         width,
         height,
@@ -1388,6 +1766,33 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = i % 11 + 1, i * 3 % 9 + 1
                 payloads.append(
                     make_gif_image(w, h, lambda x, y, i=i: (i + 3 * x + 5 * y) % 256)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def synthesize_gif_interlaced_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid INTERLACED GIF89a files
+    (image-descriptor flag 0x40, rows LZW-encoded in the §20 four-pass
+    order), closed-form in the id: width = id%9+1, height = (id*5)%13+2
+    (≥2 rows so at least two passes carry data; up to 14 rows exercises
+    all four), palette index at (x, y) = (id + 2x + 7y) % 256."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 9 + 1, i * 5 % 13 + 2
+                payloads.append(
+                    make_gif_image(
+                        w, h, lambda x, y, i=i: (i + 2 * x + 7 * y) % 256, interlace=True
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

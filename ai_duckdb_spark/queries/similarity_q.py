@@ -21,6 +21,8 @@ from ..operators.multimodal import (
     extract_jpeg_color_pixel_stats,
     extract_jpeg_luma_stats,
     extract_pixel_stats,
+    extract_png_alpha_composite_stats,
+    extract_png_gray16_stats,
     extract_png_pixel_stats,
     extract_resized_pixel_stats,
     sample_frames,
@@ -32,9 +34,12 @@ from ..operators.multimodal import (
     synthesize_jpeg420_payloads,
     synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
+    synthesize_gif_interlaced_payloads,
+    synthesize_png_gray16_payloads,
     synthesize_png_interlaced_payloads,
     synthesize_png_palette_payloads,
     synthesize_png_payloads,
+    synthesize_png_rgba_payloads,
     synthesize_wav_pcm_payloads,
 )
 from ..tables import load
@@ -576,6 +581,140 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decodes exactly."""
     docs = load(spark, sf_dir, "documents")
     return extract_gif_pixel_stats(synthesize_gif_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_gif_interlaced_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 9 + 1 AS INTEGER)            AS width,
+               CAST((doc_id * 5) % 13 AS INTEGER) + 2     AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 2 * x.x + 7 * y.y) % 256 AS idx
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 15)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                 AS width,
+           MIN(height)                                AS height,
+           CAST(count(*) AS BIGINT)                   AS n_pixels,
+           CAST(sum(idx) AS BIGINT)                   AS sum_r,
+           CAST(sum((idx * 7) % 256) AS BIGINT)       AS sum_g,
+           CAST(sum(255 - idx) AS BIGINT)             AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED-GIF pixel decode (X9, late r7): payloads set the
+    image-descriptor interlace flag and LZW-encode their rows in the
+    GIF89a §20 four-pass order (0,8,…; 4,12,…; 2,6,…; odd rows), and the
+    Spark side decodes + DE-INTERLACES executor-side
+    (operators/multimodal.py decode_gif_pixels interlace branch).
+    Heights span 2–14 rows so fixtures exercise one through all four
+    passes. The channel sums are row-position-sensitive (idx depends on
+    y), so a hash match proves the de-interlace permutation exactly —
+    this retires the 'interlaced GIF' line of the documented out-of-scope
+    tail."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_gif_pixel_stats(synthesize_gif_interlaced_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_png_gray16_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 13 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 7) % 9 AS INTEGER) + 1  AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id * 131 + 257 * x.x + 263 * y.y) % 65536 AS v
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 13)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 9)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)               AS width,
+           MIN(height)              AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT)   AS sum_v,
+           CAST(min(v) AS BIGINT)   AS min_v,
+           CAST(max(v) AS BIGINT)   AS max_v
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_gray16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT GREYSCALE PNG decode (X9, late r7): payloads are valid
+    color-type-0 depth-16 PNGs — big-endian two-byte samples, scanline
+    filters cycling ALL FIVE spec types with bpp=2 so the byte-level
+    filter arithmetic spans sample halves — decoded executor-side by the
+    generalized sample decoder (operators/multimodal.py
+    decode_png_samples). Sample values span the full 16-bit range, so a
+    decoder that truncates to 8 bits or reads little-endian cannot hash-
+    match; this retires the '16-bit PNG' line of the documented
+    out-of-scope tail. min/max outputs additionally pin per-pixel values,
+    not just sums."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_png_gray16_stats(synthesize_png_gray16_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_png_alpha_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 10 + 1 AS INTEGER)        AS width,
+               CAST((doc_id * 3) % 11 AS INTEGER) + 1  AS height,
+               (doc_id * 13 + 7) % 256                 AS bg_r,
+               (doc_id * 17 + 11) % 256                AS bg_g,
+               (doc_id * 19 + 23) % 256                AS bg_b
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id + 5 * x.x) % 256               AS r,
+               (d.doc_id + 7 * y.y) % 256               AS g,
+               (d.doc_id + 3 * x.x + 2 * y.y) % 256     AS b,
+               (d.doc_id * 11 + 17 * x.x + 29 * y.y) % 256 AS a,
+               d.bg_r, d.bg_g, d.bg_b
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 10)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 11)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                AS width,
+           MIN(height)               AS height,
+           CAST(count(*) AS BIGINT)  AS n_pixels,
+           CAST(sum((r * a + bg_r * (255 - a) + 127) // 255) AS BIGINT) AS sum_r,
+           CAST(sum((g * a + bg_g * (255 - a) + 127) // 255) AS BIGINT) AS sum_g,
+           CAST(sum((b * a + bg_b * (255 - a) + 127) // 255) AS BIGINT) AS sum_b,
+           CAST(sum(a) AS BIGINT)    AS sum_a
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_alpha_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGBA PNG decode + ALPHA COMPOSITE (X9, late r7): payloads are
+    valid color-type-6 PNGs (four-channel scanlines, all five filters at
+    bpp=4) decoded by the generalized sample decoder, then source-over
+    composited onto a per-row closed-form background with the exact
+    integer blend ``(c*a + bg*(255-a) + 127) // 255`` — the normalize-
+    transparency step a training-image pipeline runs before feature
+    extraction. The oracle replays the identical blend per pixel in SQL
+    (DuckDB ``//`` and Python ``//`` agree on non-negative ints), so a
+    hash match proves the four-channel unfilter AND the compositing
+    arithmetic; retires the 'alpha PNG' line of the out-of-scope tail."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_png_alpha_composite_stats(synthesize_png_rgba_payloads(docs, "doc_id"))
 
 
 @register(

@@ -131,6 +131,14 @@ _POST_FREEZE = {
     "multimodal_adpcm_sample_stats",
     "multimodal_resize_stats",
     "multimodal_binary_ingest",
+    # late-r7 PNG variant tier (Adam7 interlace, PLTE indexed color)
+    "multimodal_png_interlaced_stats",
+    "multimodal_png_palette_stats",
+    # late-r7 PNG sample-decoder tier (16-bit greyscale, RGBA alpha
+    # composite) and interlaced GIF
+    "multimodal_png_gray16_stats",
+    "multimodal_png_alpha_stats",
+    "multimodal_gif_interlaced_stats",
 }
 
 

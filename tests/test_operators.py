@@ -687,6 +687,76 @@ class TestMultimodal:
             pos += 12 + clen
         assert multimodal.decode_png_pixels(bytes(out)) is None
 
+    def test_png_samples_all_types_and_depths(self):
+        """The generalized sample decoder roundtrips every channel-based
+        color type (grey 0, RGB 2, grey+alpha 4, RGBA 6) at depths 8 and
+        16, non-interlaced, across filter-heavy multi-row fixtures —
+        including 16-bit rows where the byte-level filters span sample
+        halves (a per-sample port would misdecode those)."""
+        import random
+
+        rng = random.Random(13)
+        for ct, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            for depth in (8, 16):
+                top = 1 << depth
+                for w, h in ((1, 1), (4, 7), (9, 3)):
+                    px = {
+                        (x, y): tuple(rng.randrange(top) for _ in range(nch))
+                        for x in range(w)
+                        for y in range(h)
+                    }
+                    data = multimodal.make_png_channels(w, h, ct, depth, lambda x, y: px[(x, y)])
+                    decoded = multimodal.decode_png_samples(data)
+                    assert decoded is not None, (ct, depth, w, h)
+                    gw, gh, gct, gd, rows = decoded
+                    assert (gw, gh, gct, gd) == (w, h, ct, depth)
+                    assert rows == [[px[(x, y)] for x in range(w)] for y in range(h)], (ct, depth)
+
+    def test_png_gray16_big_endian_pinned(self):
+        """A hand-readable 16-bit fixture pins byte order: sample 0x0102
+        must decode to 258, not 513 (little-endian) or 1/2 (truncated)."""
+        data = multimodal.make_png_channels(2, 1, 0, 16, lambda x, y: (0x0102 + x,))
+        _, _, _, _, rows = multimodal.decode_png_samples(data)
+        assert rows == [[(0x0102,), (0x0103,)]]
+
+    def test_png_alpha_composite_blend_exact(self):
+        """The integer source-over blend matches the closed form at the
+        boundary alphas: a=0 yields the background, a=255 the source,
+        and the +127 bias rounds half up (c=1, a=128, bg=0 -> (128+127)//255
+        = 1)."""
+        assert (0 * 0 + 200 * 255 + 127) // 255 == 200  # a=0 -> bg
+        assert (90 * 255 + 200 * 0 + 127) // 255 == 90  # a=255 -> src
+        assert (1 * 128 + 0 * 127 + 127) // 255 == 1
+
+    def test_gif_interlaced_roundtrip(self):
+        """Interlaced GIF decode is exact for heights that exercise one
+        through all four §20 passes (h=1: pass 1 only; h=2 adds the odd
+        pass; h=5 the 2/4 pass; h=14 all four), with row-position-
+        sensitive pixel values so any permutation error flips a value;
+        the sequential decoder still accepts non-interlaced files."""
+        for w, h in ((3, 1), (4, 2), (5, 5), (7, 9), (6, 14)):
+            data = multimodal.make_gif_image(
+                w, h, lambda x, y: (3 * x + 11 * y) % 256, interlace=True
+            )
+            decoded = multimodal.decode_gif_pixels(data)
+            assert decoded is not None, (w, h)
+            gw, gh, rows = decoded
+            assert (gw, gh) == (w, h)
+            want = [
+                [multimodal._gif_palette((3 * x + 11 * y) % 256) for x in range(w)]
+                for y in range(h)
+            ]
+            assert rows == want, (w, h)
+
+    def test_gif_interlace_row_order(self):
+        """The §20 pass table itself: 16 rows enumerate as 0,8 | 4,12 |
+        2,6,10,14 | 1,3,...,15 and form a permutation for any height."""
+        assert multimodal._gif_interlace_rows(16) == [
+            0, 8, 4, 12, 2, 6, 10, 14, 1, 3, 5, 7, 9, 11, 13, 15,
+        ]
+        for h in range(1, 40):
+            assert sorted(multimodal._gif_interlace_rows(h)) == list(range(h))
+
     def test_wav_pcm_sample_roundtrip(self):
         """PCM samples decode back exactly (including negatives); the
         header-only WAV (declared frames, no body) and non-PCM/8-bit
