@@ -2950,6 +2950,576 @@ def extract_jpeg_luma_stats(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_stats, LUMA_STATS_SCHEMA)
 
 
+# Universal 8-bit-flat Huffman table for progressive AC scans: all 255
+# symbols 0x00..0xFE at code length 8 (canonical codes 0..254; the
+# all-ones length-8 code 255 is never assigned, per the spec convention;
+# Kraft sum 255/256 < 1 so the code is valid). Progressive AC-first
+# scans need EOBn symbols (r<<4 for r=1..14) that the Annex K.5 baseline
+# table does not carry — a flat table covers every run/size pair.
+_JPEG_FLAT_BITS = (0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_FLAT_VALS = tuple(range(255))
+
+
+class _JpegBitWriter:
+    """Entropy-coded byte writer with 0xFF00 stuffing and 1-bit padding
+    at flush — one instance per progressive scan."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def make_jpeg_progressive(width, height, pixel) -> bytes:
+    """A complete, VALID PROGRESSIVE grayscale JPEG (ITU T.81 Annex G,
+    SOF2): the same quantized coefficients as ``make_jpeg_image``, but
+    delivered across FOUR spectral-selection / successive-approximation
+    scans — (1) DC first at Al=1 (arithmetic-shifted DPCM), (2) DC
+    refinement raw bits, (3) AC band 1..63 first at Al=1 with real EOBn
+    end-of-band RUN codes spanning blocks, (4) AC refinement at Al=0
+    with the correction-bit protocol (buffered BE bits attached to the
+    pending EOB run, exactly libjpeg's encoder discipline). Completing
+    all scans to Al=0 reconstructs the quantized coefficients EXACTLY,
+    so progressive decode is bit-identical to baseline decode of the
+    same image — the property the equivalence pytest and the closed-form
+    oracle both key on. ``pixel(x, y) -> luma 0..255``."""
+    import struct
+
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    img = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    for y in range(bh * 8):
+        sy = min(y, height - 1)
+        for x in range(bw * 8):
+            img[y, x] = pixel(min(x, width - 1), sy) & 0xFF
+    img -= 128.0
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    blocks: list[list[int]] = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            codes = np.rint((m @ block @ m.T) / q).astype(np.int64)
+            blocks.append([int(codes.flat[_JPEG_ZIGZAG[k]]) for k in range(64)])
+
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_FLAT_BITS, _JPEG_FLAT_VALS)
+
+    def extend_bits(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    # ---- scan 1: DC first, Ah=0, Al=1 (arithmetic shift, floor) ----
+    w1 = _JpegBitWriter()
+    prev = 0
+    for zz in blocks:
+        t = zz[0] >> 1
+        diff = t - prev
+        prev = t
+        s = abs(diff).bit_length()
+        code, length = dc_huff[s]
+        w1.put(code, length)
+        if s:
+            w1.put(extend_bits(diff, s), s)
+
+    # ---- scan 2: DC refinement, Ah=1, Al=0 (one raw bit per block) ----
+    w2 = _JpegBitWriter()
+    for zz in blocks:
+        w2.put(zz[0] & 1, 1)
+
+    # ---- scan 3: AC first, Ss=1 Se=63, Ah=0, Al=1 ----
+    w3 = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eobrun(w) -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_huff[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        run = 0
+        wrote = False
+        for k in range(1, 64):
+            t = zz[k]
+            mag = (t if t >= 0 else -t) >> 1  # point transform toward zero
+            if mag == 0:
+                run += 1
+                continue
+            flush_eobrun(w3)
+            while run > 15:
+                code, length = ac_huff[0xF0]
+                w3.put(code, length)
+                run -= 16
+            s = mag.bit_length()
+            code, length = ac_huff[(run << 4) | s]
+            w3.put(code, length)
+            w3.put(extend_bits(mag if t >= 0 else -mag, s), s)
+            run = 0
+            wrote = True
+        if run > 0 or not wrote:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun(w3)
+    flush_eobrun(w3)
+
+    # ---- scan 4: AC refinement, Ss=1 Se=63, Ah=1, Al=0 ----
+    w4 = _JpegBitWriter()
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits pending with the EOB run
+
+    def flush_eobrun_refine() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_huff[r << 4]
+            w4.put(code, length)
+            if r:
+                w4.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be_bits:
+            w4.put(b, 1)
+        be_bits.clear()
+
+    for zz in blocks:
+        absv = [0] * 64
+        eob = 0
+        for k in range(1, 64):
+            absv[k] = zz[k] if zz[k] >= 0 else -zz[k]
+            if absv[k] == 1:
+                eob = k
+        run = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                flush_eobrun_refine()
+                code, length = ac_huff[0xF0]
+                w4.put(code, length)
+                run -= 16
+                for b in br:
+                    w4.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)  # already significant: correction bit
+                continue
+            flush_eobrun_refine()
+            code, length = ac_huff[(run << 4) | 1]
+            w4.put(code, length)
+            w4.put(1 if zz[k] >= 0 else 0, 1)  # sign of the new ±1
+            for b in br:
+                w4.put(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eobrun_refine()
+    flush_eobrun_refine()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = bytes((0,)) + bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    dht_dc = bytes((0x00,)) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes((0x10,)) + bytes(_JPEG_FLAT_BITS) + bytes(_JPEG_FLAT_VALS)
+
+    def sos(ss: int, se: int, ah: int, al: int, tdc: int, tac: int) -> bytes:
+        return bytes((1, 1, (tdc << 4) | tac, ss, se, (ah << 4) | al))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC2, sof)  # SOF2: progressive DCT
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFDA, sos(0, 0, 0, 1, 0, 0)) + w1.flush()
+        + seg(0xFFDA, sos(0, 0, 1, 0, 0, 0)) + w2.flush()
+        + seg(0xFFC4, dht_ac)  # table arrives BETWEEN scans, as real encoders do
+        + seg(0xFFDA, sos(1, 63, 0, 1, 0, 0)) + w3.flush()
+        + seg(0xFFDA, sos(1, 63, 1, 0, 0, 0)) + w4.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_progressive(data: bytes):
+    """Pure numpy/stdlib FULL decode of a PROGRESSIVE (SOF2) grayscale
+    JPEG per ITU T.81 Annex G: multi-scan segment walk (DHT tables may
+    arrive between scans), spectral selection, successive approximation
+    — DC first scans at any Al (coefficient = accumulated DPCM << Al),
+    DC refinement bits, AC first scans with EOBn end-of-band runs
+    spanning blocks, and AC refinement scans with the correction-bit
+    protocol (every nonzero-history coefficient in an EOB-run block
+    still consumes its correction bit — the part naive decoders skip).
+    Finishes with the same batched dequant + de-zig-zag + IDCT as the
+    baseline core. Returns (width, height, [plane]) with the same
+    contract as ``_decode_jpeg_planes``, or None outside the supported
+    geometry (single component, 8-bit, no restart intervals)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q: dict[int, int] = {}
+    coefs: list[list[int]] | None = None  # zz vector per block, raster order
+    nblocks = 0
+    prev_dc = 0
+    eobrun = 0
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(data):
+            return None
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    return None
+                qtables[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC2:
+            nf = body[5]
+            if body[0] != 8 or nf != 1:
+                return None  # grayscale progressive only
+            height, width = struct.unpack(">HH", body[1:5])
+            cid, sampling, tq = body[6:9]
+            if sampling != 0x11:
+                return None
+            comp_q[cid] = tq
+            nblocks = ((width + 7) // 8) * ((height + 7) // 8)
+            coefs = [[0] * 64 for _ in range(nblocks)]
+        elif marker in _JPEG_SOF and marker != 0xC2:
+            return None  # baseline/extended handled elsewhere
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hufftabs[(tc, th)] = table
+                b += 17 + n
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:
+            if coefs is None:
+                return None
+            ns = body[0]
+            if ns != 1:
+                return None
+            _cs, tda = body[1], body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss > se or se > 63:
+                return None
+            scan_start = pos + 2 + seglen
+
+            bits_pos = scan_start
+            acc = nbits = 0
+
+            def read_bit():
+                nonlocal bits_pos, acc, nbits
+                if nbits == 0:
+                    if bits_pos >= len(data):
+                        return None
+                    b_ = data[bits_pos]
+                    if b_ == 0xFF:
+                        nxt = data[bits_pos + 1] if bits_pos + 1 < len(data) else 0xD9
+                        if nxt == 0x00:
+                            bits_pos += 2
+                        else:
+                            return None  # marker: stream exhausted
+                    else:
+                        bits_pos += 1
+                    acc, nbits = b_, 8
+                nbits -= 1
+                return (acc >> nbits) & 1
+
+            def read_huff(table):
+                code = 0
+                for length in range(1, 17):
+                    bit = read_bit()
+                    if bit is None:
+                        return None
+                    code = (code << 1) | bit
+                    if (length, code) in table:
+                        return table[(length, code)]
+                return None
+
+            def receive(s):
+                v = 0
+                for _ in range(s):
+                    bit = read_bit()
+                    if bit is None:
+                        return None
+                    v = (v << 1) | bit
+                return v
+
+            def receive_extend(s):
+                v = receive(s)
+                if v is None:
+                    return None
+                if s and v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                return v
+
+            if ss == 0:
+                # ---- DC scan ----
+                if se != 0:
+                    return None
+                if ah == 0:
+                    dc_tab = hufftabs.get((0, tda >> 4))
+                    if dc_tab is None:
+                        return None
+                    for zz in coefs:
+                        s = read_huff(dc_tab)
+                        if s is None or s > 11:
+                            return None
+                        diff = receive_extend(s)
+                        if diff is None:
+                            return None
+                        prev_dc += diff
+                        zz[0] = prev_dc << al
+                else:
+                    for zz in coefs:
+                        bit = read_bit()
+                        if bit is None:
+                            return None
+                        if bit:
+                            zz[0] |= 1 << al
+            else:
+                # ---- AC scan (single component, band ss..se) ----
+                ac_tab = hufftabs.get((1, tda & 0xF))
+                if ac_tab is None:
+                    return None
+                if ah == 0:
+                    eobrun = 0
+                    for zz in coefs:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = read_huff(ac_tab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        got = receive(r)
+                                        if got is None:
+                                            return None
+                                        eobrun += got
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > se:
+                                return None
+                            v = receive_extend(s)
+                            if v is None:
+                                return None
+                            zz[k] = v << al
+                            k += 1
+                else:
+                    # AC refinement (T.81 G.1.2.3 / libjpeg structure)
+                    p1, n1 = 1 << al, -(1 << al)
+                    eobrun = 0
+                    for zz in coefs:
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = read_huff(ac_tab)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 0xF
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            got = receive(r)
+                                            if got is None:
+                                                return None
+                                            eobrun += got
+                                        break
+                                    # r == 15: skip 16 zero-history coefs
+                                else:
+                                    if s != 1:
+                                        return None
+                                    bit = read_bit()
+                                    if bit is None:
+                                        return None
+                                    val = p1 if bit else n1
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        bit = read_bit()
+                                        if bit is None:
+                                            return None
+                                        if bit and (zz[k] & p1) == 0:
+                                            zz[k] += p1 if zz[k] >= 0 else n1
+                                        k += 1
+                                        continue
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if zz[k] != 0:
+                                    bit = read_bit()
+                                    if bit is None:
+                                        return None
+                                    if bit and (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else n1
+                                k += 1
+                            eobrun -= 1
+
+            # skip any padding bits, then resume the segment walk at the
+            # next marker (DHT / SOS / EOI)
+            pos = bits_pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
+        pos += 2 + seglen
+
+    if coefs is None or width is None or comp_q.get(1, 0) not in qtables:
+        return None
+    qvec = np.asarray(qtables[comp_q.get(1, 0)], dtype=np.float64)
+    m = _jpeg_dct_matrix()
+    zzidx = np.asarray(_JPEG_ZIGZAG)
+    arr = np.asarray(coefs, dtype=np.float64) * qvec[None, :]
+    flat = np.zeros_like(arr)
+    flat[:, zzidx] = arr
+    blocks = m.T @ flat.reshape(-1, 8, 8) @ m
+    pix = np.clip(np.rint(blocks + 128.0), 0, 255).astype(np.int64)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    plane = (
+        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+    return (width, height, [plane[:height, :width]])
+
+
+def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid PROGRESSIVE (SOF2)
+    grayscale JPEGs, closed-form in the id: width = id%19+1, height =
+    (id*5)%17+1, and the 8x8 block at (bx, by) is the CONSTANT even
+    value 2*((id + 5*bx + 11*by) % 128) — the same DC-only zero-loss
+    construction as the baseline luma tier, so the four-scan successive-
+    approximation pipeline reconstructs bit-exactly and the oracle can
+    recompute the stats without seeing a byte. The AC band scans are
+    pure EOBn runs over many blocks, exercising the run accounting."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 19 + 1, i * 5 % 17 + 1
+                payloads.append(
+                    make_jpeg_progressive(
+                        w, h, lambda x, y, i=i: 2 * ((i + 5 * (x // 8) + 11 * (y // 8)) % 128)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_jpeg_progressive_stats(binary_df: DataFrame) -> DataFrame:
+    """LUMA_STATS_SCHEMA stats over fully-decoded PROGRESSIVE JPEG
+    payloads (decode_jpeg_progressive), executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_luma", "min_luma", "max_luma")}
+            for payload in pdf["payload"]:
+                decoded = decode_jpeg_progressive(payload)
+                if decoded is None or len(decoded[2]) != 1:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, (plane,) = decoded
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_luma"].append(int(plane.sum()))
+                out["min_luma"].append(int(plane.min()))
+                out["max_luma"].append(int(plane.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_luma": pd.Series(out["sum_luma"], dtype="int64"),
+                    "min_luma": pd.Series(out["min_luma"], dtype="int32"),
+                    "max_luma": pd.Series(out["max_luma"], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, LUMA_STATS_SCHEMA)
+
+
 def synthesize_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload) with COMPLETE IMA ADPCM WAV files compressing
     the SAME closed-form source signal as the PCM tier (rate =

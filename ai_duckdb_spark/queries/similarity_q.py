@@ -20,6 +20,7 @@ from ..operators.multimodal import (
     extract_gif_pixel_stats,
     extract_jpeg_color_pixel_stats,
     extract_jpeg_luma_stats,
+    extract_jpeg_progressive_stats,
     extract_pixel_stats,
     extract_png_alpha_composite_stats,
     extract_png_gray16_stats,
@@ -34,6 +35,7 @@ from ..operators.multimodal import (
     synthesize_jpeg420_payloads,
     synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
+    synthesize_jpeg_progressive_payloads,
     synthesize_gif_interlaced_payloads,
     synthesize_png_gray16_payloads,
     synthesize_png_interlaced_payloads,
@@ -870,6 +872,53 @@ def multimodal_jpeg_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT/Huffman arithmetic is the spec's own."""
     docs = load(spark, sf_dir, "documents")
     return extract_jpeg_luma_stats(synthesize_jpeg_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_jpeg_progressive_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 19 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 5) % 17 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height,
+               2 * ((d.doc_id + 5 * (x.x // 8) + 11 * (y.y // 8)) % 128) AS v
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 19)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 17)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                  AS width,
+           MIN(height)                 AS height,
+           CAST(count(*) AS BIGINT)    AS n_pixels,
+           CAST(sum(v) AS BIGINT)      AS sum_luma,
+           CAST(min(v) AS INTEGER)     AS min_luma,
+           CAST(max(v) AS INTEGER)     AS max_luma
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (X9, late r7 — retiring the LAST image
+    line of the documented out-of-scope tail): payloads are complete
+    valid SOF2 JPEGs whose coefficients arrive across FOUR spectral-
+    selection / successive-approximation scans (DC first at Al=1, DC
+    refinement bits, AC band 1-63 first with cross-block EOBn runs, AC
+    refinement with the correction-bit protocol), decoded executor-side
+    by a real multi-scan Annex G decoder (operators/multimodal.py
+    decode_jpeg_progressive) inside mapInPandas. The DC-only zero-loss
+    fixture construction makes the full four-scan pipeline bit-exact and
+    oracle-checkable; generality on AC-bearing content is pinned by the
+    progressive-equals-baseline equivalence pytest (identical pixels on
+    random images, gradients and checkerboards — which exercises EOBn,
+    ZRL and refinement correction bits for real)."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_jpeg_progressive_stats(
+        synthesize_jpeg_progressive_payloads(docs, "doc_id")
+    )
 
 
 _MEDIA_DIRS: dict[str, str] = {}

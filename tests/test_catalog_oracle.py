@@ -139,6 +139,8 @@ _POST_FREEZE = {
     "multimodal_png_gray16_stats",
     "multimodal_png_alpha_stats",
     "multimodal_gif_interlaced_stats",
+    # late-r7 progressive (SOF2) JPEG tier
+    "multimodal_jpeg_progressive_stats",
 }
 
 

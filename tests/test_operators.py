@@ -757,6 +757,60 @@ class TestMultimodal:
         for h in range(1, 40):
             assert sorted(multimodal._gif_interlace_rows(h)) == list(range(h))
 
+    def test_jpeg_progressive_equals_baseline(self):
+        """The progressive (SOF2) pipeline is LOSSLESS w.r.t. the
+        quantized coefficients once all four scans complete to Al=0, so
+        progressive decode must be pixel-identical to baseline decode of
+        the same image — on random AC-rich content this exercises EOBn
+        runs spanning blocks, ZRL inside refinement, and the
+        correction-bit protocol (buffered BE bits)."""
+        import random
+
+        import numpy as np  # noqa: F401
+
+        rng = random.Random(41)
+        for _ in range(6):
+            w, h = rng.randrange(1, 40), rng.randrange(1, 33)
+            px = {(x, y): rng.randrange(256) for x in range(w) for y in range(h)}
+            base = multimodal._decode_jpeg_planes(
+                multimodal.make_jpeg_image(w, h, lambda x, y: px[(x, y)])
+            )
+            prog = multimodal.decode_jpeg_progressive(
+                multimodal.make_jpeg_progressive(w, h, lambda x, y: px[(x, y)])
+            )
+            assert base is not None and prog is not None, (w, h)
+            assert (base[2][0] == prog[2][0]).all(), (w, h)
+        # long EOB runs (smooth gradient) and dense AC (checkerboard)
+        for f in (lambda x, y: (2 * x + 3 * y) % 256, lambda x, y: 255 * ((x + y) % 2)):
+            base = multimodal._decode_jpeg_planes(multimodal.make_jpeg_image(31, 27, f))
+            prog = multimodal.decode_jpeg_progressive(
+                multimodal.make_jpeg_progressive(31, 27, f)
+            )
+            assert (base[2][0] == prog[2][0]).all()
+
+    def test_jpeg_progressive_dc_only_exact(self):
+        """Per-block-constant even-valued fixtures reconstruct bit-
+        exactly through the four-scan successive-approximation pipeline
+        (the catalog entry's zero-loss construction); each decoder
+        rejects the other's SOF marker rather than misdecoding."""
+        import numpy as np
+
+        for i in (0, 7, 42, 133):
+            w, h = i % 19 + 1, i * 5 % 17 + 1
+            f = lambda x, y, i=i: 2 * ((i + 5 * (x // 8) + 11 * (y // 8)) % 128)
+            got = multimodal.decode_jpeg_progressive(multimodal.make_jpeg_progressive(w, h, f))
+            assert got is not None, i
+            gw, gh, (plane,) = got
+            assert (gw, gh) == (w, h)
+            want = np.array([[f(x, y) for x in range(w)] for y in range(h)])
+            assert (plane == want).all(), i
+        assert multimodal._decode_jpeg_planes(
+            multimodal.make_jpeg_progressive(8, 8, lambda x, y: 100)
+        ) is None
+        assert multimodal.decode_jpeg_progressive(
+            multimodal.make_jpeg_image(8, 8, lambda x, y: 100)
+        ) is None
+
     def test_wav_pcm_sample_roundtrip(self):
         """PCM samples decode back exactly (including negatives); the
         header-only WAV (declared frames, no body) and non-PCM/8-bit
