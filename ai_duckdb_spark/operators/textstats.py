@@ -307,3 +307,78 @@ def rolling_fingerprint(text_col: str = "text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + word_val(t)) % FINGERPRINT_PRIME,
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 4,
+) -> DataFrame:
+    """CORPUS-level boilerplate n-gram detection — the cross-document
+    template-removal signal a pretraining pipeline runs next to the
+    per-document Gopher rules (RefinedWeb "line-wise dedup" / CCNet
+    boilerplate, adapted to n-gram granularity since the fixture docs
+    are single-line): an n-gram is BOILERPLATE when it occurs in >=
+    ``min_df`` distinct documents, and each document reports how much of
+    it is covered by such shared grams.
+
+    Returns (id, n_grams, n_boiler, n_boiler_distinct) — all integers,
+    bit-identical cross-engine; consumers derive the boilerplate ratio
+    as n_boiler/n_grams.
+
+    Scale shape (100 TB): one explode feeds ONE groupBy(gram) shuffle
+    with map-side partial distinct-accumulation; the surviving
+    boilerplate set is SMALL BY CONSTRUCTION (these are the corpus heavy
+    hitters — df >= min_df caps its size at total_grams/min_df and in
+    practice template text is a tiny distinct set), so it BROADCASTS
+    back onto the exploded grams (left-semi, no second gram shuffle).
+    The per-doc rollup shuffles ~1 row per matched doc because the
+    explode keeps a document's grams contiguous, so partial aggregation
+    collapses them before the exchange. No pairwise doc×doc work
+    anywhere — corpus-frequency is the blocking structure, the same
+    discipline as the dedup tiers (operators/dedup.py).
+    """
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    # sequence(1, k) DESCENDS when k < 1 (Spark semantics) — guard short docs
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(
+        F.col(id_col),
+        F.greatest(sz - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+        grams.alias("__grams"),
+    )
+    exploded = base.select(F.col(id_col), F.explode("__grams").alias("__gram"))
+    boiler = (
+        exploded.groupBy("__gram")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__gram")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(boiler), "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_boiler"),
+            F.countDistinct("__gram").alias("n_boiler_distinct"),
+        )
+    )
+    return (
+        base.select(F.col(id_col), "n_grams")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.coalesce(F.col("n_boiler_distinct"), F.lit(0))
+            .cast("long")
+            .alias("n_boiler_distinct"),
+        )
+    )

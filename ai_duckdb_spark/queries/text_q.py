@@ -616,3 +616,47 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import topk_tokens_stream
 
     return topk_tokens_stream(spark, sf_dir, k=10)
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+        FROM toks, unnest(generate_series(1, len(l) - 2)) r(i)
+    ),
+    boiler AS (
+        SELECT gram
+        FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY gram)
+        WHERE c >= 4
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*)              AS n_boiler,
+               count(DISTINCT g.gram) AS n_boiler_distinct
+        FROM grams g JOIN boiler USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.l) - 2, 0) AS BIGINT)       AS n_grams,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT)         AS n_boiler,
+           CAST(COALESCE(p.n_boiler_distinct, 0) AS BIGINT) AS n_boiler_distinct
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level boilerplate trigram coverage (X8 beyond the
+    reference — the RefinedWeb/CCNet cross-document template-removal
+    signal, at n-gram granularity since fixture docs are single-line):
+    a trigram occurring in >=4 distinct documents is boilerplate; each
+    document reports total trigram positions, boilerplate-covered
+    positions, and distinct boilerplate grams. Integer-only outputs.
+    Scale shape: one groupBy(gram) shuffle builds the doc-frequency
+    set, which is heavy-hitter-small by construction and BROADCASTS
+    back (left-semi) — no second gram shuffle, no doc×doc pairs
+    (operators/textstats.py boilerplate_ngram_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.boilerplate_ngram_stats(docs, "doc_id", "text", n=3, min_df=4)

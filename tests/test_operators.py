@@ -403,6 +403,38 @@ class TestTextstats:
         assert by_id[1].roll != by_id[2].roll  # rolling is order-sensitive
         assert by_id[1].roll == by_id[3].roll  # and deterministic
 
+    def test_boilerplate_ngrams_crafted(self, spark):
+        """Corpus-level boilerplate trigrams: 'a b c' occurs in 4 docs
+        (= min_df) so it is boilerplate; doc 1 has it twice (repeat
+        counted in n_boiler, once in n_boiler_distinct); docs shorter
+        than 3 tokens report zero grams; a doc with no boilerplate
+        reports zeros through the left join."""
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d a b c"),   # grams: abc, bcd, cda, dab, abc
+                (2, "a b c x"),
+                (3, "z a b c"),
+                (4, "a b c"),
+                (5, "q w e r t"),       # no shared grams
+                (6, "a b"),             # too short
+            ],
+            "doc_id INT, text STRING",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.n_boiler, r.n_boiler_distinct)
+            for r in textstats.boilerplate_ngram_stats(
+                docs, "doc_id", "text", n=3, min_df=4
+            ).collect()
+        }
+        assert got == {
+            1: (5, 2, 1),
+            2: (2, 1, 1),
+            3: (2, 1, 1),
+            4: (1, 1, 1),
+            5: (3, 0, 0),
+            6: (0, 0, 0),
+        }
+
     def test_sessionize_gap_rule(self, spark):
         ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
         df = spark.createDataFrame(
