@@ -1180,6 +1180,155 @@ def decode_wav_samples(data: bytes) -> tuple[int, list[int]] | None:
     return None
 
 
+def ulaw_decode_sample(b: int) -> int:
+    """G.711 µ-law byte → linear PCM (±32124): bitwise complement, then
+    magnitude ((mant·8 + 0x84) << exp) − 0x84 with the 0x80 sign bit."""
+    b = ~b & 0xFF
+    exp = (b >> 4) & 7
+    x = ((((b & 0x0F) << 3) + 0x84) << exp) - 0x84
+    return -x if b & 0x80 else x
+
+
+def alaw_decode_sample(b: int) -> int:
+    """G.711 A-law byte → linear PCM (±32256): XOR 0x55 toggle-mask,
+    then exp-0 is (mant·16 + 8), otherwise ((mant·16 + 0x108) << (exp−1))."""
+    b ^= 0x55
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return -x if b & 0x80 else x
+
+
+def make_wav_g711(sample_rate: int, codec: str, raw: bytes) -> bytes:
+    """A complete RIFF/WAVE file in G.711 companded format — wFormatTag
+    0x07 (µ-law) or 0x06 (A-law), mono, 8 bits/sample — carrying ``raw``
+    companded bytes, plus the 'fact' chunk compressed formats require."""
+    import struct
+
+    tag = 0x07 if codec == "ulaw" else 0x06
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(raw))
+    data = raw + (b"\x00" if len(raw) % 2 else b"")
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(raw)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_g711(data: bytes) -> tuple[int, str, list[int]] | None:
+    """Full decode of a mono G.711 WAV: RIFF chunk walk, fmt parse
+    (wFormatTag 0x06/0x07, 8-bit), then per-byte µ-law/A-law expansion
+    to linear PCM. Returns (sample_rate, 'ulaw'|'alaw', samples) or
+    None outside the supported geometry. The companding curves are
+    public-spec integer bit arithmetic (ITU G.711 tables) — the
+    telephony cousin of the ADPCM tier."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt_info = 12, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            if audio_fmt not in (0x06, 0x07) or channels != 1 or bits != 8:
+                return None
+            fmt_info = (audio_fmt, rate)
+        elif cid == b"data":
+            if fmt_info is None or pos + 8 + size > len(data):
+                return None
+            dec = ulaw_decode_sample if fmt_info[0] == 0x07 else alaw_decode_sample
+            codec = "ulaw" if fmt_info[0] == 0x07 else "alaw"
+            return (fmt_info[1], codec, [dec(b) for b in data[pos + 8 : pos + 8 + size]])
+        pos += 8 + size + (size % 2)
+    return None
+
+
+def synthesize_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE mono G.711 WAV files — even ids
+    µ-law (0x07), odd ids A-law (0x06) — carrying closed-form companded
+    bytes: rate = RATES[id % 4], n = id % 150 + 1, byte[j] =
+    (id*37 + j*11) % 256. The oracle replays the G.711 expansion curve
+    per byte in SQL, so a hash match proves the bit arithmetic of both
+    companding laws."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 150 + 1
+                raw = bytes((i * 37 + j * 11) % 256 for j in range(n))
+                payloads.append(
+                    make_wav_g711(
+                        _SYNTH_RATES[i % 4], "ulaw" if i % 2 == 0 else "alaw", raw
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+    ]
+)
+
+
+def extract_g711_sample_stats(binary_df: DataFrame) -> DataFrame:
+    """Amplitude stats over fully-decoded G.711 payloads (both
+    companding laws), executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("codec", "sample_rate", "n_samples", "sum_amp", "min_amp", "max_amp")}
+            for payload in pdf["payload"]:
+                decoded = decode_wav_g711(payload)
+                if decoded is None or not decoded[2]:
+                    out["codec"].append("")
+                    out["sample_rate"].append(0)
+                    for k in ("n_samples", "sum_amp", "min_amp", "max_amp"):
+                        out[k].append(0)
+                    continue
+                rate, codec, samples = decoded
+                out["codec"].append(codec)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_amp"].append(sum(samples))
+                out["min_amp"].append(min(samples))
+                out["max_amp"].append(max(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "codec": out["codec"],
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "sum_amp": pd.Series(out["sum_amp"], dtype="int64"),
+                    "min_amp": pd.Series(out["min_amp"], dtype="int32"),
+                    "max_amp": pd.Series(out["max_amp"], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, G711_STATS_SCHEMA)
+
+
 AUDIO_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

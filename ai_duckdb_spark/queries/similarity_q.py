@@ -17,6 +17,7 @@ from ..operators.multimodal import (
     extract_image_headers,
     extract_adpcm_sample_stats,
     extract_audio_sample_stats,
+    extract_g711_sample_stats,
     extract_gif_pixel_stats,
     extract_jpeg_color_pixel_stats,
     extract_jpeg_luma_stats,
@@ -36,6 +37,7 @@ from ..operators.multimodal import (
     synthesize_jpeg_color_payloads,
     synthesize_jpeg_payloads,
     synthesize_jpeg_progressive_payloads,
+    synthesize_g711_payloads,
     synthesize_gif_interlaced_payloads,
     synthesize_png_gray16_payloads,
     synthesize_png_interlaced_payloads,
@@ -1305,6 +1307,68 @@ def multimodal_adpcm_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     library."""
     docs = load(spark, sf_dir, "documents")
     return extract_adpcm_sample_stats(synthesize_adpcm_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_g711_sample_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END     AS sample_rate,
+               CAST(doc_id % 150 + 1 AS BIGINT)                     AS n
+        FROM documents
+    ),
+    raw AS (
+        SELECT d.doc_id, d.codec, d.sample_rate, d.n,
+               (d.doc_id * 37 + j.j * 11) % 256 AS v
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 150)) AS j) j ON j.j < d.n
+    ),
+    amp AS (
+        SELECT doc_id, codec, sample_rate, n,
+               CASE WHEN codec = 'ulaw' THEN
+                 CASE WHEN ((255 - v) // 128) % 2 = 1
+                      THEN -(((((255 - v) % 16) * 8 + 132) << (((255 - v) // 16) % 8)) - 132)
+                      ELSE  ((((255 - v) % 16) * 8 + 132) << (((255 - v) // 16) % 8)) - 132 END
+               ELSE
+                 CASE WHEN (xor(v, 85) // 128) % 2 = 1
+                      THEN -(CASE WHEN (xor(v, 85) // 16) % 8 = 0
+                                  THEN (xor(v, 85) % 16) * 16 + 8
+                                  ELSE ((xor(v, 85) % 16) * 16 + 264) << ((xor(v, 85) // 16) % 8 - 1) END)
+                      ELSE  CASE WHEN (xor(v, 85) // 16) % 8 = 0
+                                 THEN (xor(v, 85) % 16) * 16 + 8
+                                 ELSE ((xor(v, 85) % 16) * 16 + 264) << ((xor(v, 85) // 16) % 8 - 1) END
+                 END
+               END AS a
+        FROM raw
+    )
+    SELECT doc_id,
+           MIN(codec)                          AS codec,
+           CAST(MIN(sample_rate) AS INTEGER)   AS sample_rate,
+           MIN(n)                              AS n_samples,
+           CAST(sum(a) AS BIGINT)              AS sum_amp,
+           CAST(min(a) AS INTEGER)             AS min_amp,
+           CAST(max(a) AS INTEGER)             AS max_amp
+    FROM amp
+    GROUP BY doc_id
+    """,
+)
+def multimodal_g711_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 COMPANDED audio decode (X9, late r7): payloads are complete
+    mono WAV files in the two telephony companding formats — wFormatTag
+    0x07 µ-law (even ids) and 0x06 A-law (odd ids) — and the Spark side
+    walks the RIFF chunks and expands every companded byte to linear PCM
+    with the public-spec G.711 bit arithmetic
+    (operators/multimodal.py decode_wav_g711), executor-side in
+    mapInPandas. The companded bytes are closed-form in doc_id and the
+    oracle REPLAYS both expansion curves per byte in SQL (complement /
+    XOR-0x55, exponent-shifted mantissa, sign fold — validated against
+    all 256 byte values), so a hash match proves both companding laws
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_g711_sample_stats(synthesize_g711_payloads(docs, "doc_id"))
 
 
 @register(

@@ -141,6 +141,8 @@ _POST_FREEZE = {
     "multimodal_gif_interlaced_stats",
     # late-r7 progressive (SOF2) JPEG tier
     "multimodal_jpeg_progressive_stats",
+    # late-r7 G.711 companded-audio tier
+    "multimodal_g711_sample_stats",
 }
 
 

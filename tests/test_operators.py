@@ -843,6 +843,31 @@ class TestMultimodal:
             multimodal.make_jpeg_image(8, 8, lambda x, y: 100)
         ) is None
 
+    def test_g711_decode_pinned(self):
+        """G.711 expansion curves pinned at the spec landmarks: µ-law
+        0xFF (complement 0) is +0, 0x7F is -0 ... both laws cover all
+        256 bytes with the documented peak magnitudes and odd symmetry
+        (the complement/XOR sign fold), and the WAV walk roundtrips the
+        codec tag and every decoded amplitude."""
+        u = [multimodal.ulaw_decode_sample(b) for b in range(256)]
+        a = [multimodal.alaw_decode_sample(b) for b in range(256)]
+        assert (min(u), max(u)) == (-32124, 32124)
+        assert (min(a), max(a)) == (-32256, 32256)
+        assert u[0xFF] == 0 and u[0x7F] == 0  # ±zero codes
+        assert u[0x00] == -32124 and u[0x80] == 32124
+        # odd symmetry: byte with sign bit flipped decodes to -value
+        assert all(u[b] == -u[b ^ 0x80] for b in range(256))
+        assert all(a[b] == -a[b ^ 0x80] for b in range(256))
+        raw = bytes(range(256))
+        for codec, table in (("ulaw", u), ("alaw", a)):
+            wav = multimodal.make_wav_g711(8000, codec, raw)
+            rate, got_codec, samples = multimodal.decode_wav_g711(wav)
+            assert (rate, got_codec) == (8000, codec)
+            assert samples == table
+        # PCM tier rejects companded files and vice versa
+        assert multimodal.decode_wav_samples(multimodal.make_wav_g711(8000, "ulaw", raw)) is None
+        assert multimodal.decode_wav_g711(multimodal.make_wav_pcm(8000, [1, -1])) is None
+
     def test_wav_pcm_sample_roundtrip(self):
         """PCM samples decode back exactly (including negatives); the
         header-only WAV (declared frames, no body) and non-PCM/8-bit
