@@ -3785,6 +3785,193 @@ def extract_resized_pixel_stats(
     return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
+def make_avi_mjpeg(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+    """A complete, VALID AVI container (RIFF 'AVI ') carrying an MJPEG
+    video stream: LIST hdrl with a real 56-byte avih main header and a
+    LIST strl ('vids'/'MJPG' strh + BITMAPINFOHEADER strf with
+    biCompression 'MJPG'), then LIST movi with one '00dc' chunk per
+    frame (word-aligned, per the RIFF padding rule), each chunk a
+    complete baseline JPEG. This is the container real MJPEG AVIs use —
+    frame extraction = chunk walk + the JPEG tier's codec."""
+    import struct
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII16x",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0x10,        # max bytes/sec, padding, flags (HASINDEX off, interleaved)
+        len(frames), 0, 1, 0,
+        width, height,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,
+        1, fps,            # scale, rate -> fps
+        0, len(frames), 0, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list] | None:
+    """Pure numpy/stdlib FULL decode of an MJPEG AVI: RIFF walk
+    ('AVI ' form, LIST hdrl → avih dims + 'vids'/'MJPG' stream headers,
+    LIST movi → '00dc' frame chunks with word-alignment padding), then
+    each frame through the baseline JPEG core
+    (``_decode_jpeg_planes``). Returns (width, height, [luma plane per
+    frame]) or None outside the supported geometry (non-MJPG streams,
+    missing headers, frame/header dimension mismatch). Video decode is
+    exactly container walk + per-frame image codec — both already
+    public-spec tiers of this module."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                return
+            yield cid, body
+            pos += 8 + size + (size % 2)
+
+    width = height = None
+    is_mjpg = False
+    frames: list[bytes] = []
+    for cid, body in walk(data[12 : 8 + struct.unpack("<I", data[4:8])[0]]):
+        if cid != b"LIST":
+            continue
+        ltype, payload = body[:4], body[4:]
+        if ltype == b"hdrl":
+            for cid2, body2 in walk(payload):
+                if cid2 == b"avih" and len(body2) >= 40:
+                    width, height = struct.unpack("<II", body2[32:40])
+                elif cid2 == b"LIST" and body2[:4] == b"strl":
+                    for cid3, body3 in walk(body2[4:]):
+                        if cid3 == b"strh" and len(body3) >= 8:
+                            if body3[:4] == b"vids" and body3[4:8] == b"MJPG":
+                                is_mjpg = True
+                        elif cid3 == b"strf" and len(body3) >= 20:
+                            if body3[16:20] != b"MJPG":
+                                return None
+        elif ltype == b"movi":
+            for cid2, body2 in walk(payload):
+                if cid2[2:] == b"dc":
+                    frames.append(body2)
+    if width is None or not is_mjpg or not frames:
+        return None
+    planes = []
+    for f in frames:
+        decoded = _decode_jpeg_planes(f)
+        if decoded is None or len(decoded[2]) != 1 or decoded[:2] != (width, height):
+            return None
+        planes.append(decoded[2][0])
+    return (width, height, planes)
+
+
+def synthesize_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid MJPEG AVI files, closed-form
+    in the id: n_frames = id%5+1, width = id%14+1, height = (id*3)%12+1,
+    and frame f's 8x8 block at (bx, by) is the constant even value
+    2*((id + 13*f + 3*bx + 7*by) % 128) — the zero-loss JPEG fixture
+    construction, per frame, inside a real AVI container."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 14 + 1, i * 3 % 12 + 1
+                frames = [
+                    make_jpeg_image(
+                        w,
+                        h,
+                        lambda x, y, i=i, f=f: 2
+                        * ((i + 13 * f + 3 * (x // 8) + 7 * (y // 8)) % 128),
+                    )
+                    for f in range(i % 5 + 1)
+                ]
+                payloads.append(make_avi_mjpeg(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("min_luma", T.IntegerType()),
+        T.StructField("max_luma", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_frame_stats(binary_df: DataFrame) -> DataFrame:
+    """Per-FRAME luma stats over fully-decoded MJPEG AVI payloads: one
+    input video row fans out to n_frames output rows inside mapInPandas
+    (the keyframe-extraction relation of a video training pipeline —
+    the fan-out never touches the driver), each frame decoded by the
+    real container+codec walk (``decode_avi_mjpeg``)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums, mins, maxs = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_avi_mjpeg(payload)
+                if decoded is None:
+                    continue
+                w, h, planes = decoded
+                for f, plane in enumerate(planes):
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(plane.sum()))
+                    mins.append(int(plane.min()))
+                    maxs.append(int(plane.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sum_luma": pd.Series(sums, dtype="int64"),
+                    "min_luma": pd.Series(mins, dtype="int32"),
+                    "max_luma": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, VIDEO_FRAME_SCHEMA)
+
+
 def sample_frames(binary_df: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
     """Every-``every``-th fixed-size frame of a packed video payload.
 

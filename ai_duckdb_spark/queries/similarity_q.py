@@ -27,7 +27,9 @@ from ..operators.multimodal import (
     extract_png_gray16_stats,
     extract_png_pixel_stats,
     extract_resized_pixel_stats,
+    extract_video_frame_stats,
     sample_frames,
+    synthesize_avi_payloads,
     synthesize_adpcm_payloads,
     synthesize_audio_payloads,
     synthesize_bmp_payloads,
@@ -1369,6 +1371,52 @@ def multimodal_g711_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     docs = load(spark, sf_dir, "documents")
     return extract_g711_sample_stats(synthesize_g711_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_video_mjpeg_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 14 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 12 AS INTEGER) + 1 AS height,
+               CAST(doc_id % 5 + 1 AS INTEGER)        AS n_frames
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height, f.f AS frame_idx,
+               2 * ((d.doc_id + 13 * f.f + 3 * (x.x // 8) + 7 * (y.y // 8)) % 128) AS v
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 5)) AS f) f ON f.f < d.n_frames
+        JOIN (SELECT unnest(range(0, 14)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 12)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           MIN(width)                 AS width,
+           MIN(height)                AS height,
+           CAST(sum(v) AS BIGINT)     AS sum_luma,
+           CAST(min(v) AS INTEGER)    AS min_luma,
+           CAST(max(v) AS INTEGER)    AS max_luma
+    FROM px
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO decode (X9, late r7 — upgrading the fixed-stride
+    frame-sample shape to a REAL container + codec): payloads are
+    complete valid MJPEG AVI files (RIFF 'AVI ' with a 56-byte avih
+    main header, 'vids'/'MJPG' strh + MJPG BITMAPINFOHEADER strf, and a
+    LIST movi of word-aligned '00dc' chunks, each a complete baseline
+    JPEG), and the Spark side walks the container and decodes EVERY
+    frame through the JPEG tier's Huffman+IDCT core executor-side,
+    fanning one video row out to n_frames per-frame rows inside
+    mapInPandas (operators/multimodal.py decode_avi_mjpeg) — the
+    keyframe-extraction relation of a video training pipeline. The
+    per-frame zero-loss JPEG fixture construction keeps the whole
+    container+codec walk bit-exact and oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_video_frame_stats(synthesize_avi_payloads(docs, "doc_id"))
 
 
 @register(

@@ -143,6 +143,8 @@ _POST_FREEZE = {
     "multimodal_jpeg_progressive_stats",
     # late-r7 G.711 companded-audio tier
     "multimodal_g711_sample_stats",
+    # late-r7 MJPEG AVI video-container tier
+    "multimodal_video_mjpeg_stats",
 }
 
 

@@ -843,6 +843,39 @@ class TestMultimodal:
             multimodal.make_jpeg_image(8, 8, lambda x, y: 100)
         ) is None
 
+    def test_avi_mjpeg_roundtrip(self):
+        """MJPEG AVI container walk + per-frame JPEG decode is exact on
+        the zero-loss fixture construction; a non-MJPG fourcc in the
+        stream format header is rejected rather than misdecoded."""
+        import numpy as np
+
+        for i in (0, 3, 17, 123):
+            w, h, nf = i % 14 + 1, i * 3 % 12 + 1, i % 5 + 1
+            frames = [
+                multimodal.make_jpeg_image(
+                    w, h, lambda x, y, f=f: 2 * ((i + 13 * f + 3 * (x // 8) + 7 * (y // 8)) % 128)
+                )
+                for f in range(nf)
+            ]
+            got = multimodal.decode_avi_mjpeg(multimodal.make_avi_mjpeg(w, h, frames))
+            assert got is not None, i
+            gw, gh, planes = got
+            assert (gw, gh, len(planes)) == (w, h, nf)
+            for f, plane in enumerate(planes):
+                want = np.array(
+                    [
+                        [2 * ((i + 13 * f + 3 * (x // 8) + 7 * (y // 8)) % 128) for x in range(w)]
+                        for y in range(h)
+                    ]
+                )
+                assert (plane == want).all(), (i, f)
+        bad = bytearray(
+            multimodal.make_avi_mjpeg(4, 4, [multimodal.make_jpeg_image(4, 4, lambda x, y: 100)])
+        )
+        idx = bytes(bad).find(b"MJPG")
+        bad[idx : idx + 4] = b"H264"
+        assert multimodal.decode_avi_mjpeg(bytes(bad)) is None
+
     def test_g711_decode_pinned(self):
         """G.711 expansion curves pinned at the spec landmarks: µ-law
         0xFF (complement 0) is +0, 0x7F is -0 ... both laws cover all
