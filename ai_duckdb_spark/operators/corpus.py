@@ -284,3 +284,79 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         ok_rep.alias("ok_repetition"),
         (ok_count & ok_len & ok_stop & ok_rep).alias("passes_all"),
     )
+
+
+def dsir_importance_select(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its n-gram distribution is, then keep the top ``k``.
+    ``target`` is a boolean column marking the in-distribution slice
+    (e.g. ``F.col("lang") == "en"``); features are word BIGRAMS.
+
+    Instead of the paper's log-ratio of hashed-multinomial likelihoods
+    (float folds diverge cross-engine), the score keeps the repo's
+    integer-exactness discipline: per document, ``sum_target`` / ``sum_raw``
+    are the INTEGER sums of corpus-wide target / overall frequencies of
+    the doc's bigram occurrences, and ``importance`` is the ONE IEEE
+    division sum_target/sum_raw — monotone in the average target-share
+    of the doc's grams, bit-identical cross-engine. Deterministic
+    (importance DESC, id ASC) tiebreak.
+
+    Scale shape (100 TB): ONE groupBy(gram) shuffle builds both counts
+    (conditional agg, map-side partials); with ``n_buckets`` set the
+    gram key is xxhash64-bucketed so the count table is fixed-size and
+    BROADCASTS back (the paper's hashed features — engine-internal hash,
+    so that variant is rows-only); with exact grams (oracle path) the
+    join back is a plain shuffle join and the per-doc rollup benefits
+    from explode contiguity. Top-k is TakeOrderedAndProject — no global
+    sort."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), target.alias("__target"), grams.alias("__grams"))
+    exploded = base.select(
+        F.col(id_col), "__target", F.explode("__grams").alias("__gram")
+    )
+    key = (
+        (F.xxhash64("__gram") % n_buckets).alias("__key")
+        if n_buckets
+        else F.col("__gram").alias("__key")
+    )
+    keyed = exploded.select(F.col(id_col), "__target", key)
+    counts = keyed.groupBy("__key").agg(
+        F.sum(F.when(F.col("__target"), 1).otherwise(0)).cast("long").alias("__t"),
+        F.count("*").cast("long").alias("__r"),
+    )
+    if n_buckets:
+        counts = F.broadcast(counts)
+    scored = (
+        keyed.join(counts, "__key")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("__t").cast("long").alias("sum_target"),
+            F.sum("__r").cast("long").alias("sum_raw"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "sum_target",
+            "sum_raw",
+            (F.col("sum_target") / F.col("sum_raw")).alias("importance"),
+        )
+    )
+    return scored.orderBy(F.desc("importance"), F.asc(id_col)).limit(k)

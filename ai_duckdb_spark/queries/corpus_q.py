@@ -592,3 +592,53 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "corpus_dsir_select",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, tgt, l[i] || ' ' || l[i+1] AS gram
+        FROM toks, unnest(generate_series(1, len(l) - 1)) r(i)
+    ),
+    counts AS (
+        SELECT gram,
+               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT)                             AS r
+        FROM grams GROUP BY gram
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(c.t) AS BIGINT) AS sum_target,
+               CAST(sum(c.r) AS BIGINT) AS sum_raw
+        FROM grams g JOIN counts c USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, sum_target, sum_raw,
+           sum_target / CAST(sum_raw AS DOUBLE) AS importance
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT 100
+    """,
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 — importance
+    resampling toward a target distribution, here the lang='en' slice):
+    keep the 100 documents whose bigram occurrences have the highest
+    average target-share, scored with INTEGER corpus-frequency sums and
+    one IEEE division (bit-identical cross-engine, the repo's
+    exactness discipline; the paper's hashed-multinomial log-ratio is
+    available as the xxhash64-bucketed n_buckets variant of the
+    operator — engine-internal hash, so that path stays rows-only).
+    One groupBy(gram) shuffle builds target and overall counts together
+    (conditional agg); top-k plans as TakeOrderedAndProject
+    (operators/corpus.py dsir_importance_select)."""
+    docs = load(spark, sf_dir, "documents")
+    return cp.dsir_importance_select(
+        docs, F.col("lang") == "en", "doc_id", "text", k=100
+    )

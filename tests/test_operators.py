@@ -1442,6 +1442,33 @@ class TestConnectedComponents:
 
 
 class TestCorpusOps:
+    def test_dsir_importance_crafted(self, spark):
+        """DSIR integer scoring on a crafted corpus: 'a b' occurs 4x
+        corpus-wide of which 3 in target docs; per-doc sums follow, and
+        the (importance desc, id asc) top-k is exact. The xxhash64-
+        bucketed scale path returns the same schema and k rows."""
+        from ai_duckdb_spark.operators.corpus import dsir_importance_select
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b", "en"),
+                (2, "a b c", "de"),
+                (3, "x y", "de"),
+                (4, "a b", "en"),
+            ],
+            "doc_id INT, text STRING, lang STRING",
+        )
+        out = dsir_importance_select(docs, F.col("lang") == "en", k=2).collect()
+        assert [(r.doc_id, r.n_grams, r.sum_target, r.sum_raw) for r in out] == [
+            (1, 3, 7, 9),
+            (4, 1, 3, 4),
+        ]
+        assert abs(out[0].importance - 7 / 9) < 1e-15
+        bucketed = dsir_importance_select(
+            docs, F.col("lang") == "en", k=2, n_buckets=64
+        ).collect()
+        assert len(bucketed) == 2 and bucketed[0].sum_raw >= bucketed[0].sum_target
+
     def test_hash_sample_invariants(self, spark, sf_dir):
         from ai_duckdb_spark.operators.corpus import stratified_hash_sample
 
