@@ -487,3 +487,21 @@ def test_curriculum_budget_no_single_partition_window(spark, sf_dir):
 def test_semantic_pipeline_no_single_partition_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_semantic_corpus")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_boilerplate_ngrams_broadcast_semi_no_smj(spark, sf_dir):
+    """The boilerplate set (doc-frequency >= min_df) is heavy-hitter-
+    small by construction, so the join back onto the exploded grams must
+    be a BROADCAST left-semi — a sort-merge join there would re-shuffle
+    the full gram stream a second time."""
+    plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_select_is_topk_no_smj(spark, sf_dir):
+    """DSIR selection must cut with TakeOrderedAndProject (per-partition
+    heaps, no global sort of non-winners); the count join is broadcast-
+    convertible at test SF (one gram shuffle total, never two)."""
+    plan = _plan(spark, sf_dir, "corpus_dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
