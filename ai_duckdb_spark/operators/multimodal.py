@@ -2159,7 +2159,10 @@ def ima_adpcm_decode(
 ) -> list[int]:
     """Decode IMA ADPCM nibbles back to int16 PCM (the block-header
     predictor is emitted as sample 0), clamping predictor to int16 and
-    index to the 89-entry step table per spec."""
+    index to the 89-entry step table per spec. A corrupt block header
+    can carry any uint8 step index — clamp on entry so hostile input
+    degrades to wrong samples, never an executor-side exception."""
+    index = max(0, min(88, index))
     out = [predictor]
     pred = predictor
     for i in range(n_samples - 1):
@@ -2711,8 +2714,10 @@ def _decode_jpeg_planes(data: bytes):
                 qtables[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC0:
+            if len(body) < 6:
+                return None
             nf = body[5]
-            if body[0] != 8 or nf not in (1, 3):
+            if body[0] != 8 or nf not in (1, 3) or len(body) < 6 + 3 * nf:
                 return None  # 8-bit, grayscale or color only
             height, width = struct.unpack(">HH", body[1:5])
             comps = []
@@ -2737,6 +2742,8 @@ def _decode_jpeg_planes(data: bytes):
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    return None  # truncated DHT segment
                 table: dict[tuple[int, int], int] = {}
                 code = 0
                 k = 0
@@ -2749,8 +2756,10 @@ def _decode_jpeg_planes(data: bytes):
                 hufftabs[(tc, th)] = table
                 b += 17 + n
         elif marker == 0xDA:
+            if not body:
+                return None
             ns = body[0]
-            if ns != len(comps) or ns == 0:
+            if ns != len(comps) or ns == 0 or len(body) < 1 + 2 * ns:
                 return None
             for c in range(ns):
                 cs, tda = body[1 + 2 * c : 3 + 2 * c]
@@ -3365,6 +3374,8 @@ def decode_jpeg_progressive(data: bytes):
                 qtables[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC2:
+            if len(body) < 9:
+                return None
             nf = body[5]
             if body[0] != 8 or nf != 1:
                 return None  # grayscale progressive only
@@ -3384,6 +3395,8 @@ def decode_jpeg_progressive(data: bytes):
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    return None  # truncated DHT segment
                 table: dict[tuple[int, int], int] = {}
                 code = 0
                 k = 0
@@ -3398,7 +3411,7 @@ def decode_jpeg_progressive(data: bytes):
         elif marker == 0xDD:
             return None  # restart intervals unsupported
         elif marker == 0xDA:
-            if coefs is None:
+            if coefs is None or len(body) < 6:
                 return None
             ns = body[0]
             if ns != 1:

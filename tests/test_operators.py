@@ -843,6 +843,60 @@ class TestMultimodal:
             multimodal.make_jpeg_image(8, 8, lambda x, y: 100)
         ) is None
 
+    def test_codec_fuzz_no_exceptions(self):
+        """Every decoder must REJECT hostile input (return None), never
+        raise — an executor-side exception fails the whole Spark job at
+        100 TB while a None is one skipped row. Fixed-seed mutation fuzz
+        (truncate / byte-flip / garbage-insert) over every format; the
+        harder 8000-mutation sweep ran offline and found+fixed four
+        truncation bugs (DHT vals overrun x2, short SOF/SOS bodies,
+        unclamped ADPCM step index) this test keeps fixed."""
+        import random
+
+        rng = random.Random(99)
+        cases = [
+            (multimodal.make_bmp_image(9, 7, lambda x, y: (x, y, x + y)), multimodal.decode_bmp_pixels),
+            (multimodal.make_png_image(9, 7, lambda x, y: (x, y, x + y)), multimodal.decode_png_pixels),
+            (multimodal.make_png_interlaced(9, 7, lambda x, y: (x, y, x + y)), multimodal.decode_png_pixels),
+            (
+                multimodal.make_png_palette(9, 7, [(i, i, i) for i in range(256)], lambda x, y: (x + y) % 256),
+                multimodal.decode_png_pixels,
+            ),
+            (multimodal.make_png_channels(9, 7, 0, 16, lambda x, y: (x * 300 + y,)), multimodal.decode_png_samples),
+            (multimodal.make_png_channels(9, 7, 6, 8, lambda x, y: (x, y, x + y, 2 * x)), multimodal.decode_png_samples),
+            (multimodal.make_gif_image(9, 7, lambda x, y: (x + y) % 256), multimodal.decode_gif_pixels),
+            (multimodal.make_gif_image(9, 7, lambda x, y: (x + y) % 256, interlace=True), multimodal.decode_gif_pixels),
+            (multimodal.make_jpeg_image(17, 13, lambda x, y: (x * 16 + y) % 256), multimodal._decode_jpeg_planes),
+            (multimodal.make_jpeg_progressive(17, 13, lambda x, y: (x * 16 + y) % 256), multimodal.decode_jpeg_progressive),
+            (
+                multimodal.make_jpeg_color_image(9, 7, lambda x, y: ((x * 9) % 256, y, x + y)),
+                multimodal.decode_jpeg_color_arrays,
+            ),
+            (multimodal.make_wav_pcm(8000, [0, 100, -100, 32767, -32768]), multimodal.decode_wav_samples),
+            (
+                multimodal.make_wav_ima_adpcm(8000, [(j * 37) % 65536 - 32768 for j in range(300)]),
+                multimodal.decode_wav_ima_adpcm,
+            ),
+            (multimodal.make_wav_g711(8000, "ulaw", bytes(range(256))), multimodal.decode_wav_g711),
+            (
+                multimodal.make_avi_mjpeg(9, 7, [multimodal.make_jpeg_image(9, 7, lambda x, y: (x + y) % 256)]),
+                multimodal.decode_avi_mjpeg,
+            ),
+        ]
+        for payload, dec in cases:
+            for _ in range(400):
+                b = bytearray(payload)
+                op = rng.randrange(3)
+                if op == 0 and len(b) > 1:
+                    b = bytearray(b[: rng.randrange(1, len(b))])
+                elif op == 1:
+                    for _ in range(rng.randrange(1, 5)):
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                else:
+                    pos = rng.randrange(len(b))
+                    b = b[:pos] + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 8))) + b[pos:]
+                dec(bytes(b))  # must not raise; any return value is fine
+
     def test_avi_mjpeg_roundtrip(self):
         """MJPEG AVI container walk + per-frame JPEG decode is exact on
         the zero-loss fixture construction; a non-MJPG fourcc in the
