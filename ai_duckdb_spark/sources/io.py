@@ -155,6 +155,14 @@ def _read_xlsx_stdlib(file_path: str) -> pd.DataFrame:
     if not rows:
         return pd.DataFrame()
     width = max(max(r) + 1 for r in rows if r)
+    # One corrupt/hostile cell ref ("ZZZZZZ1" -> 26^6 columns) would make
+    # the dense materialization below allocate width x n_rows cells.
+    # XLSX's own column limit is 16384 (XFD), and the upload contract is
+    # a dense table — a grid vastly larger than the cell count is
+    # corruption, not data (same guard as the BIFF8 reader).
+    n_cells = sum(len(r) for r in rows)
+    if width > 16384 or len(rows) * width > max(65536, 64 * n_cells):
+        raise ValueError("xlsx cell grid implausibly sparse — corrupt sheet")
     header = [rows[0].get(i, f"col{i}") for i in range(width)]
     data = [[r.get(i) for i in range(width)] for r in rows[1:]]
     return pd.DataFrame(data, columns=[str(h) for h in header])

@@ -61,8 +61,20 @@ def cfb_stream(data: bytes, stream_names: tuple[str, ...]) -> bytes:
 
     per_sect = sect_size // 4
     difat = list(struct.unpack_from("<109i", data, 76))
+    # n_difat is an untrusted uint32: a corrupt header can claim billions
+    # of DIFAT sectors while pointing the chain at a valid self-looping
+    # sector, turning this walk into an unbounded allocation (found by
+    # fuzzing). A file of len(data) bytes has at most that many real
+    # sectors — cap the walk there and reject cycles.
+    max_sects = (len(data) - 512) // sect_size + 1 if len(data) > 512 else 0
+    seen_difat: set[int] = set()
     s = difat_start
-    for _ in range(n_difat):
+    for _ in range(min(n_difat, max_sects)):
+        if s < 0:
+            break
+        if s in seen_difat:
+            raise ValueError("corrupt DIFAT chain")
+        seen_difat.add(s)
         body = struct.unpack(f"<{per_sect}i", sector(s))
         difat.extend(body[:-1])
         s = body[-1]
@@ -294,6 +306,16 @@ def read_xls_stdlib(file_path: str) -> pd.DataFrame:
         return pd.DataFrame()
     n_rows = max(r for r, _ in cells) + 1
     width = max(c for _, c in cells) + 1
+    # A corrupt stream can carry arbitrary uint16 cell coordinates, and
+    # materializing the dense grid below would allocate n_rows*width
+    # cells (65536x65536 worst case, tens of GB — found by fuzzing).
+    # BIFF8's own limits are 65536 rows x 256 columns, and the upload
+    # contract is a dense header-plus-rows table, so a grid vastly
+    # larger than the actual cell count is corruption, not data.
+    if width > 256 or n_rows > 65536:
+        raise ValueError("xls cell coordinates exceed BIFF8 sheet limits")
+    if n_rows * width > max(65536, 64 * len(cells)):
+        raise ValueError("xls cell grid implausibly sparse — corrupt stream")
     header = [str(cells.get((0, i), f"col{i}")) for i in range(width)]
     body = [[cells.get((r, i)) for i in range(width)] for r in range(1, n_rows)]
     return pd.DataFrame(body, columns=header)

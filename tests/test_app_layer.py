@@ -191,6 +191,75 @@ def _make_cfb(stream: bytes, mini: bool) -> bytes:
     return header + fat_sect + dir_sect + body
 # ---------------------------------------------------------------------------
 class TestSources:
+    def test_excel_resource_bombs_rejected(self, tmp_path):
+        """Fuzz-found DoS shapes must raise promptly (caught upstream by
+        load_data_from_file) instead of allocating: (1) a BIFF8 stream
+        whose single far cell implies a 65k x 256 dense grid, (2) a CFB
+        header claiming billions of DIFAT sectors over a self-looping
+        chain, (3) an xlsx whose one cell ref 'ZZZZZZ1' implies 26^6
+        columns."""
+        import io
+        import struct as s
+        import time
+        import zipfile
+
+        import pytest
+
+        from ai_duckdb_spark.sources.io import _read_xlsx_stdlib
+        from ai_duckdb_spark.sources.xls import read_xls_stdlib
+
+        def wrap_wb(cells: bytes) -> bytes:
+            gc = _rec(0x0809, _bof_payload(0x0005))
+            stub = s.pack("<IHBB", 0, 0, 2, 0) + b"S1"
+            glen = len(gc) + len(_rec(0x0085, stub)) + len(_rec(0x000A, b""))
+            bs = s.pack("<IHBB", glen, 0, 2, 0) + b"S1"
+            sheet = _rec(0x0809, _bof_payload(0x0010)) + cells + _rec(0x000A, b"")
+            return _make_cfb(gc + _rec(0x0085, bs) + _rec(0x000A, b"") + sheet, mini=True)
+
+        # (1) sparse far cell -> implied dense grid
+        far = _rec(0x0203, s.pack("<HHHd", 0, 0, 0, 1.0)) + _rec(
+            0x0203, s.pack("<HHHd", 65000, 200, 0, 2.0)
+        )
+        p = tmp_path / "bomb1.xls"
+        p.write_bytes(wrap_wb(far))
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            read_xls_stdlib(str(p))
+        assert time.time() - t0 < 2
+
+        # (2) huge n_difat over a self-looping chain: the walk is capped
+        # at the file's real sector count, so the claim is ignored and
+        # the reader must finish PROMPTLY (raise or parse, either way —
+        # before the fix this looped for minutes allocating gigabytes)
+        ok = wrap_wb(_rec(0x0203, s.pack("<HHHd", 0, 0, 0, 1.0)))
+        bomb = bytearray(ok)
+        s.pack_into("<I", bomb, 72, 0xFFFFFF)  # header: number of DIFAT sectors
+        s.pack_into("<i", bomb, 68, 0)  # DIFAT chain start -> sector 0 (loops)
+        p2 = tmp_path / "bomb2.xls"
+        p2.write_bytes(bytes(bomb))
+        t0 = time.time()
+        try:
+            read_xls_stdlib(str(p2))
+        except Exception:
+            pass
+        assert time.time() - t0 < 2
+
+        # (3) xlsx column bomb
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr(
+                "xl/worksheets/sheet1.xml",
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                '<sheetData><row r="1"><c r="A1"><v>1</v></c>'
+                '<c r="ZZZZZZ1"><v>2</v></c></row></sheetData></worksheet>',
+            )
+        p3 = tmp_path / "bomb3.xlsx"
+        p3.write_bytes(buf.getvalue())
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            _read_xlsx_stdlib(str(p3))
+        assert time.time() - t0 < 2
+
     def test_missing_file(self, spark):
         df, err = load_data_from_file(spark, "/nonexistent/file.csv")
         assert df is None and err == ERR_NOT_FOUND
