@@ -1148,6 +1148,53 @@ def make_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def make_wav_pcm_stereo(sample_rate: int, left: list[int], right: list[int]) -> bytes:
+    """A complete STEREO 16-bit PCM RIFF/WAVE file: two channels
+    interleaved L,R per frame (block align 4, byte rate rate*4)."""
+    import struct
+
+    assert len(left) == len(right)
+    inter = [v for pair in zip(left, right) for v in pair]
+    body = struct.pack(f"<{len(inter)}h", *inter)
+    fmt = struct.pack("<HHIIHH", 1, 2, sample_rate, sample_rate * 4, 4, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm_channels(data: bytes) -> tuple[int, list[list[int]]] | None:
+    """Channel-aware PCM decode: RIFF walk, then DE-INTERLEAVE the int16
+    frames into per-channel sample lists. Returns (sample_rate,
+    [channel0, channel1, ...]) or None for non-PCM/non-16-bit/ragged
+    payloads — the multichannel generalization of the mono
+    ``decode_wav_samples`` tier."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt_info = 12, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            if audio_fmt != 1 or bits != 16 or not 1 <= channels <= 8:
+                return None
+            fmt_info = (channels, rate)
+        elif cid == b"data":
+            if fmt_info is None or pos + 8 + size > len(data):
+                return None
+            nch, rate = fmt_info
+            if size % (2 * nch):
+                return None
+            flat = struct.unpack(f"<{size // 2}h", data[pos + 8 : pos + 8 + size])
+            return (rate, [list(flat[c :: nch]) for c in range(nch)])
+        pos += 8 + size + (size % 2)
+    return None
+
+
 def decode_wav_samples(data: bytes) -> tuple[int, list[int]] | None:
     """Pure-stdlib PCM sample decode: walk the RIFF chunks to the data
     chunk and unpack the int16 samples. Returns (sample_rate, samples)
@@ -1364,6 +1411,86 @@ def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def synthesize_wav_stereo_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE stereo 16-bit PCM WAV files,
+    closed-form in the id: rate = RATES[id % 4], n = id % 120 + 1,
+    left[j] = (id*53 + j*17) % 65536 - 32768, right[j] =
+    (id*29 + j*41) % 65536 - 32768 — distinct per-channel formulas, so
+    any interleave error (channel swap, off-by-one frame) breaks the
+    per-channel sums AND the cross-channel dot product."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 120 + 1
+                left = [(i * 53 + j * 17) % 65536 - 32768 for j in range(n)]
+                right = [(i * 29 + j * 41) % 65536 - 32768 for j in range(n)]
+                payloads.append(make_wav_pcm_stereo(_SYNTH_RATES[i % 4], left, right))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+STEREO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_left", T.LongType()),
+        T.StructField("sum_right", T.LongType()),
+        T.StructField("min_left", T.IntegerType()),
+        T.StructField("max_right", T.IntegerType()),
+        T.StructField("dot_lr", T.LongType()),
+    ]
+)
+
+
+def extract_stereo_sample_stats(binary_df: DataFrame) -> DataFrame:
+    """Per-channel amplitude stats plus the cross-channel dot product
+    over fully-decoded STEREO PCM payloads (decode_wav_pcm_channels),
+    executor-side in mapInPandas. The dot product pins frame ALIGNMENT:
+    a one-frame slip or L/R swap changes it even when per-channel sums
+    survive."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("sample_rate", "n_frames", "sum_left", "sum_right", "min_left", "max_right", "dot_lr")}
+            for payload in pdf["payload"]:
+                decoded = decode_wav_pcm_channels(payload)
+                if decoded is None or len(decoded[1]) != 2 or not decoded[1][0]:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                rate, (left, right) = decoded
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(left))
+                out["sum_left"].append(sum(left))
+                out["sum_right"].append(sum(right))
+                out["min_left"].append(min(left))
+                out["max_right"].append(max(right))
+                out["dot_lr"].append(sum(a * b for a, b in zip(left, right)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "sum_left": pd.Series(out["sum_left"], dtype="int64"),
+                    "sum_right": pd.Series(out["sum_right"], dtype="int64"),
+                    "min_left": pd.Series(out["min_left"], dtype="int32"),
+                    "max_right": pd.Series(out["max_right"], dtype="int32"),
+                    "dot_lr": pd.Series(out["dot_lr"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, STEREO_STATS_SCHEMA)
 
 
 def extract_audio_sample_stats(binary_df: DataFrame) -> DataFrame:

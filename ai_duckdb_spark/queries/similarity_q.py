@@ -27,6 +27,7 @@ from ..operators.multimodal import (
     extract_png_gray16_stats,
     extract_png_pixel_stats,
     extract_resized_pixel_stats,
+    extract_stereo_sample_stats,
     extract_video_frame_stats,
     sample_frames,
     synthesize_avi_payloads,
@@ -47,6 +48,7 @@ from ..operators.multimodal import (
     synthesize_png_payloads,
     synthesize_png_rgba_payloads,
     synthesize_wav_pcm_payloads,
+    synthesize_wav_stereo_payloads,
 )
 from ..tables import load
 from .catalog import register
@@ -830,6 +832,49 @@ def multimodal_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     pipeline stage consumes."""
     docs = load(spark, sf_dir, "documents")
     return extract_audio_sample_stats(synthesize_wav_pcm_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_stereo_sample_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+               CAST(doc_id % 120 + 1 AS BIGINT)                 AS n
+        FROM documents
+    ),
+    amp AS (
+        SELECT d.doc_id, d.sample_rate, d.n,
+               (d.doc_id * 53 + j.j * 17) % 65536 - 32768 AS l,
+               (d.doc_id * 29 + j.j * 41) % 65536 - 32768 AS r
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 120)) AS j) j ON j.j < d.n
+    )
+    SELECT doc_id,
+           CAST(MIN(sample_rate) AS INTEGER) AS sample_rate,
+           MIN(n)                            AS n_frames,
+           CAST(sum(l) AS BIGINT)            AS sum_left,
+           CAST(sum(r) AS BIGINT)            AS sum_right,
+           CAST(min(l) AS INTEGER)           AS min_left,
+           CAST(max(r) AS INTEGER)           AS max_right,
+           CAST(sum(l * r) AS BIGINT)        AS dot_lr
+    FROM amp
+    GROUP BY doc_id
+    """,
+)
+def multimodal_stereo_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO PCM decode (X9, late r7 — lifting the mono restriction):
+    payloads are complete two-channel 16-bit PCM WAVs (block align 4,
+    frames interleaved L,R) and the Spark side DE-INTERLEAVES them into
+    per-channel streams executor-side (operators/multimodal.py
+    decode_wav_pcm_channels, channel-aware up to 8ch). Outputs include
+    the cross-channel dot product, which pins frame ALIGNMENT — a
+    channel swap or one-frame slip flips it even when per-channel sums
+    survive. Channel formulas are closed-form in doc_id; integer-only
+    outputs keep the oracle hash exact."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_stereo_sample_stats(synthesize_wav_stereo_payloads(docs, "doc_id"))
 
 
 @register(

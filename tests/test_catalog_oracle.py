@@ -145,6 +145,8 @@ _POST_FREEZE = {
     "multimodal_g711_sample_stats",
     # late-r7 MJPEG AVI video-container tier
     "multimodal_video_mjpeg_stats",
+    # late-r7 stereo-PCM tier
+    "multimodal_stereo_sample_stats",
 }
 
 

@@ -874,6 +874,10 @@ class TestMultimodal:
             ),
             (multimodal.make_wav_pcm(8000, [0, 100, -100, 32767, -32768]), multimodal.decode_wav_samples),
             (
+                multimodal.make_wav_pcm_stereo(8000, [0, 100, -100], [7, -7, 9]),
+                multimodal.decode_wav_pcm_channels,
+            ),
+            (
                 multimodal.make_wav_ima_adpcm(8000, [(j * 37) % 65536 - 32768 for j in range(300)]),
                 multimodal.decode_wav_ima_adpcm,
             ),
@@ -929,6 +933,26 @@ class TestMultimodal:
         idx = bytes(bad).find(b"MJPG")
         bad[idx : idx + 4] = b"H264"
         assert multimodal.decode_avi_mjpeg(bytes(bad)) is None
+
+    def test_stereo_pcm_deinterleave(self):
+        """Stereo decode de-interleaves exactly (distinct per-channel
+        values incl. negatives); a channel-count past 8, odd-sized data,
+        and the mono decoder fed stereo frames behave per contract."""
+        left = [0, 1000, -1000, 32767, -32768]
+        right = [5, -5, 123, -123, 7]
+        wav = multimodal.make_wav_pcm_stereo(22050, left, right)
+        rate, chans = multimodal.decode_wav_pcm_channels(wav)
+        assert (rate, chans) == (22050, [left, right])
+        # mono tier through the channel-aware decoder: one channel back
+        mono = multimodal.make_wav_pcm(8000, left)
+        assert multimodal.decode_wav_pcm_channels(mono) == (8000, [left])
+        # ragged data chunk (size not divisible by frame size) rejected
+        import struct
+
+        bad = bytearray(wav)
+        (size,) = struct.unpack("<I", bad[40:44])
+        struct.pack_into("<I", bad, 40, size - 2)
+        assert multimodal.decode_wav_pcm_channels(bytes(bad[:-2])) is None
 
     def test_g711_decode_pinned(self):
         """G.711 expansion curves pinned at the spec landmarks: µ-law
