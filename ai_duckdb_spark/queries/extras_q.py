@@ -1080,3 +1080,57 @@ def mad_outlier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_returnflag string, median_qty double, mad_qty double, "
         "n_outliers long, n_rows long",
     )
+
+
+_CSVGZ_DIRS: dict[str, str] = {}
+
+
+@register(
+    "sink_csv_gzip_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*)                         AS n_orders,
+           {sum_sql("o_totalprice", 2)}     AS total_price
+    FROM orders
+    WHERE o_totalprice >= 1000
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-TEXT sink/source proven end-to-end (K1 durable
+    variant, S3 text-format cousin): orders written as GZIP CSV once
+    per corpus (codec='gzip', header on), read back with an explicit
+    schema (no inference pass — at 100 TB a schema-inference read is a
+    second full scan), filtered and aggregated with the exact-decimal
+    scheme. gzip text is splittable-at-file-granularity only, so the
+    write keeps Spark's natural output partitioning (one .gz per task)
+    — the read parallelizes across FILES, which is the real-world shape
+    of compressed text lakes. The oracle recomputes from parquet — any
+    row lost or value mangled by the CSV serialize/parse or the codec
+    breaks the hash."""
+    import tempfile
+
+    if sf_dir not in _CSVGZ_DIRS:
+        path = tempfile.mkdtemp(prefix="orders_csvgz_")
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("compression", "gzip")
+            .csv(path)
+        )
+        _CSVGZ_DIRS[sf_dir] = path
+    back = spark.read.schema("o_orderstatus STRING, o_totalprice DOUBLE").option(
+        "header", True
+    ).csv(_CSVGZ_DIRS[sf_dir])
+    return (
+        back.filter(F.col("o_totalprice") >= 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
