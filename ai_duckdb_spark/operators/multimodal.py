@@ -3925,6 +3925,303 @@ def extract_resized_pixel_stats(
     return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): runs of >=3 equal
+    bytes become (257-n, byte); literals are chunked at 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """Inverse of ``_packbits_encode``; None on truncation/overrun."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n == 128:  # noop per spec
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                return None
+            out += bytes((data[i],)) * (257 - n)
+            i += 1
+    return bytes(out) if len(out) == expected else None
+
+
+def make_tiff_image(
+    width, height, pixel, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """A complete, VALID baseline TIFF 6.0 file: byte-order header
+    (II little / MM big endian), one IFD with the required RGB tags
+    (width/length, BitsPerSample [8,8,8] via offset, compression 1 or
+    PackBits 32773, photometric RGB, strip offsets/bytecounts), pixel
+    data split into multiple strips of ``rows_per_strip`` rows. SHORT
+    values ≤4 bytes are packed INLINE in the IFD entry per spec §2 —
+    the classic TIFF subtlety a decoder must get right."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        raw = bytearray()
+        for y in range(y0, min(y0 + rows_per_strip, height)):
+            for x in range(width):
+                r, g, b = pixel(x, y)
+                raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+        strips.append(_packbits_encode(bytes(raw)) if packbits else bytes(raw))
+
+    n_entries = 9
+    header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 8)
+    ifd_size = 2 + n_entries * 12 + 4
+    # layout: header(8) | IFD | bits-per-sample array | strip offset/count arrays | strips
+    bps_off = 8 + ifd_size
+    so_off = bps_off + 6
+    sc_off = so_off + 4 * len(strips)
+    data_off = sc_off + 4 * len(strips)
+    offsets = []
+    pos = data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+
+    def entry(tag, ttype, count, value, inline_fmt=None):
+        # SHORT(3)=2 bytes, LONG(4)=4 bytes; inline when total <= 4
+        raw = struct.pack(f"{e}HHI", tag, ttype, count)
+        if inline_fmt is not None:
+            v = struct.pack(f"{e}{inline_fmt}", *value)
+            return raw + v + b"\x00" * (4 - len(v))
+        return raw + struct.pack(f"{e}I", value)
+
+    entries = b"".join(
+        [
+            entry(256, 3, 1, (width,), "H"),       # ImageWidth, inline SHORT
+            entry(257, 3, 1, (height,), "H"),      # ImageLength
+            entry(258, 3, 3, bps_off),             # BitsPerSample -> offset
+            entry(259, 3, 1, (32773 if packbits else 1,), "H"),  # Compression
+            entry(262, 3, 1, (2,), "H"),           # Photometric = RGB
+            entry(273, 4, len(strips), so_off if len(strips) > 1 else offsets[0]),
+            entry(277, 3, 1, (3,), "H"),           # SamplesPerPixel
+            entry(278, 3, 1, (rows_per_strip,), "H"),
+            entry(279, 4, len(strips), sc_off if len(strips) > 1 else len(strips[0])),
+        ]
+    )
+    ifd = struct.pack(f"{e}H", n_entries) + entries + struct.pack(f"{e}I", 0)
+    body = bytearray(header + ifd)
+    body += struct.pack(f"{e}3H", 8, 8, 8)
+    body += b"".join(struct.pack(f"{e}I", o) for o in offsets)
+    body += b"".join(struct.pack(f"{e}I", len(sd)) for sd in strips)
+    for sdata in strips:
+        body += sdata
+    return bytes(body)
+
+
+def decode_tiff_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Pure-stdlib FULL pixel decode of a baseline RGB TIFF: byte-order
+    header (II/MM — the format's defining subtlety), IFD walk with the
+    spec's inline-vs-offset value rule (counts whose payload fits 4
+    bytes live INSIDE the entry), multi-strip assembly, and PackBits
+    (compression 32773) RLE decompression. Returns (width, height,
+    rows) of (r, g, b) tuples or None outside the supported geometry
+    (8-bit RGB chunky, compression 1/32773)."""
+    import struct
+
+    if len(data) < 8:
+        return None
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    magic, ifd_off = struct.unpack_from(f"{e}HI", data, 2)
+    if magic != 42 or ifd_off + 2 > len(data):
+        return None
+    (n_entries,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    if ifd_off + 2 + n_entries * 12 > len(data):
+        return None
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, ttype, count = struct.unpack_from(f"{e}HHI", data, off)
+        tags[tag] = (ttype, count, data[off + 8 : off + 12])
+
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int) -> list[int] | None:
+        if tag not in tags:
+            return None
+        ttype, count, inline = tags[tag]
+        if ttype not in type_size or count == 0 or count > 1_000_000:
+            return None
+        size = type_size[ttype] * count
+        if size <= 4:
+            buf = inline[:size]
+        else:
+            (voff,) = struct.unpack(f"{e}I", inline)
+            if voff + size > len(data):
+                return None
+            buf = data[voff : voff + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return list(struct.unpack(f"{e}{count}{fmt}", buf))
+
+    width = values(256)
+    height = values(257)
+    comp = values(259) or [1]
+    photo = values(262)
+    spp = values(277) or [1]
+    bps = values(258) or [1]
+    rps = values(278) or [2**32 - 1]
+    offs = values(273)
+    counts = values(279)
+    if not width or not height or not offs or not counts:
+        return None
+    w, h = width[0], height[0]
+    if (
+        w == 0 or h == 0 or spp[0] != 3 or bps != [8, 8, 8]
+        or (photo or [2])[0] != 2 or comp[0] not in (1, 32773)
+        or len(offs) != len(counts)
+    ):
+        return None
+    rows_per_strip = min(rps[0], h)
+    if rows_per_strip == 0:
+        return None
+    expected_strips = (h + rows_per_strip - 1) // rows_per_strip
+    if len(offs) != expected_strips:
+        return None
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        if o + c > len(data):
+            return None
+        strip = data[o : o + c]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        want = n_rows * w * 3
+        if comp[0] == 32773:
+            dec = _packbits_decode(strip, want)
+            if dec is None:
+                return None
+            raw += dec
+        else:
+            if len(strip) != want:
+                return None
+            raw += strip
+    if len(raw) != w * h * 3:
+        return None
+    return (
+        w,
+        h,
+        [
+            [tuple(raw[(y * w + x) * 3 : (y * w + x) * 3 + 3]) for x in range(w)]
+            for y in range(h)
+        ],
+    )
+
+
+def synthesize_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with COMPLETE valid TIFF files, closed-form in
+    the id: width = id%13+1, height = (id*7)%11+1, pixel(x, y) =
+    ((id + 7x) % 256, (id*3 + 5y) % 256, (id + 2x + 3y) % 256);
+    byte order alternates by id (even II, odd MM) and every third file
+    is PackBits-compressed — one relation exercising both endiannesses
+    AND the RLE codec."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 1, i * 7 % 11 + 1
+                payloads.append(
+                    make_tiff_image(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (i + 7 * x) % 256,
+                            (i * 3 + 5 * y) % 256,
+                            (i + 2 * x + 3 * y) % 256,
+                        ),
+                        big_endian=bool(i % 2),
+                        packbits=(i % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def extract_tiff_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """PIXEL_STATS_SCHEMA stats over fully-decoded TIFF payloads —
+    IFD walk + strip assembly + PackBits, executor-side in mapInPandas."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for payload in pdf["payload"]:
+                decoded = decode_tiff_pixels(payload)
+                if decoded is None:
+                    for k in out:
+                        out[k].append(0)
+                    continue
+                w, h, rows = decoded
+                sr = sg = sb = 0
+                for row in rows:
+                    for r, g, b in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
 def make_avi_mjpeg(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
     """A complete, VALID AVI container (RIFF 'AVI ') carrying an MJPEG
     video stream: LIST hdrl with a real 56-byte avih main header and a

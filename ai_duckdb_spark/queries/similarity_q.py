@@ -28,6 +28,7 @@ from ..operators.multimodal import (
     extract_png_pixel_stats,
     extract_resized_pixel_stats,
     extract_stereo_sample_stats,
+    extract_tiff_pixel_stats,
     extract_video_frame_stats,
     sample_frames,
     synthesize_avi_payloads,
@@ -48,6 +49,7 @@ from ..operators.multimodal import (
     synthesize_png_payloads,
     synthesize_png_rgba_payloads,
     synthesize_wav_pcm_payloads,
+    synthesize_tiff_payloads,
     synthesize_wav_stereo_payloads,
 )
 from ..tables import load
@@ -1416,6 +1418,47 @@ def multimodal_g711_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     docs = load(spark, sf_dir, "documents")
     return extract_g711_sample_stats(synthesize_g711_payloads(docs, "doc_id"))
+
+
+@register(
+    "multimodal_tiff_pixel_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 13 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 7) % 11 AS INTEGER) + 1 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height, x.x, y.y
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 13)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 11)) AS y) y ON y.y < d.height
+    )
+    SELECT doc_id,
+           MIN(width)                                         AS width,
+           MIN(height)                                        AS height,
+           CAST(count(*) AS BIGINT)                           AS n_pixels,
+           CAST(sum((doc_id + 7 * x) % 256) AS BIGINT)        AS sum_r,
+           CAST(sum((doc_id * 3 + 5 * y) % 256) AS BIGINT)    AS sum_g,
+           CAST(sum((doc_id + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF pixel decode (X9, late r7 — a new format FAMILY, not a
+    variant): payloads are complete baseline TIFF 6.0 files whose byte
+    order alternates per document (II little-endian / MM big-endian —
+    the format's defining subtlety) and every third file is PackBits
+    (compression 32773) RLE-compressed; all are multi-strip. The Spark
+    side walks the IFD with the spec's inline-vs-offset value rule,
+    assembles strips, and RLE-decodes where needed, executor-side in
+    mapInPandas (operators/multimodal.py decode_tiff_pixels). Pixel
+    values are closed-form in doc_id, so one hash gate proves BOTH
+    endiannesses and the PackBits codec."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_tiff_pixel_stats(synthesize_tiff_payloads(docs, "doc_id"))
 
 
 @register(

@@ -147,6 +147,8 @@ _POST_FREEZE = {
     "multimodal_video_mjpeg_stats",
     # late-r7 stereo-PCM tier
     "multimodal_stereo_sample_stats",
+    # late-r7 TIFF family (II/MM endianness, PackBits RLE)
+    "multimodal_tiff_pixel_stats",
 }
 
 

@@ -865,6 +865,10 @@ class TestMultimodal:
             (multimodal.make_png_channels(9, 7, 0, 16, lambda x, y: (x * 300 + y,)), multimodal.decode_png_samples),
             (multimodal.make_png_channels(9, 7, 6, 8, lambda x, y: (x, y, x + y, 2 * x)), multimodal.decode_png_samples),
             (multimodal.make_gif_image(9, 7, lambda x, y: (x + y) % 256), multimodal.decode_gif_pixels),
+            (
+                multimodal.make_tiff_image(9, 7, lambda x, y: (x, y, x + y), packbits=True),
+                multimodal.decode_tiff_pixels,
+            ),
             (multimodal.make_gif_image(9, 7, lambda x, y: (x + y) % 256, interlace=True), multimodal.decode_gif_pixels),
             (multimodal.make_jpeg_image(17, 13, lambda x, y: (x * 16 + y) % 256), multimodal._decode_jpeg_planes),
             (multimodal.make_jpeg_progressive(17, 13, lambda x, y: (x * 16 + y) % 256), multimodal.decode_jpeg_progressive),
@@ -933,6 +937,38 @@ class TestMultimodal:
         idx = bytes(bad).find(b"MJPG")
         bad[idx : idx + 4] = b"H264"
         assert multimodal.decode_avi_mjpeg(bytes(bad)) is None
+
+    def test_tiff_roundtrip_endianness_and_packbits(self):
+        """TIFF decode is exact across the 2x2 matrix of byte order
+        (II/MM) x compression (none/PackBits) on multi-strip images;
+        PackBits roundtrips runs, literals and the 128-literal chunk
+        boundary; a strip overrunning the file is rejected."""
+        import random
+        import struct
+
+        rng = random.Random(17)
+        for be in (False, True):
+            for pb in (False, True):
+                for w, h in ((1, 1), (5, 9), (13, 11)):
+                    px = {
+                        (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                        for x in range(w)
+                        for y in range(h)
+                    }
+                    data = multimodal.make_tiff_image(
+                        w, h, lambda x, y: px[(x, y)], big_endian=be, packbits=pb
+                    )
+                    got = multimodal.decode_tiff_pixels(data)
+                    assert got is not None, (be, pb, w, h)
+                    assert got[:2] == (w, h)
+                    assert got[2] == [[px[(x, y)] for x in range(w)] for y in range(h)]
+        for n in (0, 1, 127, 128, 129, 300):
+            d = bytes(rng.randrange(256) for _ in range(n))
+            assert multimodal._packbits_decode(multimodal._packbits_encode(d), n) == d
+            d = bytes([7] * n)
+            assert multimodal._packbits_decode(multimodal._packbits_encode(d), n) == d
+        data = multimodal.make_tiff_image(4, 4, lambda x, y: (x, y, 0))
+        assert multimodal.decode_tiff_pixels(data[:-5]) is None  # truncated strip
 
     def test_stereo_pcm_deinterleave(self):
         """Stereo decode de-interleaves exactly (distinct per-channel
