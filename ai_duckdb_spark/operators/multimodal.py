@@ -57,6 +57,20 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+
+def _synth_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Ids-only input for a payload synthesizer, REPARTITIONED to the
+    session's default parallelism. The synth/decode tiers are pure
+    Python work inside mapInPandas, so their parallelism is the input's
+    partition count — which for a small parquet fixture is the FILE
+    count (often 1), serializing the whole tier on one core. The
+    shuffle moves only the 8-byte id column; at real scale the input
+    arrives in many files and the repartition is a cheap rebalance
+    against skewed file sizes (decode cost follows rows, not bytes)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(F.col(id_col)).repartition(n)
+
+
 def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     """Pure-Python (format, width, height) from real image header bytes.
 
@@ -245,7 +259,7 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_image_headers(binary_df: DataFrame) -> DataFrame:
@@ -833,7 +847,7 @@ def synthesize_png_interlaced_payloads(df: DataFrame, id_col: str = "doc_id") ->
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def synthesize_png_palette_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -860,7 +874,7 @@ def synthesize_png_palette_payloads(df: DataFrame, id_col: str = "doc_id") -> Da
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -893,7 +907,7 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_png_pixel_stats(binary_df: DataFrame) -> DataFrame:
@@ -963,7 +977,7 @@ def synthesize_png_gray16_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 GRAY16_STATS_SCHEMA = T.StructType(
@@ -1063,7 +1077,7 @@ def synthesize_png_rgba_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
             T.StructField("bg_b", T.IntegerType()),
         ]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 ALPHA_STATS_SCHEMA = T.StructType(
@@ -1323,7 +1337,7 @@ def synthesize_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 G711_STATS_SCHEMA = T.StructType(
@@ -1410,7 +1424,7 @@ def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def synthesize_wav_stereo_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1436,7 +1450,7 @@ def synthesize_wav_stereo_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 STEREO_STATS_SCHEMA = T.StructType(
@@ -1584,7 +1598,7 @@ def synthesize_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_audio_headers(binary_df: DataFrame) -> DataFrame:
@@ -1735,7 +1749,7 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_pixel_stats(binary_df: DataFrame) -> DataFrame:
@@ -2048,7 +2062,7 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def synthesize_gif_interlaced_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2075,7 +2089,7 @@ def synthesize_gif_interlaced_payloads(df: DataFrame, id_col: str = "doc_id") ->
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_gif_pixel_stats(binary_df: DataFrame) -> DataFrame:
@@ -3059,7 +3073,7 @@ def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def _closed_form_color_planes(i: int, w: int, h: int, tile: int, sub: bool):
@@ -3114,7 +3128,7 @@ def synthesize_jpeg420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_jpeg_color_pixel_stats(binary_df: DataFrame) -> DataFrame:
@@ -3196,7 +3210,7 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_jpeg_luma_stats(binary_df: DataFrame) -> DataFrame:
@@ -3771,7 +3785,7 @@ def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") 
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_jpeg_progressive_stats(binary_df: DataFrame) -> DataFrame:
@@ -3830,7 +3844,7 @@ def synthesize_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_adpcm_sample_stats(binary_df: DataFrame) -> DataFrame:
@@ -4178,7 +4192,7 @@ def synthesize_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 def extract_tiff_pixel_stats(binary_df: DataFrame) -> DataFrame:
@@ -4355,7 +4369,7 @@ def synthesize_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    return _synth_input(df, id_col).mapInPandas(_synth, schema)
 
 
 VIDEO_FRAME_SCHEMA = T.StructType(
