@@ -211,3 +211,172 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", F.desc("tfidf"), "term")
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS s FROM d
+    ),
+    tfc AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM d WHERE term IN ('spark', 'join', 'window')
+        GROUP BY 1, 2, 3
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    w AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'spark' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_spark,
+               max(CASE WHEN term = 'join' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_join,
+               max(CASE WHEN term = 'window' THEN
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (22.0 * tf * s) / (10 * s * tf + 3 * s + 9 * dl * n_docs)
+               END) AS w_window
+        FROM tfc JOIN dfc USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM (SELECT doc_id,
+                     round(coalesce(w_spark, 0) + coalesce(w_join, 0)
+                           + coalesce(w_window, 0), 4) AS bm25
+              FROM w)
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DOUBLE)    AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT c.vec_id AS neighbor_id, sum(q.val * c.val) AS dp
+        FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id = 0
+        GROUP BY 1
+    ),
+    sem AS (
+        SELECT neighbor_id AS doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY dp / sqrt(nq.sq * nc.sq) DESC, neighbor_id
+               ) AS BIGINT) AS sem_rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = 0
+        JOIN norms nc ON dots.neighbor_id = nc.vec_id
+        ORDER BY dp / sqrt(nq.sq * nc.sq) DESC, neighbor_id LIMIT 20
+    )
+    SELECT doc_id,
+           CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank,
+           (CASE WHEN lex_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + lex_rank) END
+            + CASE WHEN sem_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + sem_rank) END)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
+    2009 — the standard fusion RAG retrieval stacks run): the lexical
+    leg is the BM25 top-20 (same integer-exact Okapi scheme as
+    bm25_search_topk), the semantic leg is the exact cosine top-20 of
+    embedding vec_id 0 (same double-precision fold as
+    knn_bruteforce_cosine, embeddings sharing the documents' id space),
+    and the fused score is 1/(60+r_lex) + 1/(60+r_sem) over INTEGER
+    ranks — so the only floats in the fusion are two divisions of
+    identical operands, bit-identical cross-engine, with absent legs
+    contributing exactly 0. Scale shape: both legs are the already-
+    gated index plans (postings prefilter + TakeOrdered; broadcast
+    query vector); the fusion is a full outer join of two 20-row
+    relations — driver-trivial at any corpus size. The one
+    unpartitioned row_number window runs AFTER the limit(20), i.e.
+    over at most 20 rows — the single-partition-window anti-pattern
+    applies to corpus-sized inputs, not to an already-cut top-k."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    d = docs.select(
+        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+    )
+    stats = d.agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("s")
+    )
+    tfc = (
+        d.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weight = (
+        F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.lit(22.0) * F.col("tf") * F.col("s"))
+        / (
+            F.lit(10) * F.col("s") * F.col("tf")
+            + F.lit(3) * F.col("s")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        )
+    )
+    per_term = (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, weight)).alias(f"w_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    bm25 = F.round(
+        sum(F.coalesce(F.col(f"w_{t}"), F.lit(0.0)) for t in _BM25_TERMS), 4
+    )
+    lex = (
+        per_term.select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    from ..operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (
+        sim.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        (
+            F.when(F.col("lex_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("lex_rank"))
+            )
+            + F.when(F.col("sem_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("sem_rank"))
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
