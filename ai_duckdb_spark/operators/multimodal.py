@@ -2476,12 +2476,16 @@ def _jpeg_dct_matrix():
     return m
 
 
-def make_jpeg_image(width, height, pixel) -> bytes:
+def make_jpeg_image(width, height, pixel, restart_interval: int = 0) -> bytes:
     """A complete, VALID baseline grayscale JPEG (ITU T.81 sequential
     DCT): level shift, float 2D DCT per 8x8 block (edge-replicated
     padding), Annex K.1 quantization, zig-zag, DC DPCM + Annex K.3/K.5
     Huffman entropy coding with 0xFF byte stuffing, wrapped in real
     SOI/DQT/SOF0/DHT/SOS/EOI segments. ``pixel(x, y) -> luma 0..255``.
+    With ``restart_interval`` > 0 a DRI segment is emitted and the
+    entropy stream is split with modulo-8-sequenced RSTn markers every
+    that many MCUs (byte-aligned 1-bit padding, DC predictors reset) —
+    the error-resilience layout real-world camera JPEGs use.
     """
     import struct
 
@@ -2522,8 +2526,17 @@ def make_jpeg_image(width, height, pixel) -> bytes:
             put(v if v >= 0 else v + (1 << s) - 1, s)
 
     prev_dc = 0
+    mcu_index = 0
+    rst_count = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                if nbits:  # byte-align with 1-bits, then the RSTn marker
+                    put((1 << (8 - nbits)) - 1, 8 - nbits)
+                out += bytes((0xFF, 0xD0 + (rst_count % 8)))
+                rst_count += 1
+                prev_dc = 0
+            mcu_index += 1
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             coef = m @ block @ m.T
             codes = np.rint(coef / q).astype(np.int64)
@@ -2561,11 +2574,13 @@ def make_jpeg_image(width, height, pixel) -> bytes:
         + bytes((0x10,)) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
     sos = bytes((1, 1, 0x00, 0, 63, 0))
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + seg(0xFFDB, dqt)
         + seg(0xFFC0, sof)
         + seg(0xFFC4, dht)
+        + dri
         + seg(0xFFDA, sos)
         + bytes(out)
         + b"\xff\xd9"
@@ -2836,6 +2851,7 @@ def _decode_jpeg_planes(data: bytes):
     scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
     scan_order: list[int] = []
     scan_start = None
+    restart_interval = 0  # DRI: MCUs between RSTn markers (0 = none)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -2909,7 +2925,9 @@ def _decode_jpeg_planes(data: bytes):
             scan_start = pos + 2 + seglen
             break
         elif marker == 0xDD:
-            return None  # restart intervals unsupported
+            if len(body) < 2:
+                return None
+            (restart_interval,) = struct.unpack(">H", body[:2])
         pos += 2 + seglen
     if scan_start is None or width is None or not comps:
         return None
@@ -2976,8 +2994,31 @@ def _decode_jpeg_planes(data: bytes):
     # numpy over all blocks (per-block numpy calls dominate otherwise)
     coefs: dict[int, list[list[int]]] = {cid: [] for cid in scan_order}
     prev_dc = {cid: 0 for cid in scan_order}
+
+    def consume_rst(n: int) -> bool:
+        """Between-MCU restart: drop pad bits to the byte boundary,
+        expect the modulo-8-sequenced RSTn marker, reset DC predictors."""
+        nonlocal bits_pos, nbits, acc
+        nbits = 0
+        acc = 0
+        if bits_pos + 1 >= len(data) or data[bits_pos] != 0xFF:
+            return False
+        if data[bits_pos + 1] != 0xD0 + (n % 8):
+            return False
+        bits_pos += 2
+        for c in prev_dc:
+            prev_dc[c] = 0
+        return True
+
+    mcu_index = 0
+    rst_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                if not consume_rst(rst_count):
+                    return None
+                rst_count += 1
+            mcu_index += 1
             # interleaved MCU: h x v data units per component, raster order
             for cid in scan_order:
                 ch, cv = comp_hv[cid]
@@ -3191,7 +3232,11 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     them bit-exactly — which is what makes the decoded output
     oracle-recomputable while the decoder stays a general baseline
     JPEG decoder. DC DPCM still varies across blocks, so the Huffman
-    stream is non-trivial."""
+    stream is non-trivial. Every fourth file carries DRI/RSTn restart
+    markers (interval 2 MCUs — late r7): decoded pixels are identical
+    by construction, so the SAME oracle hash now also gates the
+    restart-marker path (byte-aligned resync, DC predictor resets, the
+    modulo-8 marker sequence)."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3202,7 +3247,10 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 w, h = i % 20 + 1, i * 3 % 18 + 1
                 payloads.append(
                     make_jpeg_image(
-                        w, h, lambda x, y, i=i: 2 * ((i + 3 * (x // 8) + 7 * (y // 8)) % 128)
+                        w,
+                        h,
+                        lambda x, y, i=i: 2 * ((i + 3 * (x // 8) + 7 * (y // 8)) % 128),
+                        restart_interval=2 if i % 4 == 0 else 0,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

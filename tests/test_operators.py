@@ -789,6 +789,33 @@ class TestMultimodal:
         for h in range(1, 40):
             assert sorted(multimodal._gif_interlace_rows(h)) == list(range(h))
 
+    def test_jpeg_restart_markers_equal_plain(self):
+        """DRI/RSTn support: a stream split with modulo-8-sequenced
+        restart markers (byte-aligned padding, DC predictor resets)
+        decodes pixel-identically to the unsplit stream for intervals
+        spanning every-MCU to multi-row; an out-of-sequence RSTn is
+        rejected rather than misdecoded."""
+        import random
+
+        rng = random.Random(23)
+        for _ in range(4):
+            w, h = rng.randrange(1, 40), rng.randrange(1, 33)
+            px = {(x, y): rng.randrange(256) for x in range(w) for y in range(h)}
+            base = multimodal._decode_jpeg_planes(
+                multimodal.make_jpeg_image(w, h, lambda x, y: px[(x, y)])
+            )
+            for ri in (1, 3, 8):
+                got = multimodal._decode_jpeg_planes(
+                    multimodal.make_jpeg_image(w, h, lambda x, y: px[(x, y)], restart_interval=ri)
+                )
+                assert got is not None and (base[2][0] == got[2][0]).all(), (w, h, ri)
+        data = bytearray(
+            multimodal.make_jpeg_image(40, 8, lambda x, y: (x * 7 + y) % 256, restart_interval=1)
+        )
+        i = bytes(data).find(b"\xff\xd0")
+        data[i + 1] = 0xD5
+        assert multimodal._decode_jpeg_planes(bytes(data)) is None
+
     def test_jpeg_progressive_equals_baseline(self):
         """The progressive (SOF2) pipeline is LOSSLESS w.r.t. the
         quantized coefficients once all four scans complete to Al=0, so
