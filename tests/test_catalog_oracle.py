@@ -149,6 +149,14 @@ _POST_FREEZE = {
     "multimodal_stereo_sample_stats",
     # late-r7 TIFF family (II/MM endianness, PackBits RLE)
     "multimodal_tiff_pixel_stats",
+    # r8 rotations OUT (judge r7 items 1+5) — dedup_exact_spans /
+    # dedup_survivors driver-green in CORRECTNESS_r07; the MinHash pair
+    # RETIRED per the 3-consecutive-rounds no_oracle policy (pytest
+    # recall ground truths in tests/test_operators.py stand)
+    "dedup_exact_spans",
+    "dedup_survivors",
+    "dedup_minhash_lsh",
+    "dedup_minhash_components",
 }
 
 
