@@ -523,6 +523,8 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, list[list[tuple[int, int, 
         if crc != zlib.crc32(ctype + body):
             return None
         if ctype == b"IHDR":
+            if clen != 13:
+                return None  # IHDR must be exactly 13 bytes (PNG spec 11.2.2)
             width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -628,6 +630,8 @@ def decode_png_samples(
         if crc != zlib.crc32(ctype + body):
             return None
         if ctype == b"IHDR":
+            if clen != 13:
+                return None  # IHDR must be exactly 13 bytes (PNG spec 11.2.2)
             width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -2868,6 +2872,8 @@ def _decode_jpeg_planes(data: bytes):
                 pq, tq = body[b] >> 4, body[b] & 0xF
                 if pq != 0:
                     return None  # 16-bit tables unsupported
+                if b + 65 > len(body):
+                    return None  # truncated DQT (corrupted seglen)
                 qtables[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC0:
@@ -3560,6 +3566,8 @@ def decode_jpeg_progressive(data: bytes):
                 pq, tq = body[b] >> 4, body[b] & 0xF
                 if pq != 0:
                     return None
+                if b + 65 > len(body):
+                    return None  # truncated DQT (corrupted seglen)
                 qtables[tq] = list(body[b + 1 : b + 65])
                 b += 65
         elif marker == 0xC2:

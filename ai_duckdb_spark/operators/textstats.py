@@ -315,6 +315,7 @@ def boilerplate_ngram_stats(
     text_col: str = "text",
     n: int = 3,
     min_df: int = 4,
+    broadcast_boiler: bool = True,
 ) -> DataFrame:
     """CORPUS-level boilerplate n-gram detection — the cross-document
     template-removal signal a pretraining pipeline runs next to the
@@ -330,10 +331,17 @@ def boilerplate_ngram_stats(
 
     Scale shape (100 TB): one explode feeds ONE groupBy(gram) shuffle
     with map-side partial distinct-accumulation; the surviving
-    boilerplate set is SMALL BY CONSTRUCTION (these are the corpus heavy
-    hitters — df >= min_df caps its size at total_grams/min_df and in
-    practice template text is a tiny distinct set), so it BROADCASTS
+    boilerplate set is usually small (corpus heavy hitters — df >=
+    min_df caps its size at total_grams/min_df, and in practice
+    template text is a tiny distinct set), so by default it BROADCASTS
     back onto the exploded grams (left-semi, no second gram shuffle).
+    That cap is O(corpus)/min_df — an EMPIRICAL assumption, not a
+    bound: on a template-heavy or adversarial corpus the set can
+    exceed executor memory. ``broadcast_boiler=True`` (default)
+    documents and forces the small-set assumption; pass ``False`` on
+    corpora where it may not hold and AQE picks the join strategy from
+    the set's measured runtime size instead (SMJ costs one extra gram
+    shuffle but never OOMs).
     The per-doc rollup shuffles ~1 row per matched doc because the
     explode keeps a document's grams contiguous, so partial aggregation
     collapses them before the exchange. No pairwise doc×doc work
@@ -362,8 +370,10 @@ def boilerplate_ngram_stats(
         .filter(F.col("__df") >= min_df)
         .select("__gram")
     )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     per_doc = (
-        exploded.join(F.broadcast(boiler), "__gram", "left_semi")
+        exploded.join(boiler, "__gram", "left_semi")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_boiler"),

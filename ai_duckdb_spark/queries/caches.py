@@ -18,9 +18,49 @@ scripts/time_entries.py one honest lever:
 """
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from typing import Callable
 
 from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# Temp-dir lifecycle for write-once/read-many fixtures (sinks, media dirs,
+# persisted indexes). Every mkdtemp'd fixture dir goes through here so the
+# process removes them at exit instead of leaking one table/media copy per
+# sf_dir per process; ``cached_dir`` also invalidates a cache entry whose
+# directory was removed while the process lives (stale-path guard).
+# ---------------------------------------------------------------------------
+
+_TEMP_DIRS: set[str] = set()
+
+
+def _cleanup_tempdirs() -> None:
+    for path in _TEMP_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _TEMP_DIRS.clear()
+
+
+atexit.register(_cleanup_tempdirs)
+
+
+def make_tempdir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.add(path)
+    return path
+
+
+def cached_dir(cache: dict[str, str], key: str) -> str | None:
+    """Look up a memoized fixture dir; drop the entry if the directory no
+    longer exists so the caller rebuilds instead of reading a dead path."""
+    path = cache.get(key)
+    if path is not None and not os.path.isdir(path):
+        cache.pop(key, None)
+        return None
+    return path
 
 
 def index_caches() -> dict[str, dict]:

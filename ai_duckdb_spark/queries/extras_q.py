@@ -340,18 +340,18 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys at 100 TB (the plan gate lives in tests/test_scale_features).
     The oracle recomputes the accounting straight from the source table,
     proving the write→prune→read path loses and duplicates nothing."""
-    import tempfile
-
     from ..sources.sinks import write_partitioned
+    from . import caches
 
-    if sf_dir not in _SINK_DIRS:
-        path = tempfile.mkdtemp(prefix="orders_by_year_")
+    path = caches.cached_dir(_SINK_DIRS, sf_dir)
+    if path is None:
+        path = caches.make_tempdir("orders_by_year_")
         orders = load(spark, sf_dir, "orders").withColumn(
             "order_year", F.year("o_orderdate").cast("long")
         )
         write_partitioned(orders, path, "order_year")
         _SINK_DIRS[sf_dir] = path
-    back = spark.read.parquet(_SINK_DIRS[sf_dir]).filter(F.col("order_year") >= 1999)
+    back = spark.read.parquet(path).filter(F.col("order_year") >= 1999)
     return (
         back.groupBy("order_year")
         .agg(F.count("*").alias("n_orders"))
@@ -441,12 +441,12 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — any row lost, duplicated, or value-mangled by the ORC round trip
     breaks the hash. ORC gets the same pushdown machinery as parquet;
     the filter reaches the ORC scan."""
-    import tempfile
-
     from ..sources.sinks import write_orc
+    from . import caches
 
-    if sf_dir not in _ORC_DIRS:
-        path = tempfile.mkdtemp(prefix="lineitem_orc_")
+    path = caches.cached_dir(_ORC_DIRS, sf_dir)
+    if path is None:
+        path = caches.make_tempdir("lineitem_orc_")
         write_orc(
             load(spark, sf_dir, "lineitem").select(
                 "l_returnflag", "l_quantity", "l_extendedprice"
@@ -454,7 +454,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
         )
         _ORC_DIRS[sf_dir] = path
-    back = spark.read.orc(_ORC_DIRS[sf_dir]).filter(F.col("l_quantity") >= 25)
+    back = spark.read.orc(path).filter(F.col("l_quantity") >= 25)
     return (
         back.groupBy("l_returnflag")
         .agg(
@@ -486,13 +486,16 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the source table, so a row lost or duplicated by the rewrite
     breaks the hash; the file counts pin the layout actually produced."""
     import glob
-    import tempfile
+    import os
 
     from ..sources.sinks import compact_parquet
+    from . import caches
 
+    if sf_dir in _COMPACT and not all(os.path.isdir(p) for p in _COMPACT[sf_dir]):
+        del _COMPACT[sf_dir]  # stale: dirs removed while process lives
     if sf_dir not in _COMPACT:
-        small = tempfile.mkdtemp(prefix="docs_small_")
-        compacted = tempfile.mkdtemp(prefix="docs_compact_")
+        small = caches.make_tempdir("docs_small_")
+        compacted = caches.make_tempdir("docs_compact_")
         load(spark, sf_dir, "documents").repartition(64).write.mode(
             "overwrite"
         ).parquet(small)
@@ -628,11 +631,17 @@ def maintenance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes from the single source table, proving the
     write→merge→read path loses nothing and NULL-fills exactly the old
     generation."""
-    import tempfile
+    import os
 
+    from . import caches
+
+    if sf_dir in _EVOLUTION_DIRS and not all(
+        os.path.isdir(p) for p in _EVOLUTION_DIRS[sf_dir]
+    ):
+        del _EVOLUTION_DIRS[sf_dir]  # stale: dirs removed while process lives
     if sf_dir not in _EVOLUTION_DIRS:
-        d1 = tempfile.mkdtemp(prefix="orders_gen1_")
-        d2 = tempfile.mkdtemp(prefix="orders_gen2_")
+        d1 = caches.make_tempdir("orders_gen1_")
+        d2 = caches.make_tempdir("orders_gen2_")
         orders = load(spark, sf_dir, "orders")
         old_gen = orders.filter(F.year("o_orderdate") < 1997).select(
             "o_orderkey", "o_totalprice"
@@ -1108,11 +1117,14 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the read parallelizes across FILES, which is the real-world shape
     of compressed text lakes. The oracle recomputes from parquet — any
     row lost or value mangled by the CSV serialize/parse or the codec
-    breaks the hash."""
-    import tempfile
+    breaks the hash. The written copy lives in an atexit-cleaned temp
+    dir (caches.make_tempdir) and the memo self-invalidates if the dir
+    is removed mid-process (caches.cached_dir)."""
+    from . import caches
 
-    if sf_dir not in _CSVGZ_DIRS:
-        path = tempfile.mkdtemp(prefix="orders_csvgz_")
+    path = caches.cached_dir(_CSVGZ_DIRS, sf_dir)
+    if path is None:
+        path = caches.make_tempdir("orders_csvgz_")
         (
             load(spark, sf_dir, "orders")
             .select("o_orderstatus", "o_totalprice")
@@ -1124,7 +1136,7 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CSVGZ_DIRS[sf_dir] = path
     back = spark.read.schema("o_orderstatus STRING, o_totalprice DOUBLE").option(
         "header", True
-    ).csv(_CSVGZ_DIRS[sf_dir])
+    ).csv(path)
     return (
         back.filter(F.col("o_totalprice") >= 1000)
         .groupBy("o_orderstatus")

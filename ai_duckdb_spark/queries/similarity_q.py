@@ -160,14 +160,15 @@ def shared_ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     index directory — the offline-index half of knn_ivf_persisted,
     exposed separately so the bench can time the one-shot build as its
     own index_build line."""
-    import tempfile
+    from . import caches
 
-    if sf_dir not in _IVF_INDEX_DIRS:
+    path = caches.cached_dir(_IVF_INDEX_DIRS, sf_dir)
+    if path is None:
         emb = load(spark, sf_dir, "embeddings")
-        path = tempfile.mkdtemp(prefix="ivf_index_")
+        path = caches.make_tempdir("ivf_index_")
         sim.build_ivf_index(emb, path, n_clusters=16, iters=3)
         _IVF_INDEX_DIRS[sf_dir] = path
-    return _IVF_INDEX_DIRS[sf_dir]
+    return path
 
 
 @register("knn_lsh_cosine", oracle=None)
@@ -1028,13 +1029,14 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, which is the part a real pipeline exercises, is
     cluster-correct as-is.)"""
     import os
-    import tempfile
 
     from ..operators.multimodal import decode_gif_pixels, make_gif_image
+    from . import caches
 
     key = f"gif-files:{sf_dir}"
-    if key not in _MEDIA_DIRS:
-        path = tempfile.mkdtemp(prefix="media_gif_")
+    path = caches.cached_dir(_MEDIA_DIRS, key)
+    if path is None:
+        path = caches.make_tempdir("media_gif_")
         docs = load(spark, sf_dir, "documents").select("doc_id").filter(
             F.col("doc_id") < 400
         )
@@ -1061,7 +1063,7 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.gif")
-        .load(_MEDIA_DIRS[key])
+        .load(path)
     )
 
     def _decode(batches):

@@ -932,6 +932,47 @@ class TestMultimodal:
                     b = b[:pos] + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 8))) + b[pos:]
                 dec(bytes(b))  # must not raise; any return value is fine
 
+    def test_codec_crafted_corruption_returns_none(self):
+        """Targeted corruptions the random fuzz can't reach (they need a
+        consistent re-encode, not a byte flip), each previously a raise:
+        (a) a DQT whose segment length is shortened consistently — the
+        body passes the length check but holds <65 bytes per table, so
+        an unguarded slice builds a short qtable that breaks at numpy
+        dequantization; (b) an IHDR chunk with clen != 13 but a VALID
+        CRC32 (CRC is not cryptographic — an attacker or a re-framing
+        bug can produce it), which struct.unpack('>IIBBBBB') rejects by
+        raising unless the length is checked first. The executor
+        contract is return-None, never raise."""
+        import struct
+        import zlib
+
+        # (a) corrupted-but-consistent DQT seglen on real encoder output
+        for make, dec in (
+            (multimodal.make_jpeg_image, multimodal._decode_jpeg_planes),
+            (multimodal.make_jpeg_progressive, multimodal.decode_jpeg_progressive),
+        ):
+            payload = bytearray(make(16, 16, lambda x, y: 2 * ((x + y) % 128)))
+            pos = payload.find(b"\xff\xdb")
+            assert pos >= 0
+            (orig_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            assert orig_len >= 65
+            short = 20  # body = 18 bytes: one id byte + 17 of a 64-entry table
+            trimmed = (
+                bytes(payload[: pos + 2])
+                + struct.pack(">H", short)
+                + bytes(payload[pos + 4 : pos + 2 + short])
+                + bytes(payload[pos + 2 + orig_len :])
+            )
+            assert dec(trimmed) is None
+
+        # (b) IHDR with clen=9 and a forged-valid CRC
+        body = struct.pack(">IIB", 9, 7, 8)  # 9 bytes, not 13
+        chunk = struct.pack(">I", len(body)) + b"IHDR" + body
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + body))
+        png = b"\x89PNG\r\n\x1a\n" + chunk
+        assert multimodal.decode_png_pixels(png) is None
+        assert multimodal.decode_png_samples(png) is None
+
     def test_avi_mjpeg_roundtrip(self):
         """MJPEG AVI container walk + per-frame JPEG decode is exact on
         the zero-loss fixture construction; a non-MJPG fourcc in the
