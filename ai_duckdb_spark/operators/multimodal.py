@@ -2199,24 +2199,55 @@ def resize_pixels(
     return out
 
 
+def decode_image_pixels(
+    data: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Decode ANY supported still-image payload to (width, height, rows)
+    of (r, g, b) tuples — the single dispatch the pixel-consuming tiers
+    (resize, thumbnail stats) share. Tries every stdlib decoder in the
+    module: BMP, PNG (incl. interlaced/palette), GIF (incl. interlaced),
+    TIFF (II/MM, PackBits), baseline color JPEG (4:4:4/4:2:0), baseline
+    grayscale JPEG, and progressive grayscale JPEG (luma replicated to
+    RGB for the gray tiers). Returns None only for genuinely
+    undecodable payloads; each decoder rejects foreign magic cheaply."""
+    decoded = (
+        decode_bmp_pixels(data)
+        or decode_png_pixels(data)
+        or decode_gif_pixels(data)
+        or decode_tiff_pixels(data)
+        or decode_jpeg_color_pixels(data)
+    )
+    if decoded is not None:
+        return decoded
+    gray = decode_jpeg_pixels(data)
+    if gray is not None:
+        w, h, rows = gray
+        return (w, h, [[(v, v, v) for v in row] for row in rows])
+    prog = decode_jpeg_progressive(data)
+    if prog is not None:
+        w, h, (plane,) = prog
+        return (w, h, [[(int(v),) * 3 for v in row] for row in plane])
+    return None
+
+
 def resize_image(data: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
     """Resize an image payload to (width, height).
 
     Real path: decode with whichever stdlib decoder recognizes the
-    payload (BMP/PNG/GIF), resample with the exact fixed-point bilinear
-    kernel (``resize_pixels``), and re-encode as an uncompressed 24-bit
-    BMP (the canonical interchange format of the pixel tier).
-    ``fake=True`` keeps the deterministic byte stub for synthetic
-    non-image payloads; JPEG stays NotImplementedError (DCT entropy
-    decode is the one tier that still needs a codec library).
+    payload (``decode_image_pixels`` — BMP/PNG/GIF/TIFF and baseline/
+    progressive JPEG through the module's own entropy decoders),
+    resample with the exact fixed-point bilinear kernel
+    (``resize_pixels``), and re-encode as an uncompressed 24-bit BMP
+    (the canonical interchange format of the pixel tier). ``fake=True``
+    keeps the deterministic byte stub for synthetic non-image payloads.
     """
     if fake:
         return bytes((i + (data[0] if data else 0)) % 256 for i in range(width * height))
-    decoded = decode_bmp_pixels(data) or decode_png_pixels(data) or decode_gif_pixels(data)
+    decoded = decode_image_pixels(data)
     if decoded is None:
         raise NotImplementedError(
-            "unsupported image payload: BMP/PNG/GIF decode+resize is the "
-            "built-in path; JPEG needs a codec library"
+            "unsupported image payload: not decodable as BMP/PNG/GIF/TIFF "
+            "or baseline/progressive JPEG within the supported geometry"
         )
     _w, _h, rows = decoded
     resized = resize_pixels(rows, width, height, method="bilinear")
@@ -3948,7 +3979,8 @@ def extract_resized_pixel_stats(
 ) -> DataFrame:
     """PIXEL_STATS_SCHEMA stats over payloads decoded AND resampled to
     (dst_w, dst_h) — the thumbnail/normalize stage of an image training
-    pipeline: decode (BMP/PNG/GIF), exact fixed-point resize
+    pipeline: decode (``decode_image_pixels`` — BMP/PNG/GIF/TIFF and
+    baseline/progressive JPEG), exact fixed-point resize
     (``resize_pixels``), channel sums, all executor-side in mapInPandas.
     The reported width/height are the DESTINATION dims, so downstream
     consumers see the normalized geometry."""
@@ -3957,11 +3989,7 @@ def extract_resized_pixel_stats(
         for pdf in batches:
             out = {k: [] for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")}
             for payload in pdf["payload"]:
-                decoded = (
-                    decode_bmp_pixels(payload)
-                    or decode_png_pixels(payload)
-                    or decode_gif_pixels(payload)
-                )
+                decoded = decode_image_pixels(payload)
                 if decoded is None:
                     for k in out:
                         out[k].append(0)

@@ -157,6 +157,9 @@ _POST_FREEZE = {
     "dedup_survivors",
     "dedup_minhash_lsh",
     "dedup_minhash_components",
+    # r8 post-window addition (the r8 rotation was already pinned):
+    # JPEG routed through the resize tier, oracle-paired — r9 candidate
+    "multimodal_jpeg_resize_stats",
 }
 
 
