@@ -201,6 +201,90 @@ def duplicated_span_stats(
     )
 
 
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_nibbles: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Content-defined-chunking dedup accounting (the LBFS/rsync CDC
+    family — Muthitacharoen et al., SOSP'01 — restated for token
+    streams): a token is a CHUNK BOUNDARY when the last hex nibble of
+    its md5 falls in ``boundary_nibbles`` (p = |nibbles|/16, so the
+    default gives mean chunk length ~8 tokens); a chunk is the token
+    run up to and including a boundary. Because boundaries depend only
+    on LOCAL content, an insertion or deletion re-synchronizes after
+    one chunk — unlike fixed k-token spans, where a single added token
+    shifts every downstream window (duplicated_span_stats recovers
+    recall only at the k granularity). Returns, per document with at
+    least one duplicated chunk: total distinct chunks, duplicated-chunk
+    count, and the duplicated fraction.
+
+    Scale shape: chunking is pure higher-order-function work inside one
+    projection (filter/zip_with/slice over the token array — JVM
+    codegen, no explode until chunks exist, no UDF), then the same
+    linear postings plan as the span tier: one (doc, chunk-hash)
+    relation localCheckpoint'ed once, one hash groupBy for the global
+    duplicate set, one join back. No pairwise doc join anywhere, so the
+    whole operator is linear in corpus tokens at 100 TB. Chunk identity
+    is the md5 of the joined chunk text — the identical expression the
+    DuckDB oracle evaluates, so both engines agree exactly (not merely
+    modulo a private fingerprint).
+    """
+    nibs = [F.lit(n) for n in boundary_nibbles]
+    toks = F.col("__toks")
+    pos = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
+    bpos = F.filter(
+        pos,
+        lambda i: F.substring(F.md5(F.element_at(toks, i)), 32, 1).isin(*nibs),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(F.size(toks)))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s, F.md5(F.array_join(F.slice(toks, s, e - s + 1), " "))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    rel = (
+        tokenized(df.filter(F.col(text_col).isNotNull()), id_col, text_col)
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.explode(F.array_distinct(chunks)).alias("chunk_h"),
+        )
+        .localCheckpoint()
+    )
+    dup = (
+        rel.groupBy("chunk_h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)  # per-doc-distinct chunks: count(*) = n docs
+        .select("chunk_h", F.lit(1).alias("__dup"))
+    )
+    return (
+        rel.join(dup, "chunk_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("__dup").alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")
+            ).alias("dup_chunk_fraction"),
+        )
+    )
+
+
 def jaccard_pairs_exact(
     df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 1
 ) -> DataFrame:

@@ -617,6 +617,60 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    b AS (
+        SELECT doc_id, t,
+               list_filter(range(1, len(t) + 1),
+                           i -> substr(md5(t[i]), 32, 1) IN ('0', '1')) AS bpos
+        FROM toks
+    ),
+    se AS (
+        SELECT doc_id, t,
+               list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
+               list_concat(bpos, [len(t)])                        AS ends
+        FROM b
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   list_transform(range(1, len(starts) + 1),
+                       i -> CASE WHEN ends[i] >= starts[i]
+                                 THEN md5(array_to_string(t[starts[i]:ends[i]], ' '))
+                            END),
+                   x -> x IS NOT NULL))) AS chunk_h
+        FROM se
+    ),
+    dup AS (SELECT chunk_h FROM ch GROUP BY chunk_h HAVING count(*) > 1)
+    SELECT c.doc_id,
+           count(*)        AS n_chunks,
+           count(d.chunk_h) AS n_dup_chunks,
+           CAST(count(d.chunk_h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS dup_chunk_fraction
+    FROM ch c LEFT JOIN dup d ON c.chunk_h = d.chunk_h
+    GROUP BY 1
+    HAVING count(d.chunk_h) > 0
+    ORDER BY 1
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting (X6, the CDC tier next
+    to the fixed-span Lee-et-al tier): chunk boundaries are tokens
+    whose md5 ends in a designated nibble, so chunking re-synchronizes
+    after insertions/deletions where fixed windows shift. Per doc:
+    distinct chunks, chunks shared with any other doc, and the
+    duplicated fraction — the edit-robust dup-mass metric a 100 TB
+    curation pass keys retention thresholds on. Linear postings plan,
+    no pairwise join (operators/dedup.py cdc_chunk_stats); both engines
+    evaluate the IDENTICAL md5 chunk identity, so agreement is exact,
+    not collision-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "streaming_incremental_dedup",
     oracle="""
     WITH keyed AS (

@@ -160,6 +160,10 @@ _POST_FREEZE = {
     # r8 post-window addition (the r8 rotation was already pinned):
     # JPEG routed through the resize tier, oracle-paired — r9 candidate
     "multimodal_jpeg_resize_stats",
+    # r8 post-window addition: content-defined-chunking dedup tier
+    # (edit-robust chunk boundaries vs fixed spans), oracle-paired with
+    # identical md5 chunk identity on both engines — r9 candidate
+    "dedup_cdc_chunks",
 }
 
 
