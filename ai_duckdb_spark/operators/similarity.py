@@ -156,8 +156,13 @@ def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
     """The IVF model as a k-row relation — joined with a broadcast hint,
     it ships to executors like any dimension table. (Baking k×dim floats
     into literal expressions instead costs seconds of Catalyst
-    analysis/codegen per plan and grows with k — measured 3-4× slower.)"""
-    return spark.createDataFrame(
+    analysis/codegen per plan and grows with k — measured 3-4× slower.
+    Routed through local_relation so it is a LocalTableScan, not a
+    32-python-task pickled RDD — see session.local_relation.)"""
+    from ..session import local_relation
+
+    return local_relation(
+        spark,
         [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>",
     )
@@ -811,7 +816,9 @@ def _pq_books_df(spark, books: list[list[list[float]]]) -> DataFrame:
         for mi, book in enumerate(books)
         for ci, c in enumerate(book)
     ]
-    return spark.createDataFrame(rows, "m int, code int, cvec array<double>, csq double")
+    from ..session import local_relation
+
+    return local_relation(spark, rows, "m int, code int, cvec array<double>, csq double")
 
 
 def _pq_assign(sub: DataFrame, books_df: DataFrame) -> DataFrame:

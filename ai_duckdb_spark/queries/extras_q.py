@@ -1084,9 +1084,12 @@ def mad_outlier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fence = 3 * 1.4826 * mad  # same left-assoc multiply as the SQL
         n_out = sum(c for v, c in hist.items() if abs(v - median) > fence)
         out.append((flag, median, mad, n_out, n))
-    return spark.createDataFrame(
+    from ..session import local_relation
+
+    return local_relation(
+        spark,
         out,
-        schema="l_returnflag string, median_qty double, mad_qty double, "
+        "l_returnflag string, median_qty double, mad_qty double, "
         "n_outliers long, n_rows long",
     )
 

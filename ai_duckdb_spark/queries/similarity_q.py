@@ -1835,6 +1835,8 @@ def embedding_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, round(float(v), 6), round(float(v) / total, 6))
         for i, v in enumerate(vals[:10])
     ]
-    return spark.createDataFrame(
-        out, "component int, eigenvalue double, explained_frac double"
+    from ..session import local_relation
+
+    return local_relation(
+        spark, out, "component int, eigenvalue double, explained_frac double"
     )

@@ -73,7 +73,10 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python reference BPE trainer on the same fixture
     (tests/test_operators.py TestBpe)."""
     rules = shared_merge_rules(spark, sf_dir)
-    return spark.createDataFrame(
+    from ..session import local_relation
+
+    return local_relation(
+        spark,
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(rules)],
         "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
     )

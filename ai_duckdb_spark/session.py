@@ -167,6 +167,40 @@ def get_spark(
     return spark
 
 
+def local_relation(spark: SparkSession, rows: list, schema: str) -> "DataFrame":
+    """Driver-computed model/result rows as a TRUE LocalTableScan.
+
+    ``spark.createDataFrame(list, schema)`` builds a PICKLED-RDD-backed
+    plan (``Scan ExistingRDD``) parallelized to defaultParallelism — 32
+    Python-worker tasks to serve a 3-row relation, on EVERY downstream
+    action. That shape made every consumer hostage to the Python worker
+    pool: when an earlier query's task interruption killed the pooled
+    workers (observed: 33 worker deaths mid-session), the next
+    local-relation consumer paid a ~31-process respawn ≈ +4.5 s on an
+    idle host, tens of seconds under load — the r7 bench's
+    "mad_outlier_quantity regressed / png_pixel 13.4 s" anomalies
+    (scripts/diag_workers.py has the measurement; SCALE.md the
+    writeup). Routing the same rows through pandas + Arrow yields a
+    LocalTableScan: no RDD, no Python workers ever, broadcasts
+    JVM-side, and the driver-to-JVM hop is one Arrow batch. On a real
+    cluster the same property holds — model-sized relations (centroid
+    tables, PQ codebooks, merge rules, driver-folded statistics) ship
+    inside the plan instead of through a Python-task stage.
+
+    Falls back to the classic path for empty row lists (Arrow needs at
+    least the dtypes pandas can't infer from zero rows) — our callers
+    never produce one outside tests.
+    """
+    if not rows:
+        return spark.createDataFrame(rows, schema=schema)
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    names = _parse_datatype_string(schema).fieldNames()
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def pin_session_defaults(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on an externally created session.
 

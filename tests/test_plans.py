@@ -505,3 +505,27 @@ def test_dsir_select_is_topk_no_smj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_dsir_select")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_local_relation_is_localtablescan_no_python_rdd(spark, sf_dir):
+    """Driver-computed model relations (centroid tables, PQ codebooks,
+    merge rules, driver-folded statistics) must plan as LocalTableScan.
+    The createDataFrame(list) path instead yields a pickled-RDD scan
+    parallelized to defaultParallelism — 32 Python-worker tasks per
+    downstream action for a 3-row table, and a multi-second worker-pool
+    respawn whenever an earlier query's task interruption killed the
+    pooled workers (the r7 in-bench mad_outlier/png anomaly, measured
+    in scripts/diag_workers.py)."""
+    from ai_duckdb_spark.session import local_relation
+
+    df = local_relation(
+        spark, [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "cid int, cvec array<double>"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    # the driver-folded statistics entry ends in the same shape
+    mad = catalog.REGISTRY["mad_outlier_quantity"].builder(spark, sf_dir)
+    mad_plan = mad._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in mad_plan
+    assert "ExistingRDD" not in mad_plan
