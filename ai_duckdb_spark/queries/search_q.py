@@ -380,3 +380,65 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@register(
+    "search_term_proximity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    pp AS (
+        SELECT doc_id,
+               list_filter(range(1, len(t) + 1), i -> t[i] = 'hash') AS pa,
+               list_filter(range(1, len(t) + 1), i -> t[i] = 'join') AS pb
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(pa) AS BIGINT) AS n_hash,
+           CAST(len(pb) AS BIGINT) AS n_join,
+           CAST(list_min(flatten(list_transform(pa,
+               a -> list_transform(pb, b -> abs(a - b))))) AS BIGINT)
+               AS min_dist
+    FROM pp
+    WHERE len(pa) > 0 AND len(pb) > 0
+    ORDER BY min_dist, doc_id
+    LIMIT 20
+    """,
+)
+def search_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-proximity retrieval (X7×X8, the positional-index operator
+    next to BM25): the 20 documents where the query terms 'hash' and
+    'join' co-occur closest together — the phrase/NEAR scoring primitive
+    a positional inverted index serves. All-integer arithmetic (token
+    positions and |a-b| distances), so both engines agree exactly; ties
+    break on doc_id.
+
+    Scale shape: positions come from one higher-order-function pass per
+    document (filter over sequence — JVM codegen, no explode, no UDF,
+    no posting-list shuffle at all for the per-doc distance), and the
+    candidate set is docs containing BOTH terms. The per-doc distance
+    matrix is |pa|x|pb| — occurrence counts of two fixed terms, not
+    document length. The final cut is TakeOrderedAndProject (per-
+    partition top-20 heaps), so nothing resembling a global sort exists
+    at 100 TB."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    pos = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pa = F.filter(pos, lambda i: F.element_at(toks, i) == "hash")
+    pb = F.filter(pos, lambda i: F.element_at(toks, i) == "join")
+    dists = F.flatten(
+        F.transform(pa, lambda a: F.transform(pb, lambda b: F.abs(a - b)))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(pa).cast("long").alias("n_hash"),
+            F.size(pb).cast("long").alias("n_join"),
+            F.array_min(dists).cast("long").alias("min_dist"),
+        )
+        .filter((F.col("n_hash") > 0) & (F.col("n_join") > 0))
+        .orderBy("min_dist", "doc_id")
+        .limit(20)
+    )

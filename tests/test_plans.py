@@ -529,3 +529,25 @@ def test_local_relation_is_localtablescan_no_python_rdd(spark, sf_dir):
     mad_plan = mad._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in mad_plan
     assert "ExistingRDD" not in mad_plan
+
+
+def test_term_proximity_no_explode_topk(spark, sf_dir):
+    """Positional proximity must stay a per-row HOF computation (no
+    Generate/explode — a position-exploded posting join would shuffle
+    every occurrence) and cut with TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "search_term_proximity")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cdc_chunks_single_gram_shuffle_no_cartesian(spark, sf_dir):
+    """CDC chunking is HOF work inside one projection; the dup-set plan
+    is postings-shaped (chunk-hash groupBy + join back) — never a
+    pairwise doc join."""
+    plan = _plan(spark, sf_dir, "dedup_cdc_chunks")
+    assert "CartesianProduct" not in plan
+    # the (doc, chunk-hash) relation is materialized ONCE (checkpoint →
+    # ExistingRDD) and feeds both the dup-set aggregate and the join
+    # back — the HOF chunking runs a single time, not per consumer
+    assert "Scan ExistingRDD" in plan
