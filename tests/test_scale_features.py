@@ -222,3 +222,33 @@ class TestRocksDBStateStore:
         finally:
             spark.conf.set(key, default)
         assert got == want and len(got) > 0
+
+
+class TestWorkerDaemon:
+    """The warm-import daemon (session.py / daemon_warm.py): Spark
+    discards Python workers idle >60 s, so respawn cost gates every
+    long session's pandas entries — the daemon must stay wired and
+    import-safe or respawns silently revert to 8-58 s cold imports."""
+
+    def test_daemon_module_configured(self, spark):
+        assert (
+            spark.sparkContext.getConf().get("spark.python.daemon.module")
+            == "ai_duckdb_spark.daemon_warm"
+        )
+
+    def test_daemon_module_importable_and_warm_safe(self):
+        # importing must NOT start a daemon (guarded by __main__), and
+        # _warm must never raise even if an optional dep is missing
+        import ai_duckdb_spark.daemon_warm as dw
+
+        dw._warm()
+
+    def test_package_parent_on_child_pythonpath(self):
+        # the daemon child resolves ai_duckdb_spark by name from
+        # PYTHONPATH, exported by get_spark before the JVM launched
+        import os
+
+        import ai_duckdb_spark
+
+        parent = os.path.dirname(os.path.dirname(ai_duckdb_spark.__file__))
+        assert parent in os.environ.get("PYTHONPATH", "").split(os.pathsep)
