@@ -1149,3 +1149,108 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "maintenance_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    diff AS (
+        SELECT CASE
+                   WHEN v1.o_orderkey IS NULL THEN 'insert'
+                   WHEN v2.o_orderkey IS NULL THEN 'delete'
+                   WHEN v1.o_totalprice <> v2.o_totalprice
+                     OR v1.o_orderstatus <> v2.o_orderstatus THEN 'update'
+                   ELSE 'unchanged'
+               END AS change_type,
+               COALESCE(v2.o_totalprice, v1.o_totalprice) AS price
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT change_type,
+           count(*)                      AS n_rows,
+           {sum_sql("price", 2)}         AS total_price
+    FROM diff
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC-feed derivation (the §2.10 maintenance tier's
+    table-versioning operator): classify every key of two table
+    versions as insert / delete / update / unchanged and account the
+    affected value mass — what a lakehouse emits as a change feed when
+    no transaction log exists. The second version is synthesized
+    deterministically from the first (every 97th key deleted, every
+    89th price bumped by +1.0, every 101st re-inserted under a shifted
+    key), so the oracle rebuilds both sides closed-form.
+
+    Exactness: key arithmetic is integer modulo; the price bump is one
+    IEEE add of parquet-identical doubles; totals are cents-exact sums.
+
+    Scale shape: THE canonical table-diff plan — one full-outer
+    equi-join on the key with both sides hash-partitioned by it (at
+    100 TB this is the sort-merge diff every snapshot reconciler runs;
+    nothing driver-sized), then an all-map-side conditional
+    classification and a 4-row aggregate. No window, no collect; the
+    synthetic-v2 construction is fixture plumbing that a real feed
+    replaces with yesterday's snapshot scan."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    v2 = (
+        base.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.filter(k % 101 == 0).select(
+                (k + F.lit(1000000000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        F.col("o_orderstatus").alias("s1"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        F.col("o_orderstatus").alias("s2"),
+    )
+    diff = a.join(b, a.k1 == b.k2, "full_outer").select(
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(
+            (F.col("p1") != F.col("p2")) | (F.col("s1") != F.col("s2")), "update"
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("p2", "p1").alias("price"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum("price", 2).alias("total_price"),
+        )
+        .orderBy("change_type")
+    )
