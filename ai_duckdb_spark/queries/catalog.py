@@ -68,6 +68,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # the window union auditable, and the local oracle suite still runs ALL
 # entries at the driver's SF every round.
 #
+# Late-r8 amendment: the four entries BUILT in r8 (dedup_cdc_chunks,
+# search_term_proximity, maintenance_snapshot_diff,
+# multimodal_jpeg_resize_stats — all oracle-paired, driver-sim-green)
+# take the slots of four MORE CORRECTNESS_r07-green rows
+# (skew_salted_counts, corpus_pack_sequences, unpivot_customer_metrics,
+# skyline_parts), so new work earns hard driver rows in the round it
+# ships instead of waiting a rotation.
+#
 # r7 rotation (judge r6 item 6): multimodal_png_pixel_stats,
 # multimodal_audio_sample_stats, stats_ols_probe, the TPC-H deep cuts
 # (q6/q7/q10/q13/q14/q18/q19/q22), the three sinks, summarize_orders,
@@ -117,9 +125,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "dedup_components",
     "dedup_incremental",
-    "skew_salted_counts",
+    "dedup_cdc_chunks",
     "pipeline_training_corpus",
-    "corpus_pack_sequences",
+    "search_term_proximity",
     "corpus_contamination",
     "corpus_gopher_rules",
     "multimodal_frame_sample",
@@ -131,9 +139,9 @@ DRIVER_WINDOW: list[str] = [
     "full_outer_nation_parties",
     "scd2_customer_price_history",
     "window_analytics_suite",
-    "unpivot_customer_metrics",
+    "maintenance_snapshot_diff",
     "recursive_cte_monthly_series",
-    "skyline_parts",
+    "multimodal_jpeg_resize_stats",
     "string_agg_nations_by_region",
     "stats_corr_qty_price",
     # slot 50 stays q1_pricing_summary via registration order.

@@ -164,6 +164,11 @@ _POST_FREEZE = {
     # (edit-robust chunk boundaries vs fixed spans), oracle-paired with
     # identical md5 chunk identity on both engines — r9 candidate
     "dedup_cdc_chunks",
+    # late-r8 window amendment: four r8-built entries took slots, and
+    # four MORE CORRECTNESS_r07-green rows rotated out (this one is the
+    # dedup_q-module member of that set; salted-skew coverage stays via
+    # the plan gates and the r07 artifact)
+    "skew_salted_counts",
 }
 
 
