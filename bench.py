@@ -130,6 +130,19 @@ def _calibrate(spark, sf_dir: str, reps: int = 3) -> float:
     return round(statistics.median(times), 4)
 
 
+def _touch_python_pool(spark) -> None:
+    """Refresh the Python worker pool OUTSIDE any timed region.
+
+    Spark discards pooled Python workers idle >60 s (hardcoded
+    IDLE_WORKER_TIMEOUT_NS), and an interleaved DuckDB pass idles them
+    for 1-2 minutes — so without this touch the pool respawn (~1 s with
+    the warm daemon; 8-58 s without, SCALE.md "r8 anomaly") lands on
+    whichever pandas entry happens to run first in the next pass and
+    masquerades as that query's cost. One 32-partition no-op pandas
+    task re-forks the pool so per-entry numbers measure the query."""
+    spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, schema="id long").count()
+
+
 def _duck_pass(con, specs) -> dict[str, float]:
     timings: dict[str, float] = {}
     for spec in specs:
@@ -234,6 +247,7 @@ def main() -> None:
         # job counts captured on the LAST warm pass only — AQE may
         # schedule an extra stage-materialization job on the first warm
         # run; by the last pass the counts are the steady-state plan
+        _touch_python_pool(spark)
         s_passes.append(
             _spark_pass(spark, specs, sf_dir, jobs_out=jobs_map if i == passes - 1 else None)
         )
