@@ -817,6 +817,20 @@ class TestMultimodal:
         for h in range(1, 40):
             assert sorted(multimodal._gif_interlace_rows(h)) == list(range(h))
 
+    def test_jpeg_huff_lut_overlong_code_space_rejected(self):
+        """Corrupted DHT whose per-length counts overrun the 16-bit
+        canonical code space must reject the table (decoder returns
+        None for the file), never raise or mis-index — the LUT builder
+        is the only place that can catch this class (the old per-bit
+        dict decode silently never matched)."""
+        # 3 codes of length 1 is impossible (only 2 exist): reject
+        bits = [3] + [0] * 15
+        assert multimodal._jpeg_huff_lut(bits, [1, 2, 3]) is None
+        # a maximal VALID table still builds: 2 len-1 codes
+        lut = multimodal._jpeg_huff_lut([2] + [0] * 15, [7, 9])
+        assert lut is not None
+        assert lut[0x0000] == (7 << 5) | 1 and lut[0xFFFF] == (9 << 5) | 1
+
     def test_jpeg_restart_markers_equal_plain(self):
         """DRI/RSTn support: a stream split with modulo-8-sequenced
         restart markers (byte-aligned padding, DC predictor resets)
