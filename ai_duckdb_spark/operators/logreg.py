@@ -1,0 +1,83 @@
+"""Distributed logistic regression via IRLS (X8 adjunct — the
+model-in-pipeline tier).
+
+Large-corpus curation pipelines train a SMALL linear quality classifier
+over cheap document features and filter by its score (the public
+recipe: CCNet's fastText-linear quality model, the GPT-3 paper's
+LR-against-WebText filter). The training loop is
+iteratively-reweighted least squares, restated for Spark the same way
+k-means and OLS are here:
+
+* Per iteration, the ONLY distributed work is one aggregate job over
+  the feature frame computing the k(k+1)/2 weighted Gram sums
+  ``sum(w * x_i * x_j)`` and the k response sums ``sum(w * x_i * z)``
+  — all JVM column expressions with map-side partial aggregation, no
+  UDF, no shuffle of rows (the agg reduces straight to one row).
+* The k x k normal-equation solve happens driver-side on numpy —
+  model-sized (k ~ 5 features), never data-sized, exactly the bounded
+  driver-collect policy SCALE.md documents for k-means centroids and
+  the BPE merge table.
+
+At 100 TB the cost is ``iterations`` scans with tiny partial states;
+beta never leaves the driver between iterations except as literals
+folded into the next iteration's expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def logistic_regression_irls(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 8,
+    ridge: float = 1e-6,
+) -> list[float]:
+    """Fit logistic regression, returning the coefficient list aligned
+    with ``feature_cols`` (include a constant column for an intercept).
+
+    ``ridge`` adds a small L2 diagonal so separable fixtures cannot
+    blow up the solve; ``iterations`` is fixed (IRLS on a well-scaled
+    design converges in far fewer) so the job count is deterministic.
+    """
+    import numpy as np
+
+    k = len(feature_cols)
+    x = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    beta = [0.0] * k
+    for _ in range(iterations):
+        eta = x[0] * F.lit(beta[0])
+        for i in range(1, k):
+            eta = eta + x[i] * F.lit(beta[i])
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        wgt = mu * (F.lit(1.0) - mu) + F.lit(1e-12)
+        z = eta + (y - mu) / wgt
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(wgt * x[i] * x[j]))
+        for i in range(k):
+            aggs.append(F.sum(wgt * x[i] * z))
+        row = df.agg(*aggs).first()
+        a = np.zeros((k, k))
+        idx = 0
+        for i in range(k):
+            for j in range(i, k):
+                a[i, j] = a[j, i] = float(row[idx])
+                idx += 1
+        b = np.array([float(row[idx + i]) for i in range(k)])
+        a += ridge * np.eye(k)
+        beta = [float(v) for v in np.linalg.solve(a, b)]
+    return beta
+
+
+def predict_proba(df: DataFrame, feature_cols: list[str], beta: list[float]) -> F.Column:
+    """Score column for a fitted model: sigmoid(x . beta), pure JVM."""
+    eta = F.col(feature_cols[0]).cast("double") * F.lit(beta[0])
+    for i in range(1, len(feature_cols)):
+        eta = eta + F.col(feature_cols[i]).cast("double") * F.lit(beta[i])
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))

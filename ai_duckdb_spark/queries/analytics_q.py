@@ -579,3 +579,58 @@ def stats_ols_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register("quality_logreg_weights")
+def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus quality classifier (X8 model-in-pipeline tier):
+    logistic regression by distributed IRLS over cheap per-document
+    features, predicting the English-language label — the public
+    curation recipe (CCNet / the GPT-3 LR-against-reference filter)
+    where a small linear model scores documents and the pipeline
+    filters on the score. Rows-only: the trainer is iterative (one
+    k(k+1)/2-sum aggregate job per IRLS step, k x k numpy solve
+    driver-side — operators/logreg.py has the scale argument);
+    tests/test_operators.py pins the full coefficient vector against
+    an independent numpy IRLS on the identical feature matrix, and
+    pins training accuracy above the majority-class floor.
+
+    Features are deterministic JVM expressions (token count, mean
+    token length, distinct-token ratio, character count — scaled to
+    O(1) ranges so IRLS is well-conditioned without a normalization
+    pass)."""
+    from ..operators.logreg import logistic_regression_irls, predict_proba
+    from ..session import local_relation
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        F.lit(1.0).alias("f_intercept"),
+        (F.size(toks).cast("double") / F.lit(100.0)).alias("f_tokens"),
+        (
+            (F.length("text") - F.size(toks) + 1).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("f_mean_tok_len"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("f_distinct_ratio"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("f_kchars"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
+    cols = ["f_intercept", "f_tokens", "f_mean_tok_len", "f_distinct_ratio", "f_kchars"]
+    beta = logistic_regression_irls(feats, cols, "label")
+    acc_row = feats.agg(
+        F.avg(
+            (
+                (predict_proba(feats, cols, beta) >= 0.5).cast("double")
+                == F.col("label")
+            ).cast("double")
+        )
+    ).first()
+    acc = float(acc_row[0])
+    return local_relation(
+        spark,
+        [(c, float(b), acc) for c, b in zip(cols, beta)],
+        "feature string, beta double, train_accuracy double",
+    )

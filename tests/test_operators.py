@@ -2389,3 +2389,56 @@ class TestMinhashSignatures:
         assert sigs[1] == sigs[2]
         overlap = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
         assert overlap < 0.3
+
+
+class TestLogReg:
+    def test_irls_matches_numpy_reference(self, spark, sf_dir):
+        """The distributed IRLS (one Gram-sum aggregate per iteration,
+        driver-side k x k solve) must reproduce an independent numpy
+        IRLS on the identical feature matrix — the whole coefficient
+        vector, not just a summary stat — and the trained model must
+        beat the majority-class accuracy floor on its training set."""
+        import numpy as np
+
+        from ai_duckdb_spark.queries.analytics_q import quality_logreg_weights
+        from ai_duckdb_spark.queries.catalog import REGISTRY
+        from ai_duckdb_spark.tables import load
+        from pyspark.sql import functions as F
+
+        out = quality_logreg_weights(spark, sf_dir).collect()
+        beta_spark = np.array([r["beta"] for r in out])
+        acc = out[0]["train_accuracy"]
+
+        docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        toks = F.split(F.col("text"), " ")
+        pdf = docs.select(
+            F.lit(1.0).alias("f0"),
+            (F.size(toks).cast("double") / 100.0).alias("f1"),
+            (
+                (F.length("text") - F.size(toks) + 1).cast("double")
+                / F.size(toks).cast("double")
+            ).alias("f2"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double")
+            ).alias("f3"),
+            (F.col("n_chars").cast("double") / 1000.0).alias("f4"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ).toPandas()
+        x = pdf[["f0", "f1", "f2", "f3", "f4"]].to_numpy()
+        y = pdf["y"].to_numpy()
+        beta = np.zeros(5)
+        for _ in range(8):
+            eta = x @ beta
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = mu * (1 - mu) + 1e-12
+            z = eta + (y - mu) / w
+            a = (x * w[:, None]).T @ x + 1e-6 * np.eye(5)
+            b = (x * w[:, None]).T @ z
+            beta = np.linalg.solve(a, b)
+        assert np.allclose(beta_spark, beta, rtol=1e-5, atol=1e-7), (
+            beta_spark,
+            beta,
+        )
+        majority = max(y.mean(), 1 - y.mean())
+        assert acc >= majority, (acc, majority)
