@@ -541,6 +541,21 @@ def test_term_proximity_no_explode_topk(spark, sf_dir):
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_term_proximity_split_never_inside_position_lambda(spark, sf_dir):
+    """The O(len^2) trap, pinned at the optimizer level: a HOF lambda
+    over the RAW split expression (or a filter on the computed counts,
+    which pushdown re-inlines below the projection) re-evaluates the
+    split per token position — measured 7.7 s vs 0.39 s at sf0.1 on an
+    identical 2-job plan. The signature of both regressions is
+    element_at(split(...)) in the optimized plan; the fixed plan slices
+    a named attribute instead."""
+    from ai_duckdb_spark.queries import catalog
+
+    df = catalog.REGISTRY["search_term_proximity"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at(split(" not in plan
+
+
 def test_cdc_chunks_single_gram_shuffle_no_cartesian(spark, sf_dir):
     """CDC chunking is HOF work inside one projection; the dup-set plan
     is postings-shaped (chunk-hash groupBy + join back) — never a
