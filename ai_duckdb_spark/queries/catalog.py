@@ -68,6 +68,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # the window union auditable, and the local oracle suite still runs ALL
 # entries at the driver's SF every round.
 #
+# r9 rotation (judge r8 item 1): the 37 never-driver-checked
+# oracle-paired entries swap IN — after this round EVERY oracle-paired
+# registry entry will have earned a hard driver row at least once: the
+# TPC-H completion tier (q2/q3/q4/q5/q8/q9/q11/q12/q15/q16/q17/q20/q21),
+# the r3 corpus tier (pii_scrub, source_rebalance, temperature_resample,
+# train_split, length_buckets), the text tier (rarity, repetition,
+# vocabulary, length_histogram), pipeline_semantic_corpus,
+# winsorized_price_stats, zorder_locality_buckets, source_token_cosine,
+# fuzzy_name_pairs_blocked, window_distribution_suite, the events trio
+# (funnel, retention, peak_hourly), maintenance_compact_files,
+# maintenance_incremental_agg, multimodal_audio_headers, and the three
+# streaming entries (foreachbatch_sink, topk_tokens, watermark_latedrop).
+# 49 r8-green rows rotate OUT (all auditable in CORRECTNESS_r08.json);
+# flagship_revenue_argmax stays pinned as slot 1 (driver smoke contract).
+# Remaining slots up to 50 are filled by r9-built entries so new work
+# earns hard driver rows in the round it ships (late-r8 precedent).
+#
 # Late-r8 amendment: the four entries BUILT in r8 (dedup_cdc_chunks,
 # search_term_proximity, maintenance_snapshot_diff,
 # multimodal_jpeg_resize_stats — all oracle-paired, driver-sim-green)
@@ -96,55 +113,52 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # sampled_lineitem_stats out (all r01/r04-proven).
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
-    "streaming_stateful_user_totals",
-    "streaming_incremental_dedup",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    "multimodal_gif_interlaced_stats",
-    "multimodal_jpeg_luma_stats",
-    "multimodal_jpeg_color_stats",
-    "multimodal_jpeg420_stats",
-    "multimodal_jpeg_progressive_stats",
-    "multimodal_adpcm_sample_stats",
-    "multimodal_g711_sample_stats",
-    "multimodal_stereo_sample_stats",
-    "multimodal_resize_stats",
-    "multimodal_binary_ingest",
-    "multimodal_png_interlaced_stats",
-    "multimodal_png_palette_stats",
-    "multimodal_png_gray16_stats",
-    "multimodal_png_alpha_stats",
-    "multimodal_tiff_pixel_stats",
-    "multimodal_video_mjpeg_stats",
-    "text_boilerplate_ngrams",
-    "corpus_dsir_select",
-    "hybrid_search_rrf",
-    "sink_csv_gzip_roundtrip",
-    "dedup_prefix_jaccard_pairs",
-    "dedup_bigram_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_incremental",
-    "dedup_cdc_chunks",
-    "pipeline_training_corpus",
-    "search_term_proximity",
-    "corpus_contamination",
-    "corpus_gopher_rules",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "multimodal_image_headers",
-    "pandas_udf_token_count",
-    "range_join_recent_activity",
-    "grouped_zscore_pandas",
-    "full_outer_nation_parties",
-    "scd2_customer_price_history",
-    "window_analytics_suite",
-    "maintenance_snapshot_diff",
-    "recursive_cte_monthly_series",
-    "multimodal_jpeg_resize_stats",
-    "string_agg_nations_by_region",
-    "stats_corr_qty_price",
-    # slot 50 stays q1_pricing_summary via registration order.
+    # --- TPC-H completion tier (13) ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_order_check",
+    "q5_local_supplier_volume",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_by_line_class",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    # --- corpus tier (5) ---
+    "corpus_pii_scrub",
+    "corpus_source_rebalance",
+    "corpus_temperature_resample",
+    "corpus_train_split",
+    "corpus_length_buckets",
+    # --- text tier (4) ---
+    "text_rarity_scores",
+    "text_repetition_metrics",
+    "text_vocabulary_stats",
+    "text_length_histogram",
+    # --- misc never-driver-checked (6) ---
+    "pipeline_semantic_corpus",
+    "winsorized_price_stats",
+    "zorder_locality_buckets",
+    "source_token_cosine",
+    "fuzzy_name_pairs_blocked",
+    "window_distribution_suite",
+    # --- events trio (3) ---
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_peak_hourly_rate",
+    # --- maintenance + audio (3) ---
+    "maintenance_compact_files",
+    "maintenance_incremental_agg",
+    "multimodal_audio_headers",
+    # --- streaming trio (3) ---
+    "streaming_foreachbatch_sink",
+    "streaming_topk_tokens",
+    "streaming_watermark_latedrop",
+    # --- r9-built entries earn driver rows in the round they ship ---
+    # (appended below as they land; slots 39-50)
 ]
 
 
