@@ -23,6 +23,20 @@ to :func:`pyspark.daemon.manager` after warming.
 Every warm import is best-effort: a missing optional dep must never
 take the daemon down (workers would become unspawnable), so failures
 degrade to the stock cold-import behavior.
+
+DEPLOYMENT REQUIREMENT (r8 ADVICE): ``spark.python.daemon.module``
+makes every executor's daemon startup import THIS package by name in a
+fresh interpreter. The warm imports inside degrade gracefully, but the
+module itself must be importable — on a real multi-node cluster the
+package must be installed on executors (pip install / --py-files /
+cluster image), or daemon startup fails hard with no fallback to
+``pyspark.daemon``, breaking all Python-UDF queries. ``get_spark``
+exports the package parent onto ``PYTHONPATH`` before the JVM launches
+(sufficient for local[*] and for clusters with a shared filesystem);
+to opt out entirely pass
+``extra_conf={"spark.python.daemon.module": "pyspark.daemon"}`` —
+extra_conf is applied after the default and overrides it. Failure mode
+and mitigation are documented in SCALE.md §"Python worker pool".
 """
 
 from __future__ import annotations

@@ -63,6 +63,13 @@ def logistic_regression_irls(
         for i in range(k):
             aggs.append(F.sum(wgt * x[i] * z))
         row = df.agg(*aggs).first()
+        if row is None or row[0] is None:
+            # sum() over zero rows aggregates to NULL; without this
+            # guard the float(...) below dies with a bare TypeError
+            raise ValueError(
+                "logistic_regression_irls: empty training frame "
+                "(no rows survived filtering; cannot fit)"
+            )
         a = np.zeros((k, k))
         idx = 0
         for i in range(k):

@@ -204,18 +204,31 @@ def local_relation(spark: SparkSession, rows: list, schema: str) -> "DataFrame":
     tables, PQ codebooks, merge rules, driver-folded statistics) ship
     inside the plan instead of through a Python-task stage.
 
-    Falls back to the classic path for empty row lists (Arrow needs at
-    least the dtypes pandas can't infer from zero rows) — our callers
-    never produce one outside tests.
+    Null fidelity: the rows go through an EXPLICIT pyarrow Table (typed
+    per-column arrays built from the parsed Spark schema), not pandas —
+    a pandas round-trip would coerce a ``None`` in a double column to
+    NaN, and Spark NaN != NULL, silently diverging from the
+    ``createDataFrame(list)`` semantics this helper replaces. With the
+    Arrow table, ``None`` stays a true NULL on every type.
+
+    Falls back to the classic path for empty row lists (pa.array still
+    works on [], but zero-row relations are test-only here and the
+    classic path is simplest) — our callers never produce one.
     """
     if not rows:
         return spark.createDataFrame(rows, schema=schema)
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import _parse_datatype_string
 
-    names = _parse_datatype_string(schema).fieldNames()
-    pdf = pd.DataFrame(rows, columns=names)
-    return spark.createDataFrame(pdf, schema=schema)
+    struct = _parse_datatype_string(schema)
+    arrow_schema = to_arrow_schema(struct)
+    columns = list(zip(*rows))
+    table = pa.Table.from_arrays(
+        [pa.array(col, type=f.type) for col, f in zip(columns, arrow_schema)],
+        schema=arrow_schema,
+    )
+    return spark.createDataFrame(table, schema=struct)
 
 
 def pin_session_defaults(spark: SparkSession) -> SparkSession:

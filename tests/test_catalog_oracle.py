@@ -205,8 +205,16 @@ def test_every_entry_documented():
     every REGISTRY name must appear in the file."""
     import os
 
+    import re
+
     cov_path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     with open(cov_path) as fh:
         cov = fh.read()
-    missing = [n for n in catalog.REGISTRY if n not in cov]
+    # whole-token match, not substring: `dedup_minhash` must not pass
+    # the gate just because `dedup_minhash_lsh` has a row (r8 ADVICE)
+    missing = [
+        n
+        for n in catalog.REGISTRY
+        if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(n)}(?![A-Za-z0-9_])", cov)
+    ]
     assert not missing, f"entries undocumented in COVERAGE.md: {missing}"

@@ -2442,3 +2442,36 @@ class TestLogReg:
         )
         majority = max(y.mean(), 1 - y.mean())
         assert acc >= majority, (acc, majority)
+
+    def test_irls_empty_frame_raises(self, spark):
+        """An empty (or fully filtered) training frame must fail with a
+        clear ValueError, not a TypeError from float(None) on the NULL
+        aggregate row (r8 ADVICE)."""
+        import pytest as _pytest
+
+        from ai_duckdb_spark.operators.logreg import logistic_regression_irls
+
+        df = spark.createDataFrame([], "f0 double, y double")
+        with _pytest.raises(ValueError, match="empty training frame"):
+            logistic_regression_irls(df, ["f0"], "y", iterations=1)
+
+
+class TestLocalRelation:
+    def test_nulls_survive_and_plan_is_local(self, spark):
+        """local_relation must preserve None as true NULL in double
+        columns (NOT NaN — the pandas-coercion trap, r8 ADVICE) and
+        still plan as a LocalRelation with no RDD scan."""
+        from pyspark.sql import functions as F
+
+        from ai_duckdb_spark.session import local_relation
+
+        df = local_relation(
+            spark, [(1, 2.5, "x"), (2, None, None)], "id long, v double, s string"
+        )
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows[2]["v"] is None and rows[2]["s"] is None
+        # NULL, not NaN: isnan(NULL) is NULL -> count of true must be 0
+        n_nan = df.filter(F.isnan("v")).count()
+        assert n_nan == 0
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan and "ExistingRDD" not in plan
