@@ -496,6 +496,11 @@ def test_boilerplate_ngrams_broadcast_semi_no_smj(spark, sf_dir):
     the full gram stream a second time."""
     plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
     assert "SortMergeJoin" not in plan
+    # r9 rewrite: grams shuffle as xxhash64 longs, doc frequency comes
+    # from count(*) over per-doc run-length rows — countDistinct's
+    # row-doubling Expand must never reappear in this plan
+    assert "xxhash64" in plan
+    assert "Expand" not in plan
 
 
 def test_dsir_select_is_topk_no_smj(spark, sf_dir):
