@@ -346,93 +346,105 @@ def boilerplate_ngram_stats(
       frequency (rows are already doc-distinct — no countDistinct, no
       Expand), and ``sum(count)/count(*)`` per doc are the coverage
       stats (no second full-occurrence explode).
-    - The surviving boilerplate set is heavy-hitter-small (df >=
-      min_df caps it at total_grams/min_df; template text is a tiny
-      distinct set), so by default it BROADCASTS back onto the runs
-      (left-semi, no second gram shuffle). That cap is an EMPIRICAL
-      assumption, not a bound: ``broadcast_boiler=False`` lets AQE
-      pick the join from the set's measured size instead (one extra
-      hash shuffle, never OOMs).
+    - Join-back strategy is a measured choice: ``broadcast_boiler=
+      False`` (the catalog entry's setting) pins a SHUFFLE-HASH left
+      join — both sides hash-partitioned on the gram fingerprint, no
+      sort, no memory assumption about the boilerplate set's size
+      (robust on template-heavy/adversarial corpora), measured 1.0-1.2
+      s vs 1.6-2.0 s for the broadcast shape at sf0.1 (the broadcast
+      build is one more AQE job on a plan at the local job floor).
+      ``True`` broadcasts the set instead — the right flip at cluster
+      scale WHEN the template set is known heavy-hitter-small, since
+      it spares the probe side's full-runs shuffle (the doc-frequency
+      groupBy shuffles only map-side-combined partials either way).
     - The per-doc rollup shuffles ~1 row per matched doc (runs keep a
       document's grams contiguous, so partial aggregation collapses
       them before the exchange). No pairwise doc×doc work anywhere —
       corpus-frequency is the blocking structure.
 
     Measured at sf0.1 (local[32], warm): 2.8-3.2 s (v1 string explode)
-    → see BASELINE.md r9 for the rewrite's number.
+    → 1.6 s (hash runs, DSL-built expressions) → see BASELINE.md r9 —
+    at this fixture size execution is ~0.08 s and the remainder was
+    plan construction + analysis, so the heavy lambdas are built as
+    single ``F.expr`` strings (one SQL parse instead of hundreds of
+    py4j Column calls) and ``__starts`` is a NAMED projection, not an
+    expression the run-builder inlines three times (3x smaller
+    analyzed tree; referenced >1x so CollapseProject keeps it — the
+    same materialization discipline as the split() O(len^2) trap,
+    search_q.py term-proximity, pinned in tests/test_plans.py).
     """
-    toks = F.col("__toks")
-    sz = F.size(toks)
+    slots = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
     # sequence(1, k) DESCENDS when k < 1 (Spark semantics) — guard short docs
-    gram_hashes = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # NOTE __toks is referenced >1x in this projection, so CollapseProject
-    # keeps the split() materialized — the O(len^2) HOF-over-raw-split trap
-    # (search_q.py term-proximity docstring; pinned in tests/test_plans.py)
+    gram_hashes = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({slots})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    # No repartition before tokenizing: the per-row work is LINEAR (hash
+    # + sort + run-collapse), so input splits are the right parallelism
+    # at any real corpus size, and on the single-file fixture an extra
+    # exchange costs two more AQE jobs on a plan already at the local
+    # job-scheduling floor (measured: ANY 2-job query pays 0.35-0.45 s
+    # on this host regardless of compute — see BASELINE.md r9).
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(
-        F.col(id_col),
-        F.greatest(sz - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
-        gram_hashes.alias("__ghash"),
+        F.col(id_col), gram_hashes.alias("__ghash")
     )
-    # sorted-array run-length collapse: starts = positions opening a new
-    # run; zip each start with the next start to get the run's length.
-    # greatest(i-1, 1) keeps element_at's index positive (ANSI mode
-    # errors on index 0; the i==1 disjunct makes the probe irrelevant).
-    s = F.col("__sorted")
-    idx = F.sequence(F.lit(1), F.size(s))
-    starts = F.filter(
-        idx,
-        lambda i: (i == F.lit(1))
-        | (F.element_at(s, i) != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
+    # sorted-array run-length collapse: __starts = positions opening a
+    # new run; zip each start with the next start to get the run's
+    # length. greatest(i-1, 1) keeps element_at's index positive (ANSI
+    # mode errors on index 0; the i=1 disjunct makes the probe
+    # irrelevant). Zero-gram docs (sz < n) emit ONE sentinel run
+    # (h=NULL, c=0) so the per-doc rollup covers EVERY document — no
+    # closing join back to the corpus (that join was one more exchange
+    # + broadcast job on a plan already at the local job floor). NULL
+    # never equi-matches the boiler set, so sentinels stay unmarked.
+    # the size guard matters: sequence(1, 0) DESCENDS to [1, 0] on an
+    # empty array and the filter would probe element_at(..., 0) — an
+    # ANSI-mode error (caught by the crafted too-short-doc test)
+    starts = F.expr(
+        "CASE WHEN size(__sorted) > 0 THEN "
+        "  filter(sequence(1, size(__sorted)), "
+        "   i -> i = 1 OR element_at(__sorted, i) != "
+        "        element_at(__sorted, greatest(i - 1, 1))) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
     )
-    runs_col = F.when(
-        F.size(s) > 0,
-        F.zip_with(
-            starts,
-            F.concat(
-                F.slice(starts, F.lit(2), F.greatest(F.size(starts) - 1, F.lit(0))),
-                F.array(F.size(s) + 1),
-            ),
-            lambda a, b: F.struct(
-                F.element_at(s, a).alias("h"), (b - a).cast("long").alias("c")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<h: bigint, c: bigint>>"))
+    runs_col = F.expr(
+        "CASE WHEN size(__sorted) > 0 THEN "
+        "  zip_with("
+        "    __starts, "
+        "    concat(slice(__starts, 2, greatest(size(__starts) - 1, 0)), "
+        "           array(size(__sorted) + 1)), "
+        "    (a, b) -> named_struct('h', element_at(__sorted, a), "
+        "                           'c', CAST(b - a AS BIGINT))) "
+        "ELSE array(named_struct('h', CAST(NULL AS BIGINT), "
+        "                        'c', CAST(0 AS BIGINT))) END"
+    )
     runs = (
         base.select(F.col(id_col), F.array_sort("__ghash").alias("__sorted"))
+        .select(F.col(id_col), F.col("__sorted"), starts.alias("__starts"))
         .select(F.col(id_col), F.explode(runs_col).alias("__r"))
         .select(F.col(id_col), F.col("__r.h").alias("__h"), F.col("__r.c").alias("__c"))
     )
     boiler = (
         runs.groupBy("__h")
         .agg(F.count("*").alias("__df"))  # runs are doc-distinct: count = doc freq
-        .filter(F.col("__df") >= min_df)
-        .select("__h")
+        .filter((F.col("__df") >= min_df) & F.col("__h").isNotNull())
+        .select("__h", F.lit(1).alias("__b"))
     )
     if broadcast_boiler:
         boiler = F.broadcast(boiler)
-    per_doc = (
-        runs.join(boiler, "__h", "left_semi")
+    else:
+        # pin shuffled-hash: AQE would otherwise convert the small side
+        # to a broadcast mid-flight and re-pay the broadcast-build job
+        boiler = boiler.hint("shuffle_hash")
+    return (
+        runs.join(boiler, "__h", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("__c").alias("n_boiler"),
-            F.count("*").alias("n_boiler_distinct"),
-        )
-    )
-    return (
-        base.select(F.col(id_col), "n_grams")
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_grams"),
-            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
-            F.coalesce(F.col("n_boiler_distinct"), F.lit(0))
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.coalesce(F.sum(F.when(F.col("__b") == 1, F.col("__c"))), F.lit(0))
             .cast("long")
-            .alias("n_boiler_distinct"),
+            .alias("n_boiler"),
+            F.count("__b").cast("long").alias("n_boiler_distinct"),
         )
     )
