@@ -157,8 +157,10 @@ DRIVER_WINDOW: list[str] = [
     "streaming_foreachbatch_sink",
     "streaming_topk_tokens",
     "streaming_watermark_latedrop",
-    # --- r9-built entries earn driver rows in the round they ship ---
-    # (appended below as they land; slots 39-50)
+    # --- r9-built/changed entries earn driver rows in the round they
+    # ship (late-r8 precedent); slots 39-50 ---
+    "text_boilerplate_ngrams",  # r9 rewrite: hash runs + shuffle-hash join
+    "sampled_lineitem_stats",  # r9: graduated rows-only -> md5-gate oracle
 ]
 
 
