@@ -309,6 +309,67 @@ def rolling_fingerprint(text_col: str = "text") -> Column:
     )
 
 
+def gram_hash_runs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, __h, __c): one row per DISTINCT word-n-gram per document,
+    with its occurrence count — the shared corpus-gram relation under
+    `boilerplate_ngram_stats` and `text_ngram_novelty`.
+
+    Grams travel as xxhash64 fingerprints of their n token slots (the
+    shuffle moves 8-byte longs, never gram strings; collisions are
+    2^-64-scale and the tuple→hash map is order-sensitive). Each doc's
+    gram-hash array is sorted and collapsed to (hash, count) runs with
+    array HOFs — O(L log L) JVM work, no explode of repeats, and a
+    downstream ``groupBy(__h).count()`` IS the document frequency (rows
+    are doc-distinct; no countDistinct, no Expand). Zero-gram docs
+    (fewer than n tokens) emit ONE sentinel run (__h=NULL, __c=0) so
+    per-doc rollups cover every document without a closing corpus join;
+    NULL never equi-matches a join key, so sentinels stay unmarked.
+    Heavy lambdas are single F.expr strings and ``__starts`` is a named
+    projection (see boilerplate_ngram_stats docstring for the measured
+    plan-size rationale)."""
+    slots = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
+    # sequence(1, k) DESCENDS when k < 1 (Spark semantics) — guard short docs
+    gram_hashes = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({slots})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(
+        F.col(id_col), gram_hashes.alias("__ghash")
+    )
+    # sorted-array run-length collapse: __starts = positions opening a
+    # new run; zip each start with the next start for the run length.
+    # greatest(i-1, 1) keeps element_at's probe positive under ANSI; the
+    # size guard matters because sequence(1, 0) DESCENDS to [1, 0] on an
+    # empty array and the filter would probe element_at(..., 0).
+    starts = F.expr(
+        "CASE WHEN size(__sorted) > 0 THEN "
+        "  filter(sequence(1, size(__sorted)), "
+        "   i -> i = 1 OR element_at(__sorted, i) != "
+        "        element_at(__sorted, greatest(i - 1, 1))) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    runs_col = F.expr(
+        "CASE WHEN size(__sorted) > 0 THEN "
+        "  zip_with("
+        "    __starts, "
+        "    concat(slice(__starts, 2, greatest(size(__starts) - 1, 0)), "
+        "           array(size(__sorted) + 1)), "
+        "    (a, b) -> named_struct('h', element_at(__sorted, a), "
+        "                           'c', CAST(b - a AS BIGINT))) "
+        "ELSE array(named_struct('h', CAST(NULL AS BIGINT), "
+        "                        'c', CAST(0 AS BIGINT))) END"
+    )
+    return (
+        base.select(F.col(id_col), F.array_sort("__ghash").alias("__sorted"))
+        .select(F.col(id_col), F.col("__sorted"), starts.alias("__starts"))
+        .select(F.col(id_col), F.explode(runs_col).alias("__r"))
+        .select(F.col(id_col), F.col("__r.h").alias("__h"), F.col("__r.c").alias("__c"))
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -373,58 +434,13 @@ def boilerplate_ngram_stats(
     same materialization discipline as the split() O(len^2) trap,
     search_q.py term-proximity, pinned in tests/test_plans.py).
     """
-    slots = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
-    # sequence(1, k) DESCENDS when k < 1 (Spark semantics) — guard short docs
-    gram_hashes = F.expr(
-        f"CASE WHEN size(__toks) >= {n} THEN "
-        f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({slots})) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-    # No repartition before tokenizing: the per-row work is LINEAR (hash
-    # + sort + run-collapse), so input splits are the right parallelism
-    # at any real corpus size, and on the single-file fixture an extra
-    # exchange costs two more AQE jobs on a plan already at the local
-    # job-scheduling floor (measured: ANY 2-job query pays 0.35-0.45 s
-    # on this host regardless of compute — see BASELINE.md r9).
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(
-        F.col(id_col), gram_hashes.alias("__ghash")
-    )
-    # sorted-array run-length collapse: __starts = positions opening a
-    # new run; zip each start with the next start to get the run's
-    # length. greatest(i-1, 1) keeps element_at's index positive (ANSI
-    # mode errors on index 0; the i=1 disjunct makes the probe
-    # irrelevant). Zero-gram docs (sz < n) emit ONE sentinel run
-    # (h=NULL, c=0) so the per-doc rollup covers EVERY document — no
-    # closing join back to the corpus (that join was one more exchange
-    # + broadcast job on a plan already at the local job floor). NULL
-    # never equi-matches the boiler set, so sentinels stay unmarked.
-    # the size guard matters: sequence(1, 0) DESCENDS to [1, 0] on an
-    # empty array and the filter would probe element_at(..., 0) — an
-    # ANSI-mode error (caught by the crafted too-short-doc test)
-    starts = F.expr(
-        "CASE WHEN size(__sorted) > 0 THEN "
-        "  filter(sequence(1, size(__sorted)), "
-        "   i -> i = 1 OR element_at(__sorted, i) != "
-        "        element_at(__sorted, greatest(i - 1, 1))) "
-        "ELSE CAST(array() AS ARRAY<INT>) END"
-    )
-    runs_col = F.expr(
-        "CASE WHEN size(__sorted) > 0 THEN "
-        "  zip_with("
-        "    __starts, "
-        "    concat(slice(__starts, 2, greatest(size(__starts) - 1, 0)), "
-        "           array(size(__sorted) + 1)), "
-        "    (a, b) -> named_struct('h', element_at(__sorted, a), "
-        "                           'c', CAST(b - a AS BIGINT))) "
-        "ELSE array(named_struct('h', CAST(NULL AS BIGINT), "
-        "                        'c', CAST(0 AS BIGINT))) END"
-    )
-    runs = (
-        base.select(F.col(id_col), F.array_sort("__ghash").alias("__sorted"))
-        .select(F.col(id_col), F.col("__sorted"), starts.alias("__starts"))
-        .select(F.col(id_col), F.explode(runs_col).alias("__r"))
-        .select(F.col(id_col), F.col("__r.h").alias("__h"), F.col("__r.c").alias("__c"))
-    )
+    # No repartition before tokenizing: the per-row work is LINEAR, so
+    # input splits are the right parallelism at any real corpus size,
+    # and on the single-file fixture an extra exchange costs two more
+    # AQE jobs on a plan already at the local job-scheduling floor
+    # (measured: ANY 2-job query pays 0.35-0.45 s on this host
+    # regardless of compute — see BASELINE.md r9).
+    runs = gram_hash_runs(df, id_col, text_col, n)
     boiler = (
         runs.groupBy("__h")
         .agg(F.count("*").alias("__df"))  # runs are doc-distinct: count = doc freq
@@ -447,4 +463,86 @@ def boilerplate_ngram_stats(
             .alias("n_boiler"),
             F.count("__b").cast("long").alias("n_boiler_distinct"),
         )
+    )
+
+
+def ngram_novelty_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that precedes it
+    in ``id_col`` order — the corpus-redundancy growth curve a
+    pretraining pipeline reads to size its dedup ROI (when marginal
+    novelty of newly ingested documents collapses, more data of that
+    source stops adding information; cf. the duplication analyses in
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"). A gram is NOVEL in the document holding its corpus-wide
+    minimum id.
+
+    Output (id, n_grams, n_novel_distinct, n_novel_occurrences):
+    integers, bit-identical cross-engine.
+
+    Scale shape: identical topology to `boilerplate_ngram_stats` —
+    per-doc run-length rows from :func:`gram_hash_runs`, ONE
+    groupBy(hash) shuffle computing min(id) (map-side partial min), a
+    pinned shuffle-hash join keyed on the gram fingerprint, one per-doc
+    rollup. Sort-free, countDistinct-free, string-free shuffles, no
+    doc×doc pairs. The minimum-id rule makes "first occurrence" exact
+    and order-free (no window over an id ordering, which would
+    single-partition at scale)."""
+    runs = gram_hash_runs(df, id_col, text_col, n)
+    firsts = (
+        runs.groupBy("__h")
+        .agg(F.min(id_col).alias("__first_id"))
+        .filter(F.col("__h").isNotNull())
+        .hint("shuffle_hash")
+    )
+    return (
+        runs.join(firsts, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.count(F.when(F.col("__first_id") == F.col(id_col), 1))
+            .cast("long")
+            .alias("n_novel_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("__first_id") == F.col(id_col), F.col("__c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_novel_occurrences"),
+        )
+    )
+
+
+def stratified_hash_sample_stats(
+    df: DataFrame,
+    strata_cols: list[str],
+    key: Column,
+    rates: dict[str, str],
+    rate_col: str = "lang",
+    default_gate: str = "10",
+) -> DataFrame:
+    """Deterministic stratified sampling accounting: per stratum, how
+    many rows a content-hash gate keeps at that stratum's rate — the
+    data-mixture subsampling step (downsample over-represented
+    languages/sources, keep the tail) done the reproducible way.
+
+    ``rates`` maps a ``rate_col`` value to a 2-hex-digit md5 prefix
+    bound: keep when ``substr(md5(key), 1, 2) < bound`` (bound '08' =
+    8/256 ≈ 3.1%). Content-hash gating — unlike seeded ``sample()`` —
+    draws the SAME row set under any partitioning, engine, or retry
+    (see sampled_lineitem_stats), and md5 is bit-identical across Spark
+    and DuckDB so the whole accounting is oracle-exact. One scan, the
+    gate and stratum key are map-side, one small groupBy."""
+    bound = F.lit(default_gate)
+    for value, gate in rates.items():
+        bound = F.when(F.col(rate_col) == value, F.lit(gate)).otherwise(bound)
+    kept = F.substring(F.md5(key), 1, 2) < bound
+    return (
+        df.groupBy(*strata_cols)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        )
+        .orderBy(*strata_cols)
     )

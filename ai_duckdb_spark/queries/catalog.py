@@ -161,6 +161,8 @@ DRIVER_WINDOW: list[str] = [
     # ship (late-r8 precedent); slots 39-50 ---
     "text_boilerplate_ngrams",  # r9 rewrite: hash runs + shuffle-hash join
     "sampled_lineitem_stats",  # r9: graduated rows-only -> md5-gate oracle
+    "text_ngram_novelty",  # new r9: corpus-redundancy growth curve
+    "corpus_stratified_sample",  # new r9: deterministic stratified mixture
 ]
 
 

@@ -642,3 +642,41 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.dsir_importance_select(
         docs, F.col("lang") == "en", "doc_id", "text", k=100
     )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (
+               WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+                     CASE lang WHEN 'en' THEN '10'
+                               WHEN 'zh' THEN '80'
+                               ELSE '40' END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling accounting (new r9): the
+    data-mixture step that downsamples the over-represented language
+    head (en kept at 16/256) while keeping the tail (others 64/256, zh
+    128/256), gated by a CONTENT HASH so the draw is reproducible under
+    any partitioning, engine, or retry — the property seeded sample()
+    lacks (see sampled_lineitem_stats). One scan, map-side gate, one
+    small groupBy; md5 is bit-identical across Spark and DuckDB so the
+    whole accounting is oracle-exact
+    (operators/textstats.py stratified_hash_sample_stats)."""
+    from ..operators.textstats import stratified_hash_sample_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_hash_sample_stats(
+        docs,
+        ["lang", "source"],
+        F.col("doc_id").cast("string"),
+        rates={"en": "10", "zh": "80"},
+        rate_col="lang",
+        default_gate="40",
+    )

@@ -666,3 +666,43 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.boilerplate_ngram_stats(
         docs, "doc_id", "text", n=3, min_df=4, broadcast_boiler=False
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+        FROM toks, unnest(generate_series(1, len(l) - 2)) r(i)
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS first_id FROM grams GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(DISTINCT g.gram) FILTER (WHERE f.first_id = g.doc_id) AS nd,
+               count(*)               FILTER (WHERE f.first_id = g.doc_id) AS no_
+        FROM grams g JOIN firsts f USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.l) - 2, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.nd, 0) AS BIGINT)         AS n_novel_distinct,
+           CAST(COALESCE(p.no_, 0) AS BIGINT)        AS n_novel_occurrences
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-redundancy growth curve (X8, new r9): per document, how
+    many of its trigrams are NOVEL — first seen at this doc_id, by
+    corpus-wide minimum — vs repeats of earlier text. The metric a
+    pipeline reads to decide when a source's marginal data stops adding
+    information (Lee et al. 2022 dedup-ROI analysis). Same plan family
+    as text_boilerplate_ngrams: xxhash64 gram runs, one groupBy(hash)
+    min(doc_id) shuffle (map-side partial min), pinned shuffle-hash
+    join-back, order-free by construction — no window over an id
+    ordering, which would single-partition at scale
+    (operators/textstats.py ngram_novelty_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.ngram_novelty_stats(docs, "doc_id", "text", n=3)

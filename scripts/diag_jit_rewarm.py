@@ -50,13 +50,16 @@ def run_mode(mode: str) -> None:
     from ai_duckdb_spark.session import get_spark
 
     log = f"/tmp/jit_{mode}.log"
+    # JIT_EXTRA_FLAGS lets the mitigation experiment run the same
+    # harness under candidate flags (e.g. -XX:TypeProfileWidth=8)
+    extra_flags = os.environ.get("JIT_EXTRA_FLAGS", "")
     spark = get_spark(
         app_name=f"jit_{mode}",
         extra_conf={
             "spark.driver.extraJavaOptions": (
                 "-XX:+UnlockDiagnosticVMOptions -XX:+LogCompilation "
-                f"-XX:LogFile={log}"
-            )
+                f"-XX:LogFile={log} {extra_flags}"
+            ).strip()
         },
     )
     rt = spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()

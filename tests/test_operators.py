@@ -2456,6 +2456,62 @@ class TestLogReg:
             logistic_regression_irls(df, ["f0"], "y", iterations=1)
 
 
+class TestNgramNovelty:
+    def test_novelty_crafted(self, spark):
+        """First-occurrence-by-min-id semantics: doc 1 owns every gram
+        it introduces (including repeats), doc 2 is a pure repeat of
+        doc 1's gram, doc 3 mixes one repeat with one novel gram, and a
+        too-short doc reports all zeros through the sentinel run."""
+        from ai_duckdb_spark.operators.textstats import ngram_novelty_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d a b c"),  # grams abc,bcd,cda,dab,abc — all novel
+                (2, "a b c"),          # abc: repeat
+                (3, "b c d x y z"),    # bcd repeat; cdx,dxy,xyz novel
+                (4, "a b"),            # too short
+            ],
+            "doc_id INT, text STRING",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel_distinct, r.n_novel_occurrences)
+            for r in ngram_novelty_stats(docs, "doc_id", "text", n=3).collect()
+        }
+        assert got == {
+            1: (5, 4, 5),  # 4 distinct grams, 5 occurrences (abc twice)
+            2: (1, 0, 0),
+            3: (4, 3, 3),
+            4: (0, 0, 0),
+        }
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        """Per-stratum gates apply by rate_col and the draw is a pure
+        function of the key: repeat runs agree row-for-row, and a '00'
+        gate keeps nothing while 'ff'+1... ('zz') keeps everything."""
+        from pyspark.sql import functions as F
+
+        from ai_duckdb_spark.operators.textstats import (
+            stratified_hash_sample_stats,
+        )
+
+        rows = [(i, "en" if i % 2 == 0 else "de", f"s{i % 3}") for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id INT, lang STRING, source STRING")
+        out = stratified_hash_sample_stats(
+            df, ["lang"], F.col("doc_id").cast("string"),
+            rates={"en": "zz", "de": "00"}, rate_col="lang", default_gate="40",
+        ).collect()
+        got = {r.lang: (r.n_total, r.n_kept) for r in out}
+        assert got["en"] == (300, 300)  # 'zz' > every hex prefix
+        assert got["de"] == (300, 0)    # nothing sorts below '00'
+        again = stratified_hash_sample_stats(
+            df.repartition(7), ["lang"], F.col("doc_id").cast("string"),
+            rates={"en": "zz", "de": "00"}, rate_col="lang", default_gate="40",
+        ).collect()
+        assert {r.lang: (r.n_total, r.n_kept) for r in again} == got
+
+
 class TestLocalRelation:
     def test_nulls_survive_and_plan_is_local(self, spark):
         """local_relation must preserve None as true NULL in double

@@ -503,6 +503,26 @@ def test_boilerplate_ngrams_broadcast_semi_no_smj(spark, sf_dir):
     assert "Expand" not in plan
 
 
+def test_ngram_novelty_same_gram_run_discipline(spark, sf_dir):
+    """text_ngram_novelty shares the gram_hash_runs machinery: hashes
+    shuffle as longs (never gram strings), first-occurrence is a plain
+    min aggregate (no Expand, no window over a global id ordering —
+    that would Exchange SinglePartition at scale)."""
+    plan = _plan(spark, sf_dir, "text_ngram_novelty")
+    assert "xxhash64" in plan
+    assert "Expand" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_single_agg_no_join(spark, sf_dir):
+    """corpus_stratified_sample is one scan + map-side md5 gate + one
+    groupBy: no join, no second exchange beyond the aggregation's."""
+    plan = _plan(spark, sf_dir, "corpus_stratified_sample")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # agg partial->final + ordering
+
+
 def test_dsir_select_is_topk_no_smj(spark, sf_dir):
     """DSIR selection must cut with TakeOrderedAndProject (per-partition
     heaps, no global sort of non-winners); the count join is broadcast-
