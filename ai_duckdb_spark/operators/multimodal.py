@@ -1560,6 +1560,59 @@ def extract_audio_sample_stats(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_stats, AUDIO_SAMPLE_SCHEMA)
 
 
+AUDIO_ENERGY_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_id", T.IntegerType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def extract_audio_energy_windows(binary_df: DataFrame, window: int = 16) -> DataFrame:
+    """FRAME-LEVEL energy relation: decode each PCM payload and emit one
+    row per fixed ``window``-sample frame — (doc_id, window_id,
+    n_in_window, sum_amp, sum_sq). This is the framing step every audio
+    featurization pipeline runs before spectral work (VAD, loudness
+    normalization, MFCC windows), and the one media shape the per-doc
+    stats entries don't exercise: a decode that FANS OUT rows inside
+    mapInPandas (media file -> frame relation), so downstream windowed
+    analytics stay ordinary DataFrame ops. Map-only — no shuffle; frame
+    rows inherit the input's partitioning with a doc's frames
+    contiguous. Integer-only outputs keep the oracle hash exact; the
+    last window is short when n_samples % window != 0 (n_in_window says
+    so). Unsupported payloads contribute zero rows."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wids, ns, sums, sqs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav_samples(payload)
+                if not decoded or not decoded[1]:
+                    continue
+                _, samples = decoded
+                for w in range(0, len(samples), window):
+                    chunk = samples[w : w + window]
+                    ids.append(int(doc_id))
+                    wids.append(w // window)
+                    ns.append(len(chunk))
+                    sums.append(sum(chunk))
+                    sqs.append(sum(s * s for s in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "n_in_window": pd.Series(ns, dtype="int64"),
+                    "sum_amp": pd.Series(sums, dtype="int64"),
+                    "sum_sq": pd.Series(sqs, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(_frames, AUDIO_ENERGY_WINDOW_SCHEMA)
+
+
 AUDIO_HEADER_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

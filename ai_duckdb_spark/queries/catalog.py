@@ -163,6 +163,7 @@ DRIVER_WINDOW: list[str] = [
     "sampled_lineitem_stats",  # r9: graduated rows-only -> md5-gate oracle
     "text_ngram_novelty",  # new r9: corpus-redundancy growth curve
     "corpus_stratified_sample",  # new r9: deterministic stratified mixture
+    "multimodal_audio_energy_windows",  # new r9: decode->frame-relation fan-out
 ]
 
 

@@ -16,6 +16,7 @@ from ..operators.multimodal import (
     extract_features,
     extract_image_headers,
     extract_adpcm_sample_stats,
+    extract_audio_energy_windows,
     extract_audio_sample_stats,
     extract_g711_sample_stats,
     extract_gif_pixel_stats,
@@ -1839,4 +1840,40 @@ def embedding_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return local_relation(
         spark, out, "component int, eigenvalue double, explained_frac double"
+    )
+
+
+@register(
+    "multimodal_audio_energy_windows",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 200 + 1 AS BIGINT) AS n FROM documents
+    ),
+    s AS (
+        SELECT d.doc_id, j.j,
+               (d.doc_id * 7919 + j.j * 31) % 65536 - 32768 AS amp
+        FROM d JOIN (SELECT unnest(range(0, 200)) AS j) j ON j.j < d.n
+    )
+    SELECT doc_id,
+           CAST(j // 16 AS INTEGER)        AS window_id,
+           CAST(count(*) AS BIGINT)        AS n_in_window,
+           CAST(sum(amp) AS BIGINT)        AS sum_amp,
+           CAST(sum(amp * amp) AS BIGINT)  AS sum_sq
+    FROM s
+    GROUP BY doc_id, j // 16
+    """,
+)
+def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level audio energy (X9, new r9): decode mono PCM and emit
+    one row per 16-sample window — the framing step before any spectral
+    featurization (VAD, loudness, MFCC), and the one media shape the
+    per-doc stats entries don't exercise: mapInPandas FANNING OUT a
+    media file into a frame relation, after which windowed analytics
+    are ordinary DataFrame ops. Map-only, frames contiguous per doc;
+    amplitudes closed-form in doc_id so the oracle recomputes windowed
+    energy without the bytes (operators/multimodal.py
+    extract_audio_energy_windows)."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_audio_energy_windows(
+        synthesize_wav_pcm_payloads(docs, "doc_id"), window=16
     )
