@@ -164,6 +164,7 @@ DRIVER_WINDOW: list[str] = [
     "text_ngram_novelty",  # new r9: corpus-redundancy growth curve
     "corpus_stratified_sample",  # new r9: deterministic stratified mixture
     "multimodal_audio_energy_windows",  # new r9: decode->frame-relation fan-out
+    "streaming_stream_stream_leftjoin",  # new r9: outer-join NULL emission
 ]
 
 

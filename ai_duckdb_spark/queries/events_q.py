@@ -733,3 +733,33 @@ def streaming_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import watermark_latedrop_stream
 
     return watermark_latedrop_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_stream_leftjoin",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           c.event_id AS click_id,
+           CAST(date_diff('millisecond', c.ts, p.ts) AS BIGINT) AS ms_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (X1, new r9): purchases with no
+    click in the preceding hour still emit, with NULLs — the
+    watermark-eviction NULL-emission semantics the inner entry cannot
+    show. Outer rows only appear when the click-side watermark proves
+    no match can arrive, so the replay appends two far-future sentinel
+    batches (flowing through withWatermark BEFORE the type filters, so
+    they advance both watermarks and never enter the join) — the same
+    one-batch-propagation-lag discipline as the latedrop entry. Oracle:
+    the equivalent batch LEFT interval join
+    (streaming/windows.py stream_stream_purchase_click_left_join)."""
+    from ..streaming.windows import stream_stream_purchase_click_left_join
+
+    return stream_stream_purchase_click_left_join(spark, sf_dir)

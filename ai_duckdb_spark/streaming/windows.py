@@ -372,6 +372,130 @@ def stream_stream_purchase_click_join(
     return spark.table(sink)
 
 
+_SSLOJ_DIRS: dict = {}
+_SSLOJ_SENTINEL_BASE = 9_000_000_000_000
+
+
+def stream_stream_purchase_click_left_join(
+    spark: SparkSession, sf_dir: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the state-eviction semantics the
+    inner entry cannot show: a purchase with NO click in the preceding
+    ``lookback`` must still emit (click_id/ms_since_click NULL), and
+    Spark only emits such rows when the CLICK-side watermark proves no
+    matching click can still arrive. Inner results emit in-batch; outer
+    results emit on eviction, so a single-file replay would hold every
+    unmatched purchase forever (the query stops before any watermark
+    passes the join window).
+
+    Replay (same discipline as watermark_latedrop_stream): gen0 = the
+    full events fixture; gen1/gen2 = one far-future sentinel PURCHASE +
+    CLICK each (ts = max+12h/+12h1m), because eviction applies the
+    PREVIOUS batch's watermark (the one-batch propagation lag the
+    latedrop entry documents). After gen2 every real join window is
+    past both watermarks, unmatched purchases have flushed, and the
+    memory sink holds exactly the batch LEFT JOIN result (plus the
+    sentinels' own in-batch match, removed by a BATCH-side filter on
+    the sink read).
+
+    THE PUSHDOWN TRAP (found the hard way, sf0.01: 2 rows stuck
+    forever): sentinels must be excluded from the result, but ANY
+    deterministic predicate on left-side columns placed above the join
+    — event_type or an id range — is pushed by Catalyst below the
+    LEFT leg's EventTimeWatermark node and into the scan, so the
+    left-side watermark NEVER SEES the sentinel rows and freezes at
+    max(real purchase ts) - delay; the min multiple-watermark policy
+    then pins the global watermark and the last hour of unmatched
+    purchases never emits. A streaming-side filter cannot distinguish
+    "drop from result" from "hide from watermark". The sentinel filter
+    therefore lives on the BATCH read of the sink table, where no
+    streaming watermark exists to poison.
+
+    Scale: state on both sides is bounded by watermark + interval — the
+    same eviction this entry proves end to end; the NULL-emission rule
+    is what makes bounded-state outer joins safe to run continuously.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..tables import load
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SSLOJ_DIRS:
+        replay = scratch_dir("ssloj_src_")
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        ticks = [
+            ev.agg(F.max("ts").alias("m")).select(
+                F.lit(_SSLOJ_SENTINEL_BASE + 2 * i + j).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(t).alias("event_type"),
+                (F.col("m") + F.expr(f"INTERVAL {12 * 60 + i} MINUTES")).alias("ts"),
+            )
+            for i in range(2)
+            for j, t in enumerate(("purchase", "click"))
+        ]
+        gens = [ev, ticks[0].union(ticks[1]), ticks[2].union(ticks[3])]
+        for i, part in enumerate(gens):
+            d = scratch_dir(f"ssloj_gen{i}_")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            dst = os.path.join(replay, f"gen{i}.parquet")
+            shutil.copyfile(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        _SSLOJ_DIRS[key] = replay
+    replay = _SSLOJ_DIRS[key]
+
+    schema = spark.read.parquet(replay).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(replay)
+    )
+    purchases = (
+        src.withWatermark("ts", "30 minutes")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        src.withWatermark("ts", "30 minutes")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("c_ts"))).alias(
+            "ms_since_click"
+        ),
+    )
+    sink = f"ssloj_sink_{uuid.uuid4().hex[:8]}"
+    _drain(
+        spark,
+        joined.writeStream.outputMode("append").format("memory").queryName(sink),
+    )
+    # sentinel removal happens HERE, on the batch read — see the
+    # pushdown-trap paragraph in the docstring
+    return spark.table(sink).filter(F.col("purchase_id") < _SSLOJ_SENTINEL_BASE)
+
+
 def langid_confusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-ingest accounting: language-ID confusion counts
     maintained over a document stream (file source over the documents
