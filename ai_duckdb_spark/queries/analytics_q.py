@@ -634,3 +634,95 @@ def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, float(b), acc) for c, b in zip(cols, beta)],
         "feature string, beta double, train_accuracy double",
     )
+
+
+@register(
+    "basket_part_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.pk AS part1, b.pk AS part2, count(*) AS n_orders
+        FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT pk, count(*) AS n FROM items GROUP BY pk),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM lineitem)
+    SELECT p.part1, p.part2, p.n_orders,
+           m1.n AS n_part1, m2.n AS n_part2,
+           CAST(p.n_orders * tot.t AS DOUBLE)
+               / CAST(m1.n * m2.n AS DOUBLE)  AS lift
+    FROM pairs p
+    JOIN m m1 ON p.part1 = m1.pk
+    JOIN m m2 ON p.part2 = m2.pk
+    CROSS JOIN tot
+    ORDER BY p.n_orders DESC, p.part1, p.part2
+    LIMIT 20
+    """,
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining (new r9): top part pairs
+    co-purchased in the same order, with marginal supports and lift —
+    the frequent-itemset/affinity analysis tier (the 2-itemset core of
+    Apriori, which at this shape needs no candidate pruning).
+
+    Scale shape: parts collapse to a SORTED SET PER ORDER in one
+    groupBy(orderkey) (collect_set dedups in the aggregation buffer),
+    pairs are generated JVM-side from each set with array HOFs —
+    O(k^2) per order where k = parts per order, bounded by order size,
+    never a postings self-join over the part dimension — and a single
+    groupBy counts support with map-side partials. Pair supports,
+    per-part marginals, AND the order-count total all ride ONE shuffle
+    as a tagged union: each order's explode emits its (x, y) pairs,
+    one (x, NULL) marginal row per part, and one (NULL, NULL) total
+    row, so a single groupBy(p1, p2) produces all three relations
+    (NULL-key groups are ordinary groups) and ReuseExchange serves the
+    three post-filter consumers from the same exchange. Lift is one
+    IEEE division of exact integers (bit-identical cross-engine); the
+    marginal/total join-backs are broadcasts applied AFTER the top-20
+    cut (decorate 20 rows, not |pairs|); the cut is
+    TakeOrderedAndProject with a full deterministic tiebreak. Local
+    wall-clock sits at the multi-job AQE floor (~2 s at sf0.1 for 8
+    jobs, compute itself sub-second — BASELINE.md r9 "job floor");
+    the closed-form twin is floor-free, so the per-entry ratio
+    flatters DuckDB the same way cdc_chunks/snapshot_diff do and
+    inverts at real scale."""
+    li = load(spark, sf_dir, "lineitem")
+    sets = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    tagged = F.expr(
+        "concat("
+        "  flatten(transform(ps, (x, i) -> "
+        "    transform(slice(ps, i + 2, size(ps)), "
+        "              y -> named_struct('p1', x, 'p2', y)))), "
+        "  transform(ps, x -> named_struct('p1', x, 'p2', CAST(NULL AS BIGINT))), "
+        "  array(named_struct('p1', CAST(NULL AS BIGINT), 'p2', CAST(NULL AS BIGINT))))"
+    )
+    g = (
+        sets.select(F.explode(tagged).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = g.filter(F.col("p1").isNotNull() & F.col("p2").isNotNull()).select(
+        F.col("p1").alias("part1"), F.col("p2").alias("part2"), F.col("n").alias("n_orders")
+    )
+    marg = g.filter(F.col("p1").isNotNull() & F.col("p2").isNull())
+    m1 = marg.select(F.col("p1").alias("part1"), F.col("n").alias("n_part1"))
+    m2 = marg.select(F.col("p1").alias("part2"), F.col("n").alias("n_part2"))
+    tot = g.filter(F.col("p1").isNull()).select(F.col("n").alias("__t"))
+    lift = (F.col("n_orders") * F.col("__t")).cast("double") / (
+        F.col("n_part1") * F.col("n_part2")
+    ).cast("double")
+    # cut FIRST (TakeOrderedAndProject on the support key + tiebreak —
+    # lift never affects selection), THEN decorate the 20 survivors
+    # with marginals/total: the joins run on 20 rows, not |pairs|
+    top = pairs.orderBy(F.desc("n_orders"), "part1", "part2").limit(20)
+    return (
+        top.join(F.broadcast(m1), "part1")
+        .join(F.broadcast(m2), "part2")
+        .crossJoin(F.broadcast(tot))
+        .select("part1", "part2", "n_orders", "n_part1", "n_part2", lift.alias("lift"))
+        .orderBy(F.desc("n_orders"), "part1", "part2")
+    )
