@@ -252,3 +252,53 @@ class TestWorkerDaemon:
 
         parent = os.path.dirname(os.path.dirname(ai_duckdb_spark.__file__))
         assert parent in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+class TestGramRunLinearity:
+    def test_gram_runs_scale_linearly_not_quadratically(self, spark, sf_dir):
+        """The r9 gram-run operators (boilerplate, novelty) must scale
+        ~linearly in corpus size: runs are per-doc array work + one
+        hash-keyed groupBy with map-side partials, so an 8x corpus
+        (union of id-shifted copies — every copy's grams collide with
+        every other's, the worst case for the doc-frequency shuffle)
+        must cost well under the quadratic 64x. Wall-clock gates are
+        flaky under load, so the gate is on the measured growth RATIO
+        with a generous margin: 8x data may cost at most ~24x time
+        (3x linear slack), which a pairwise doc x doc plan (64x+)
+        cannot pass. Result sanity: duplicated docs make every gram
+        corpus-boilerplate at min_df=4 when 8 >= 4 copies exist."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from ai_duckdb_spark.operators.textstats import boilerplate_ngram_stats
+        from ai_duckdb_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        copies = [
+            docs.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+            for i in range(8)
+        ]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionAll(c)
+
+        def run(df):
+            out = boilerplate_ngram_stats(df, "doc_id", "text", n=3, min_df=4)
+            t0 = time.perf_counter()
+            rows = out.count()
+            return time.perf_counter() - t0, rows
+
+        run(docs)  # session warm-up (JIT, codegen)
+        t1, r1 = run(docs)
+        t8, r8 = run(big)
+        assert r1 == n_docs and r8 == 8 * n_docs
+        # with >= 4 identical copies of every doc, every gram clears
+        # min_df=4, so every doc with >= 1 gram is fully boilerplate
+        big_out = boilerplate_ngram_stats(big, "doc_id", "text", n=3, min_df=4)
+        not_fully = big_out.filter(
+            (F.col("n_grams") > 0) & (F.col("n_boiler") != F.col("n_grams"))
+        ).count()
+        assert not_fully == 0
+        assert t8 <= max(24 * t1, t1 + 8.0), (t1, t8)  # linear-ish, not 64x
