@@ -166,6 +166,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_audio_energy_windows",  # new r9: decode->frame-relation fan-out
     "streaming_stream_stream_leftjoin",  # new r9: outer-join NULL emission
     "basket_part_affinity",  # new r9: 2-itemset mining with lift
+    "source_schema_evolution",  # new r9: mergeSchema drift read
 ]
 
 

@@ -1280,3 +1280,64 @@ def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+_SCHEMA_EVO_DIRS: dict[str, str] = {}
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_with_quality,
+           CAST(COALESCE(sum(n_chars * 2) FILTER (WHERE doc_id % 2 = 1), 0)
+                AS BIGINT)                                        AS sum_quality
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT across parquet generations, read as one table (new
+    r9, S2 depth): generation A carries (doc_id, lang, n_chars),
+    generation B adds a `quality` column — the routine shape of a lake
+    whose producer gained a field mid-stream. ``mergeSchema=true``
+    unifies the footers (a per-file footer read, not a data scan) and
+    A's rows surface NULL quality; the aggregate proves both halves'
+    rows and the added column's values survive. Oracle: recomputes the
+    same answer from the ORIGINAL fixture (the sink-entry discipline —
+    the oracle never touches the temp files, so any row lost or column
+    mis-merged by the evolution read breaks the hash). The written
+    generations live in an atexit-cleaned temp dir, memoized per corpus
+    with dead-path self-invalidation. At scale: mergeSchema costs one
+    footer per FILE — on a petabyte lake pin the unified schema in a
+    catalog instead; the read path here is identical either way."""
+    from . import caches
+
+    path = caches.cached_dir(_SCHEMA_EVO_DIRS, sf_dir)
+    if path is None:
+        path = caches.make_tempdir("schema_evo_")
+        docs = load(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(path + "/gen=a")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") * 2).cast("long").alias("quality"),
+        ).write.mode("overwrite").parquet(path + "/gen=b")
+        _SCHEMA_EVO_DIRS[sf_dir] = path
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/gen=a", path + "/gen=b"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality").cast("long").alias("n_with_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )

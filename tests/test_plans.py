@@ -515,6 +515,18 @@ def test_ngram_novelty_same_gram_run_discipline(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_basket_affinity_single_union_shuffle(spark, sf_dir):
+    """basket_part_affinity's tagged-union plan: supports, marginals,
+    and the total all come from ONE groupBy exchange (plus the final
+    per-key agg exchanges AQE adds); join-backs must be broadcasts on
+    the post-cut 20 rows — no SortMergeJoin, no cartesian beyond the
+    broadcast-of-scalar, and the cut must be TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "basket_part_affinity")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_stratified_sample_single_agg_no_join(spark, sf_dir):
     """corpus_stratified_sample is one scan + map-side md5 gate + one
     groupBy: no join, no second exchange beyond the aggregation's."""
