@@ -2485,6 +2485,48 @@ class TestNgramNovelty:
         }
 
 
+class TestGramHashRuns:
+    def test_runs_match_python_reference_on_random_corpus(self, spark):
+        """gram_hash_runs vs a pure-Python n-gram counter on a seeded
+        random corpus: per doc, the run rows must reproduce the
+        reference's distinct-gram count, occurrence total, and the
+        exact multiset of per-gram counts; identical texts must
+        produce identical hash sets (cross-doc gram identity), and
+        short docs exactly one (NULL, 0) sentinel."""
+        import random
+        from collections import Counter
+
+        from ai_duckdb_spark.operators.textstats import gram_hash_runs
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> many repeats
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(60)
+        ]
+        texts[7] = texts[3]  # force an identical-document pair
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = gram_hash_runs(docs, "doc_id", "text", n=3).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["__h"], r["__c"]))
+        for i, text in enumerate(texts):
+            toks = text.split(" ")
+            grams = [tuple(toks[j : j + 3]) for j in range(len(toks) - 2)]
+            got = by_doc[i]
+            if not grams:
+                assert got == [(None, 0)], (i, got)
+                continue
+            ref = Counter(grams)
+            assert len(got) == len(ref)
+            assert sorted(c for _, c in got) == sorted(ref.values())
+            assert sum(c for _, c in got) == len(grams)
+            assert all(h is not None for h, _ in got)
+        assert sorted(by_doc[3]) == sorted(by_doc[7])  # same text, same hashes
+
+
 class TestStratifiedSample:
     def test_rates_and_determinism(self, spark):
         """Per-stratum gates apply by rate_col and the draw is a pure
