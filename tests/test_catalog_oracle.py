@@ -73,105 +73,6 @@ def test_entry_smoke(spark):
     assert "total_revenue" in df.columns
 
 
-# Entries allowed OUTSIDE the 50-slot driver window. Two kinds:
-# post-freeze additions that never had a slot (proven by this local
-# oracle suite instead), and r5 ROTATIONS OUT (judge r4 item 3): names
-# with driver-green rows in CORRECTNESS_r01/r04 that gave up their slot
-# so the former post-freeze additions could earn driver rows.
-_POST_FREEZE = {
-    "knn_graph_nndescent",
-    # r4 additions
-    "knn_ivfpq_cosine",
-    "dedup_semantic_exact",
-    "dedup_semdedup",
-    "embedding_covariance",
-    "embedding_pca_explained",
-    "dedup_graph_pagerank",
-    "sketch_cms_heavy_hitters",
-    "pipeline_semantic_corpus",
-    "streaming_cms_sketch",
-    "dedup_graph_triangles",
-    "multimodal_audio_headers",
-    # r5 rotations OUT — driver-green in r04 (or no_oracle-by-design two
-    # rounds running), still oracle/pytest-proven here every round
-    "dedup_exact_fulltext",
-    "dedup_jaccard_pairs",
-    "sampled_lineitem_stats",
-    "approx_stats",
-    # r6 rotations OUT (judge r5 item 1) — driver-green in r05
-    # (dedup_exact_token_set) or no_oracle-by-design 3+ rounds running
-    # with pytest ground truths (the approximate similarity tiers)
-    "dedup_exact_token_set",
-    "dedup_simhash",
-    "knn_ivf_cosine",
-    "knn_lsh_cosine",
-    "knn_ivf_persisted",
-    "skew_salted_join_flags",
-    "vector_hof_features",
-    "embedding_quantization",
-    # r6 post-window additions (register after position 50; oracle-paired
-    # in the local gate): the PNG and PCM-WAV full-decode tiers
-    "multimodal_png_pixel_stats",
-    "multimodal_audio_sample_stats",
-    # r7 rotations OUT (judge r6 item 6) — every row green in
-    # CORRECTNESS_r06, displaced by the never-driver-checked tier
-    # (TPC-H deep cuts, sinks, decode stats, OLS probe)
-    "knn_bruteforce_cosine",
-    "embedding_centroids",
-    "vector_norm_stats",
-    "multimodal_pixel_stats",
-    # r7 post-window additions (the rotation was already pinned when
-    # they shipped; local-oracle-green + driver-sim-verified, candidates
-    # for the r8 rotation): the entropy-coded codec tier + binaryFile
-    # ingestion
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_luma_stats",
-    "multimodal_jpeg_color_stats",
-    "multimodal_jpeg420_stats",
-    "multimodal_adpcm_sample_stats",
-    "multimodal_resize_stats",
-    "multimodal_binary_ingest",
-    # late-r7 PNG variant tier (Adam7 interlace, PLTE indexed color)
-    "multimodal_png_interlaced_stats",
-    "multimodal_png_palette_stats",
-    # late-r7 PNG sample-decoder tier (16-bit greyscale, RGBA alpha
-    # composite) and interlaced GIF
-    "multimodal_png_gray16_stats",
-    "multimodal_png_alpha_stats",
-    "multimodal_gif_interlaced_stats",
-    # late-r7 progressive (SOF2) JPEG tier
-    "multimodal_jpeg_progressive_stats",
-    # late-r7 G.711 companded-audio tier
-    "multimodal_g711_sample_stats",
-    # late-r7 MJPEG AVI video-container tier
-    "multimodal_video_mjpeg_stats",
-    # late-r7 stereo-PCM tier
-    "multimodal_stereo_sample_stats",
-    # late-r7 TIFF family (II/MM endianness, PackBits RLE)
-    "multimodal_tiff_pixel_stats",
-    # r8 rotations OUT (judge r7 items 1+5) — dedup_exact_spans /
-    # dedup_survivors driver-green in CORRECTNESS_r07; the MinHash pair
-    # RETIRED per the 3-consecutive-rounds no_oracle policy (pytest
-    # recall ground truths in tests/test_operators.py stand)
-    "dedup_exact_spans",
-    "dedup_survivors",
-    "dedup_minhash_lsh",
-    "dedup_minhash_components",
-    # r8 post-window addition (the r8 rotation was already pinned):
-    # JPEG routed through the resize tier, oracle-paired — r9 candidate
-    "multimodal_jpeg_resize_stats",
-    # r8 post-window addition: content-defined-chunking dedup tier
-    # (edit-robust chunk boundaries vs fixed spans), oracle-paired with
-    # identical md5 chunk identity on both engines — r9 candidate
-    "dedup_cdc_chunks",
-    # late-r8 window amendment: four r8-built entries took slots, and
-    # four MORE CORRECTNESS_r07-green rows rotated out (this one is the
-    # dedup_q-module member of that set; salted-skew coverage stays via
-    # the plan gates and the r07 artifact)
-    "skew_salted_counts",
-}
-
-
 # The 37 never-driver-checked oracle-paired entries the r8 judge
 # prescribed for the r9 window (item 1) — after this round, EVERY
 # oracle-paired registry entry has held a hard driver row at least once.
