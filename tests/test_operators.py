@@ -2573,3 +2573,72 @@ class TestLocalRelation:
         assert n_nan == 0
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "LocalRelation" in plan and "ExistingRDD" not in plan
+
+
+class TestAudioEnergyWindows:
+    def test_windows_match_hand_computation(self, spark):
+        """extract_audio_energy_windows on a hand-built 10-sample WAV
+        with window=4: three windows (4, 4, 2 samples) whose sums and
+        energies are computed by hand; an undecodable payload
+        contributes zero rows (never raises)."""
+        from ai_duckdb_spark.operators.multimodal import (
+            extract_audio_energy_windows,
+            make_wav_pcm,
+        )
+
+        samples = [3, -1, 4, -1, 5, -9, 2, -6, 5, 3]
+        df = spark.createDataFrame(
+            [(1, make_wav_pcm(8000, samples)), (2, b"not a wav")],
+            "doc_id long, payload binary",
+        )
+        rows = sorted(
+            (r["doc_id"], r["window_id"], r["n_in_window"], r["sum_amp"], r["sum_sq"])
+            for r in extract_audio_energy_windows(df, window=4).collect()
+        )
+        assert rows == [
+            (1, 0, 4, 3 - 1 + 4 - 1, 9 + 1 + 16 + 1),
+            (1, 1, 4, 5 - 9 + 2 - 6, 25 + 81 + 4 + 36),
+            (1, 2, 2, 5 + 3, 25 + 9),
+        ]
+
+
+class TestStreamStreamLeftJoin:
+    def test_matches_batch_left_join_at_smoke_sf(self, spark):
+        """The streaming left-outer join must equal the batch LEFT
+        interval join computed Spark-side on the same fixture — an
+        engine-internal equivalence at a second scale factor (the
+        DuckDB oracle covers sf0.01; this pins sf0.001), exercising the
+        sentinel/watermark machinery on a different data shape."""
+        from pyspark.sql import functions as F
+
+        from ai_duckdb_spark.streaming.windows import (
+            stream_stream_purchase_click_left_join,
+        )
+        from ai_duckdb_spark.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in stream_stream_purchase_click_left_join(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events")
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"),
+            F.col("user_id").alias("cuid"),
+            F.col("ts").alias("c_ts"),
+        )
+        exp = {
+            (r.pid, r.cid)
+            for r in p.join(
+                c,
+                (p.user_id == F.col("cuid"))
+                & (F.col("c_ts") <= F.col("p_ts"))
+                & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+                "left",
+            ).collect()
+        }
+        assert got == exp
+        assert any(cid is None for _, cid in got)  # outer rows really emitted
