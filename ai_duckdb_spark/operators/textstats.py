@@ -329,11 +329,17 @@ def gram_hash_runs(
     Heavy lambdas are single F.expr strings and ``__starts`` is a named
     projection (see boilerplate_ngram_stats docstring for the measured
     plan-size rationale)."""
+    # The hash is salted with n (first slot) so gram spaces of different
+    # n are disjoint — a 2-gram and a 3-gram can never collide with each
+    # other, halving the cross-entry collision surface (r9 ADVICE). The
+    # residual same-n collision risk stays ~2^-64 per pair; the oracle
+    # pairing (exact string grams DuckDB-side) bounds usable SF for the
+    # two consumers of this relation — noted in SCALE.md §"gram hashes".
     slots = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
     # sequence(1, k) DESCENDS when k < 1 (Spark semantics) — guard short docs
     gram_hashes = F.expr(
         f"CASE WHEN size(__toks) >= {n} THEN "
-        f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({slots})) "
+        f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({n}, {slots})) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(

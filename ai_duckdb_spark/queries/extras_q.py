@@ -1290,7 +1290,8 @@ _SCHEMA_EVO_DIRS: dict[str, str] = {}
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_with_quality,
+           CAST(count(*) FILTER (WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL)
+                AS BIGINT)                                        AS n_with_quality,
            CAST(COALESCE(sum(n_chars * 2) FILTER (WHERE doc_id % 2 = 1), 0)
                 AS BIGINT)                                        AS sum_quality
     FROM documents

@@ -223,6 +223,15 @@ def local_relation(spark: SparkSession, rows: list, schema: str) -> "DataFrame":
 
     struct = _parse_datatype_string(schema)
     arrow_schema = to_arrow_schema(struct)
+    # zip(*rows) truncates to the SHORTEST row — a ragged caller would
+    # get columns silently dropped (the replaced pandas path raised).
+    # Fail loudly instead (r9 ADVICE).
+    bad = [i for i, r in enumerate(rows) if len(r) != len(arrow_schema)]
+    if bad:
+        raise ValueError(
+            f"local_relation: rows {bad[:5]} have {len(rows[bad[0]])} values, "
+            f"schema has {len(arrow_schema)} fields"
+        )
     columns = list(zip(*rows))
     table = pa.Table.from_arrays(
         [pa.array(col, type=f.type) for col, f in zip(columns, arrow_schema)],

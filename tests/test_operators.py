@@ -2603,12 +2603,14 @@ class TestAudioEnergyWindows:
 
 
 class TestStreamStreamLeftJoin:
-    def test_matches_batch_left_join_at_smoke_sf(self, spark):
+    def test_matches_batch_left_join_at_smoke_sf(self, spark, sf_dir):
         """The streaming left-outer join must equal the batch LEFT
         interval join computed Spark-side on the same fixture — an
-        engine-internal equivalence at a second scale factor (the
-        DuckDB oracle covers sf0.01; this pins sf0.001), exercising the
-        sentinel/watermark machinery on a different data shape."""
+        engine-internal equivalence at the suite's smoke SF (the
+        DuckDB oracle covers sf0.01; the default suite runs sf0.001),
+        exercising the sentinel/watermark machinery on a different
+        data shape. Honors SPARK_GRAFT_TEST_SF_DIR via the conftest
+        fixture (r9 ADVICE) instead of hardcoding the fixture path."""
         from pyspark.sql import functions as F
 
         from ai_duckdb_spark.streaming.windows import (
@@ -2616,7 +2618,7 @@ class TestStreamStreamLeftJoin:
         )
         from ai_duckdb_spark.tables import load
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         got = {
             (r.purchase_id, r.click_id)
             for r in stream_stream_purchase_click_left_join(spark, sf).collect()

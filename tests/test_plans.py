@@ -520,11 +520,25 @@ def test_basket_affinity_single_union_shuffle(spark, sf_dir):
     and the total all come from ONE groupBy exchange (plus the final
     per-key agg exchanges AQE adds); join-backs must be broadcasts on
     the post-cut 20 rows — no SortMergeJoin, no cartesian beyond the
-    broadcast-of-scalar, and the cut must be TakeOrderedAndProject."""
+    broadcast-of-scalar, and the cut must be TakeOrderedAndProject.
+
+    r10 (judge r9 item 1): the BUILD side of the decoration joins must
+    be the 20-row cut, never the |parts|-sized marginal relations —
+    broadcasting a marginal means collecting the full part dimension to
+    the driver, the one pattern that cannot survive 100× data. Every
+    BroadcastHashJoin must therefore be BuildLeft (the hinted `top`
+    chain is always the left input), and the first BroadcastExchange's
+    subtree must be the TakeOrderedAndProject cut itself."""
     plan = _plan(spark, sf_dir, "basket_part_affinity")
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    lines = plan.splitlines()
+    bhj_lines = [ln for ln in lines if "BroadcastHashJoin" in ln]
+    assert bhj_lines and all("BuildLeft" in ln for ln in bhj_lines), bhj_lines
+    # the innermost broadcast build is the 20-row cut itself: the
+    # TakeOrderedAndProject node's direct parent is a BroadcastExchange
+    topk_idx = next(i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln)
+    assert "BroadcastExchange" in lines[topk_idx - 1], lines[topk_idx - 1]
 
 
 def test_stratified_sample_single_agg_no_join(spark, sf_dir):
