@@ -111,62 +111,85 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # dedup_jaccard_pairs, corpus_hash_sample, string_funcs_extended,
 # date_funcs_extended, setops_all_variants, approx_stats,
 # sampled_lineitem_stats out (all r01/r04-proven).
+# r10 rotation (judge r9 item 3): first-time coverage completed in r9
+# (every oracle-paired entry has a hard driver row somewhere in
+# CORRECTNESS_r01-r09, machine-verified), so the window's job flips
+# from "cover" to "re-verify oldest first". The 44 entries whose ONLY
+# driver row is CORRECTNESS_r01 — eight rounds of code motion stale —
+# swap IN: the relational surface (joins, latest-per-group, group
+# stats, distinct/rollup/cube/grouping-sets/pivot, top-n, multisort,
+# window rank/running/gaps, set ops, correlated/anti/semi subqueries,
+# HAVING, CASE buckets, union-all), the function tier (string, regexp,
+# date, JSON, math, null handling, conditional share), the batch
+# events tier (tumbling/sliding/sessionization/asof/daily/dedup), the
+# r01 streaming tier (tumbling/sliding/session/dedup/static-enrich/
+# stream-stream inner), and the text-stats trio. The 49 r9-green rows
+# rotate OUT (all auditable in CORRECTNESS_r09.json). Remaining slots:
+# the flagship pin + the 5 entries r10 CHANGED (late-r8 precedent —
+# changed code earns a fresh driver row in the round it changes):
+# source_schema_evolution (oracle gained the n_chars IS NOT NULL
+# mirror), text_boilerplate_ngrams + text_ngram_novelty (gram hashes
+# now salted with n), basket_part_affinity (decoration join flipped to
+# broadcast the 20-row cut), multimodal_audio_energy_windows (kernel
+# vectorized). COVERAGE.md carries the per-entry "last driver row" age
+# map this policy is audited by.
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
-    # --- TPC-H completion tier (13) ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_order_check",
-    "q5_local_supplier_volume",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_priority_by_line_class",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    # --- corpus tier (5) ---
-    "corpus_pii_scrub",
-    "corpus_source_rebalance",
-    "corpus_temperature_resample",
-    "corpus_train_split",
-    "corpus_length_buckets",
-    # --- text tier (4) ---
-    "text_rarity_scores",
-    "text_repetition_metrics",
-    "text_vocabulary_stats",
-    "text_length_histogram",
-    # --- misc never-driver-checked (6) ---
-    "pipeline_semantic_corpus",
-    "winsorized_price_stats",
-    "zorder_locality_buckets",
-    "source_token_cosine",
-    "fuzzy_name_pairs_blocked",
-    "window_distribution_suite",
-    # --- events trio (3) ---
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_peak_hourly_rate",
-    # --- maintenance + audio (3) ---
-    "maintenance_compact_files",
-    "maintenance_incremental_agg",
-    "multimodal_audio_headers",
-    # --- streaming trio (3) ---
-    "streaming_foreachbatch_sink",
-    "streaming_topk_tokens",
-    "streaming_watermark_latedrop",
-    # --- r9-built/changed entries earn driver rows in the round they
-    # ship (late-r8 precedent); slots 39-50 ---
-    "text_boilerplate_ngrams",  # r9 rewrite: hash runs + shuffle-hash join
-    "sampled_lineitem_stats",  # r9: graduated rows-only -> md5-gate oracle
-    "text_ngram_novelty",  # new r9: corpus-redundancy growth curve
-    "corpus_stratified_sample",  # new r9: deterministic stratified mixture
-    "multimodal_audio_energy_windows",  # new r9: decode->frame-relation fan-out
-    "streaming_stream_stream_leftjoin",  # new r9: outer-join NULL emission
-    "basket_part_affinity",  # new r9: 2-itemset mining with lift
-    "source_schema_evolution",  # new r9: mergeSchema drift read
+    # --- r01-stale relational surface (21) ---
+    "join_customer_orders_left",
+    "join_multiway_region_revenue",
+    "latest_order_per_customer",
+    "group_stats_priority",
+    "distinct_counts",
+    "rollup_year_status",
+    "cube_flag_status",
+    "top10_expensive_orders",
+    "orders_multisort",
+    "window_rank_in_segment",
+    "window_running_revenue",
+    "window_order_gaps",
+    "setops_customer_cohorts",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "orders_above_double_avg",
+    "parts_ordered_at_max_qty",
+    "having_frequent_customers",
+    "case_when_price_buckets",
+    "pivot_status_by_year",
+    "grouping_sets_nation_segment",
+    # --- r01-stale function tier (9) ---
+    "union_all_high_value_parties",
+    "string_funcs_part",
+    "regexp_funcs_part",
+    "date_funcs_orders",
+    "json_extract_events",
+    "math_funcs_lineitem",
+    "null_handling_status",
+    "urgent_share_by_year",
+    "text_token_stats",
+    # --- r01-stale batch events tier (6) ---
+    "events_tumbling_10min",
+    "events_sliding_1h_30m",
+    "events_sessionization",
+    "events_asof_purchase_click",
+    "events_daily_type_counts",
+    "events_dedup_minute",
+    # --- r01-stale streaming tier (6) ---
+    "streaming_tumbling_10min",
+    "streaming_sliding_1h_30m",
+    "streaming_session_windows",
+    "streaming_dedup_minute",
+    "streaming_static_enrich",
+    "streaming_stream_stream_join",
+    # --- r01-stale text stats (2) ---
+    "text_quality_scores",
+    "text_langid_confusion",
+    # --- entries CHANGED in r10 re-earn driver rows (5) ---
+    "source_schema_evolution",  # oracle filter now mirrors quality derivation
+    "text_boilerplate_ngrams",  # gram hash salted with n
+    "text_ngram_novelty",  # gram hash salted with n
+    "basket_part_affinity",  # decoration join broadcasts the 20-row cut
+    "multimodal_audio_energy_windows",  # kernel vectorized (numpy axis sums)
 ]
 
 
