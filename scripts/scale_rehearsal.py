@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""One-shot sf1.0 scale rehearsal (r9 judge item 2).
+
+Runs EVERY catalog entry at a 10x-sf0.1 fixture tier (scripts/gen_sf1.py
+output) with the driver's own correctness semantics — oracle-paired
+entries compare sorted column names, row count, and an order-insensitive
+value hash against DuckDB on the SAME parquet files; rows-only entries
+record row counts — and times both engines (one untimed warm pass, one
+timed pass each, matching the BENCH protocol's warm semantics closely
+enough for ratio comparison without the 3-pass interleave, which at sf1
+would triple an already-long run).
+
+Purpose: flush fixture-size-dependent assumptions the sf0.01/sf0.1
+regime hides (broadcast sizes, memory-sink result sizes, sentinel
+replay dirs, the semantic-dedup numpy size gate) and record which
+entries' Spark/DuckDB ratio moved most vs the sf0.1 artifact — SCALE.md
+predicts the job-floor-dominated entries' ratios collapse toward
+compute as data grows.
+
+Output: BENCH_SF1.json at the repo root — line 1 a compact summary,
+line 2 per-entry {status, spark_s, duck_s, ratio}, line 3 the summary
+again (driver tail-capture convention).
+
+Usage: python scripts/scale_rehearsal.py [name ...]
+(must run from a non-repo cwd for the executor sys.path property, like
+verify_driver_sim.py; the script re-execs itself from /tmp if started
+inside the repo).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".testdata/sf1.0"))
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    import decimal
+
+    if isinstance(v, (int, decimal.Decimal)):
+        v = float(v)
+    if isinstance(v, float):
+        return f"{round(v, 9) + 0.0:.9f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> None:
+    if os.path.commonpath([os.getcwd(), REPO]) == REPO:
+        # non-repo cwd requirement (verify SKILL.md gotcha: executor
+        # workers must get the package from the shipped zip, not cwd)
+        os.chdir("/tmp")
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    # the repo session factory, not a vanilla builder: driver memory is
+    # NOT runtime-settable, and at sf1.0 the vanilla 1g heap dies in the
+    # first wide shuffle (the smoke run proved it) — the driver harness
+    # sizes its own session; get_spark sizes from the cgroup limit the
+    # same way
+    from ai_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_rehearsal_sf1")
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for t in TABLES:  # warm the page cache symmetrically
+        con.execute(f"SELECT count(*) FROM {t}").fetchall()
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = [n for n in qs if n in sys.argv[1:]] if sys.argv[1:] else list(qs)
+
+    per_entry: dict[str, dict] = {}
+    n_pass = n_rows_only = n_fail = 0
+    for name in names:
+        ent: dict = {}
+        try:
+            qs[name](spark, SF_DIR).collect()  # warm (plan + JIT + caches)
+            t0 = time.perf_counter()
+            sdf = qs[name](spark, SF_DIR)
+            cols = sdf.columns
+            rows = sdf.collect()
+            ent["spark_s"] = round(time.perf_counter() - t0, 3)
+            ent["rows"] = len(rows)
+            if name not in oracles:
+                ent["status"] = "rows_only"
+                n_rows_only += 1
+            else:
+                con.sql(oracles[name]).fetchall()  # warm
+                t0 = time.perf_counter()
+                rel = con.sql(oracles[name])
+                ocols, orows = list(rel.columns), rel.fetchall()
+                ent["duck_s"] = round(time.perf_counter() - t0, 3)
+                ok = (
+                    sorted(cols) == sorted(ocols)
+                    and len(rows) == len(orows)
+                    and value_hash(rows, cols) == value_hash(orows, ocols)
+                )
+                ent["status"] = "pass" if ok else "fail"
+                ent["ratio"] = round(ent["spark_s"] / max(ent["duck_s"], 1e-4), 2)
+                if ok:
+                    n_pass += 1
+                else:
+                    n_fail += 1
+                    ent["detail"] = (
+                        f"schema={sorted(cols) == sorted(ocols)} "
+                        f"rows={len(rows)}vs{len(orows)}"
+                    )
+        except Exception as exc:  # noqa: BLE001
+            ent["status"] = "error"
+            ent["detail"] = f"{type(exc).__name__}: {exc}"[:300]
+            n_fail += 1
+        per_entry[name] = ent
+        print(f"{name}: {ent['status']} {ent.get('spark_s', '-')}s "
+              f"duck={ent.get('duck_s', '-')}s", flush=True)
+
+    batch = {
+        n: e
+        for n, e in per_entry.items()
+        if e.get("status") == "pass" and not n.startswith("streaming_")
+    }
+    summary = {
+        "metric": "scale_rehearsal_sf1_total",
+        "value": round(sum(e["spark_s"] for e in batch.values()), 2),
+        "unit": "sec",
+        "sf": 1.0,
+        "n_pass": n_pass,
+        "n_rows_only": n_rows_only,
+        "n_fail": n_fail,
+        "n_entries": len(per_entry),
+        "duck_total": round(sum(e["duck_s"] for e in batch.values()), 2),
+        "protocol": "one_warm_pass_then_one_timed_pass_per_side",
+    }
+    summary["ratio_vs_duckdb"] = round(
+        summary["value"] / max(summary["duck_total"], 1e-9), 4
+    )
+    out = os.path.join(REPO, "BENCH_SF1.json")
+    with open(out, "w") as f:
+        f.write(json.dumps(summary) + "\n")
+        f.write(
+            json.dumps(
+                {"metric": "scale_rehearsal_sf1_per_entry", "entries": per_entry}
+            )
+            + "\n"
+        )
+        f.write(json.dumps(summary) + "\n")
+    print(json.dumps(summary))
+    print(f"wrote {out}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

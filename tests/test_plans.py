@@ -515,12 +515,15 @@ def test_ngram_novelty_same_gram_run_discipline(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_basket_affinity_single_union_shuffle(spark, sf_dir):
-    """basket_part_affinity's tagged-union plan: supports, marginals,
-    and the total all come from ONE groupBy exchange (plus the final
-    per-key agg exchanges AQE adds); join-backs must be broadcasts on
-    the post-cut 20 rows — no SortMergeJoin, no cartesian beyond the
-    broadcast-of-scalar, and the cut must be TakeOrderedAndProject.
+def test_basket_affinity_plan_shape(spark, sf_dir):
+    """basket_part_affinity (r10 shape): pair support from a
+    shuffle-hash distinct-items self-join on the ORDER key — never a
+    SortMergeJoin (no sort of the 12M-pair relation at sf1.0) and never
+    a part-dimension join; the cut must be TakeOrderedAndProject; the
+    heavy pair leg appears ONCE (marginals/total are independent narrow
+    legs, not re-executions of a shared explode subtree — the r9
+    tagged-union design re-ran its explode per consumer, 145 s at
+    sf1.0).
 
     r10 (judge r9 item 1): the BUILD side of the decoration joins must
     be the 20-row cut, never the |parts|-sized marginal relations —
@@ -531,6 +534,8 @@ def test_basket_affinity_single_union_shuffle(spark, sf_dir):
     subtree must be the TakeOrderedAndProject cut itself."""
     plan = _plan(spark, sf_dir, "basket_part_affinity")
     assert "SortMergeJoin" not in plan
+    assert plan.count("ShuffledHashJoin") == 1  # the one pair self-join
+    assert "Explode" not in plan and "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
     lines = plan.splitlines()
     bhj_lines = [ln for ln in lines if "BroadcastHashJoin" in ln]
