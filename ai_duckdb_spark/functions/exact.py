@@ -31,10 +31,14 @@ division of identical operands, hence identical bits on both sides.
 
 DuckDB oracle mirror (sum_sql/avg_sql):
 
-    CAST(sum(CAST(round(expr, s) AS DECIMAL(28, s))) AS DOUBLE)
+    CAST(CAST(sum(CAST(round(expr, s) AS DECIMAL(28, s))) AS VARCHAR) AS DOUBLE)
 
 (bit-equality of the two formulations is covered by tests and was
-verified at sf0.1.)
+verified at sf0.1. The VARCHAR round-trip, added r10, matters above
+2^53: DuckDB's direct DECIMAL→DOUBLE cast is not correctly rounded
+there, while decimal→varchar→strtod is — the sf1.0 rehearsal caught
+q1's sum_charge differing by 1 ulp, and Spark's value was the
+correctly-rounded one.)
 
 Bounds: the long-cents sum overflows at |sum| * 10^s >= 2^63 — at
 petabyte scale with low-cardinality groups, switch those aggregates to
@@ -89,8 +93,20 @@ def exact_avg(col: Column | str, scale: int = 2) -> Column:
 
 
 def sum_sql(expr: str, scale: int = 2) -> str:
-    """The DuckDB-side mirror of :func:`exact_sum` (for oracle strings)."""
-    return f"CAST(sum(CAST(round({expr}, {scale}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    """The DuckDB-side mirror of :func:`exact_sum` (for oracle strings).
+
+    The DOUBLE conversion goes through a VARCHAR round-trip (r10): the
+    decimal→varchar cast is exact digits and varchar→double (strtod) is
+    correctly rounded, whereas DuckDB's direct DECIMAL→DOUBLE cast
+    drifts 1 ulp once the scaled integer exceeds 2^53 — the sf1.0
+    rehearsal caught q1's sum_charge (4.5e16 micro-units) differing in
+    the last bit from Spark's (correct) Decimal.toDouble. Below 2^53
+    the two formulations are bit-identical (verified across the full
+    catalog at sf0.01), so existing driver hashes are unchanged."""
+    return (
+        f"CAST(CAST(sum(CAST(round({expr}, {scale}) AS DECIMAL(28,{scale}))) "
+        f"AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def avg_sql(expr: str, scale: int = 2) -> str:

@@ -28,7 +28,7 @@ _BUCKET_30M = "to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP"
     SELECT strftime({_BUCKET_10M}, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*)             AS n_events,
-           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -63,7 +63,7 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*)             AS n_events,
-           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM starts
     GROUP BY 1
     """,
@@ -236,7 +236,7 @@ def events_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime({_BUCKET_10M}, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*)             AS n_events,
-           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -253,7 +253,7 @@ def streaming_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -279,7 +279,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*)             AS n_events,
-           CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM starts
     GROUP BY 1
     """,
@@ -363,7 +363,7 @@ def streaming_dedup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment AS segment,
            e.event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(round(e.value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(round(e.value, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2

@@ -790,9 +790,9 @@ def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT flag, p01, p99,
            count(*) FILTER (WHERE l_extendedprice < p01) AS n_low,
            count(*) FILTER (WHERE l_extendedprice > p99) AS n_high,
-           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28, 2)))
+           CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28, 2)))
                     FILTER (WHERE l_extendedprice >= p01
-                              AND l_extendedprice <= p99) AS DOUBLE)
+                              AND l_extendedprice <= p99) AS VARCHAR) AS DOUBLE)
                AS sum_unclipped
     FROM lineitem JOIN p ON l_returnflag = p.flag
     GROUP BY flag, p01, p99

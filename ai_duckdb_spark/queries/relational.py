@@ -105,7 +105,7 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
     WHERE o_totalprice > 2 * (
-        SELECT CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+        SELECT CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE)
                / count(o_totalprice)
         FROM orders
     )
@@ -153,7 +153,7 @@ def parts_ordered_at_max_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_frequent_customers",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_spent
+           CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 16
@@ -180,7 +180,7 @@ def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 250000 THEN 'large'
                 ELSE 'jumbo' END     AS price_bucket,
            count(*)                  AS n_orders,
-           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE)
                / count(o_totalprice)  AS avg_price
     FROM orders
     GROUP BY 1
@@ -245,14 +245,19 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(c_nationkey, -1)      AS c_nationkey,
            coalesce(c_mktsegment, 'ALL')  AS c_mktsegment,
            count(*) AS n,
-           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE)
                / count(c_acctbal) AS avg_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
     """,
 )
 def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the spark.sql surface."""
+    """Explicit GROUPING SETS through the spark.sql surface.
+
+    The Spark-side SQL keeps the DIRECT decimal→double cast — Spark's
+    Decimal.toDouble is correctly rounded at any magnitude (verified in
+    the r10 sf1.0 ulp investigation); only the DuckDB oracle needs the
+    VARCHAR round-trip (exact.py sum_sql docstring)."""
     register_views(spark, sf_dir, ["customer"])
     return spark.sql(
         """

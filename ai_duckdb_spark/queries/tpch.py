@@ -560,11 +560,11 @@ def window_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) OVER (
+           CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend
+           ) AS VARCHAR) AS DOUBLE) AS running_spend
     FROM orders
     WHERE o_custkey < 200
     """,
