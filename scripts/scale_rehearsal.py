@@ -101,26 +101,81 @@ def main() -> None:
     qs, oracles = E.queries(), E.oracle_sql()
     names = [n for n in qs if n in sys.argv[1:]] if sys.argv[1:] else list(qs)
 
+    # Per-side wall-clock budget: the quadratic-OUTPUT entries (exact
+    # all-pairs Jaccard at the fixture's ~8% near-dup pair density)
+    # produce ~100M qualifying pairs at sf1.0 — hours on the DuckDB
+    # postings join. A side that exceeds the budget is interrupted
+    # (sc.cancelAllJobs / duckdb con.interrupt) and recorded as
+    # spark_timeout / oracle_timeout with the elapsed time, which is
+    # itself the rehearsal finding (the ratio inverted or exploded).
+    budget_s = float(os.environ.get("BENCH_SF1_TIMEOUT", "600"))
+    import threading
+
+    def with_timeout(fn, cancel):
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget_s):
+                cancel()
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            return fn()
+        finally:
+            done.set()
+
     per_entry: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
     for name in names:
         ent: dict = {}
+        cancel_spark = spark.sparkContext.cancelAllJobs
         try:
-            qs[name](spark, SF_DIR).collect()  # warm (plan + JIT + caches)
-            t0 = time.perf_counter()
-            sdf = qs[name](spark, SF_DIR)
-            cols = sdf.columns
-            rows = sdf.collect()
+            t_all = time.perf_counter()
+            try:
+                with_timeout(
+                    lambda: qs[name](spark, SF_DIR).collect(), cancel_spark
+                )  # warm (plan + JIT + caches)
+                t0 = time.perf_counter()
+                sdf = qs[name](spark, SF_DIR)
+                cols = sdf.columns
+                rows = with_timeout(sdf.collect, cancel_spark)
+            except Exception as exc:  # noqa: BLE001
+                if "cancelled" not in str(exc).lower():
+                    raise
+                ent["status"] = "spark_timeout"
+                ent["spark_s"] = round(time.perf_counter() - t_all, 1)
+                n_fail += 1
+                per_entry[name] = ent
+                print(f"{name}: spark_timeout after {ent['spark_s']}s", flush=True)
+                continue
             ent["spark_s"] = round(time.perf_counter() - t0, 3)
             ent["rows"] = len(rows)
             if name not in oracles:
                 ent["status"] = "rows_only"
                 n_rows_only += 1
             else:
-                con.sql(oracles[name]).fetchall()  # warm
-                t0 = time.perf_counter()
-                rel = con.sql(oracles[name])
-                ocols, orows = list(rel.columns), rel.fetchall()
+                t_duck = time.perf_counter()
+                try:
+                    with_timeout(lambda: con.sql(oracles[name]).fetchall(), con.interrupt)
+                    t0 = time.perf_counter()
+                    rel = con.sql(oracles[name])
+                    ocols, orows = with_timeout(
+                        lambda: (list(rel.columns), rel.fetchall()), con.interrupt
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    if "interrupt" not in str(exc).lower():
+                        raise
+                    ent["status"] = "oracle_timeout"
+                    ent["duck_s"] = round(time.perf_counter() - t_duck, 1)
+                    n_rows_only += 1  # Spark side ran; comparison unavailable
+                    per_entry[name] = ent
+                    print(
+                        f"{name}: oracle_timeout after {ent['duck_s']}s "
+                        f"(spark side {ent['spark_s']}s, {ent['rows']} rows)",
+                        flush=True,
+                    )
+                    continue
                 ent["duck_s"] = round(time.perf_counter() - t0, 3)
                 ok = (
                     sorted(cols) == sorted(ocols)
