@@ -33,6 +33,46 @@ def test_floor_cents_recovers_4dec_values(units: int) -> None:
     assert math.floor(stored * 10_000 + 0.5) == units
 
 
+@given(st.integers(min_value=2**53, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_oracle_varchar_roundtrip_correctly_rounded_above_2p53(units: int) -> None:
+    """The r10 oracle mirror above 2^53 (sf1.0 rehearsal finding):
+    DuckDB's direct DECIMAL→DOUBLE cast drifts 1 ulp once the scaled
+    integer exceeds 2^53, while the VARCHAR round-trip sum_sql now
+    emits is correctly rounded — pin it against Python's Fraction
+    (exact) for the scale-6 domain q1's sum_charge lives in."""
+    from fractions import Fraction
+
+    import duckdb
+
+    true_double = float(Fraction(units, 10**6))
+    # build the scale-6 decimal LITERALLY (dividing in DuckDB SQL would
+    # itself go through DOUBLE — DuckDB decimal division returns double)
+    txt = f"{units // 10**6}.{units % 10**6:06d}"
+    got = duckdb.sql(
+        f"SELECT CAST(CAST(CAST('{txt}' AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert got == true_double
+
+
+def test_spark_decimal_to_double_correctly_rounded_above_2p53(spark) -> None:
+    """The Spark side of the same invariant: _finish's decimal division
+    + double cast must be the correctly-rounded double (it was the
+    CORRECT side in the sf1.0 q1 investigation — this pins it)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from ai_duckdb_spark.functions.exact import _finish
+
+    cases = [45368708049539773, 2**53 + 1, 2**60 + 7, 9007199254740993]
+    df = spark.createDataFrame([(c,) for c in cases], "v long").select(
+        F.col("v"), _finish(F.col("v"), 6).alias("d")
+    )
+    for row in df.collect():
+        assert row.d == float(Fraction(row.v, 10**6)), row.v
+
+
 # ---------------------------------------------------------------------------
 # formatter: never crashes, always honors the cell contract
 # ---------------------------------------------------------------------------
