@@ -116,7 +116,14 @@ def main() -> None:
 
         def watchdog():
             if not done.wait(budget_s):
-                cancel()
+                # keep cancelling until the call returns: an adaptive
+                # plan submits a NEW job after each cancelled one, so a
+                # single cancelAllJobs only kills the current stage
+                while not done.wait(2):
+                    try:
+                        cancel()
+                    except Exception:  # noqa: BLE001
+                        return
 
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
@@ -124,6 +131,37 @@ def main() -> None:
             return fn()
         finally:
             done.set()
+
+    # Checksum mode for quadratic-OUTPUT entries: above ROWCAP rows the
+    # rehearsal never driver-materializes the result (a 96M-pair
+    # collect() measures py4j, not the engine). Instead both engines
+    # reduce the SAME result relation to exact-integer aggregates —
+    # count, per-bigint-column sums, per-double-column sums of
+    # floor(x*1e6+0.5) (doubles here are IEEE divisions of exact ints,
+    # bit-identical cross-engine, so the scaled floor is too), string
+    # columns as length sums — and those integers are compared. Full
+    # value-hash correctness remains the sf0.01 driver gate's job; the
+    # rehearsal proves the plan computes the same relation AT SCALE.
+    rowcap = int(os.environ.get("BENCH_SF1_ROWCAP", "2000000"))
+
+    def checksum_cols(sdf):
+        from pyspark.sql import functions as F
+
+        spark_aggs, duck_exprs = [F.count(F.lit(1)).alias("__n")], ["count(*)"]
+        for f in sdf.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                spark_aggs.append(F.sum(F.col(f.name)).alias(f.name))
+                duck_exprs.append(f'sum("{f.name}")')
+            elif t in ("double", "float"):
+                spark_aggs.append(
+                    F.sum(F.floor(F.col(f.name) * 1e6 + F.lit(0.5)).cast("long")).alias(f.name)
+                )
+                duck_exprs.append(f'sum(CAST(floor("{f.name}"*1e6 + 0.5) AS BIGINT))')
+            elif t == "string":
+                spark_aggs.append(F.sum(F.length(F.col(f.name)).cast("long")).alias(f.name))
+                duck_exprs.append(f'sum(length("{f.name}"))')
+        return spark_aggs, duck_exprs
 
     per_entry: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
@@ -133,13 +171,72 @@ def main() -> None:
         try:
             t_all = time.perf_counter()
             try:
-                with_timeout(
-                    lambda: qs[name](spark, SF_DIR).collect(), cancel_spark
-                )  # warm (plan + JIT + caches)
-                t0 = time.perf_counter()
                 sdf = qs[name](spark, SF_DIR)
-                cols = sdf.columns
-                rows = with_timeout(sdf.collect, cancel_spark)
+                n_est = with_timeout(sdf.count, cancel_spark)
+                if n_est <= rowcap:
+                    with_timeout(
+                        lambda: qs[name](spark, SF_DIR).collect(), cancel_spark
+                    )  # warm (plan + JIT + caches)
+                    t0 = time.perf_counter()
+                    sdf = qs[name](spark, SF_DIR)
+                    cols = sdf.columns
+                    rows = with_timeout(sdf.collect, cancel_spark)
+                else:
+                    ent["compare"] = "checksum"
+                    spark_aggs, duck_exprs = checksum_cols(sdf)
+                    t0 = time.perf_counter()
+                    sdf2 = qs[name](spark, SF_DIR)
+                    srow = with_timeout(
+                        lambda: sdf2.agg(*spark_aggs).collect()[0], cancel_spark
+                    )
+                    ent["spark_s"] = round(time.perf_counter() - t0, 3)
+                    ent["rows"] = int(srow["__n"])
+                    if name not in oracles:
+                        ent["status"] = "rows_only"
+                        n_rows_only += 1
+                        per_entry[name] = ent
+                        print(f"{name}: rows_only(checksum) {ent['rows']} rows", flush=True)
+                        continue
+                    t_duck = time.perf_counter()
+                    dsql = (
+                        f"SELECT {', '.join(duck_exprs)} FROM ({oracles[name]}) __t"
+                    )
+                    try:
+                        drow = with_timeout(
+                            lambda: con.sql(dsql).fetchone(), con.interrupt
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        if "interrupt" not in str(exc).lower():
+                            raise
+                        ent["status"] = "oracle_timeout"
+                        ent["duck_s"] = round(time.perf_counter() - t_duck, 1)
+                        n_rows_only += 1
+                        per_entry[name] = ent
+                        print(
+                            f"{name}: oracle_timeout(checksum) after "
+                            f"{ent['duck_s']}s (spark {ent['spark_s']}s, "
+                            f"{ent['rows']} rows)",
+                            flush=True,
+                        )
+                        continue
+                    ent["duck_s"] = round(time.perf_counter() - t_duck, 3)
+                    svals = [None if v is None else int(v) for v in srow]
+                    dvals = [None if v is None else int(v) for v in drow]
+                    ok = svals == dvals
+                    ent["status"] = "pass" if ok else "fail"
+                    ent["ratio"] = round(ent["spark_s"] / max(ent["duck_s"], 1e-4), 2)
+                    if ok:
+                        n_pass += 1
+                    else:
+                        n_fail += 1
+                        ent["detail"] = f"checksum {svals} vs {dvals}"[:300]
+                    per_entry[name] = ent
+                    print(
+                        f"{name}: {ent['status']}(checksum) {ent['spark_s']}s "
+                        f"duck={ent['duck_s']}s rows={ent['rows']}",
+                        flush=True,
+                    )
+                    continue
             except Exception as exc:  # noqa: BLE001
                 if "cancelled" not in str(exc).lower():
                     raise
