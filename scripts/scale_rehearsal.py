@@ -114,15 +114,22 @@ def duck_eval(sql: str, budget_s: float, rowcap: int):
     p = mp.Process(target=_duck_child, args=(sql, rowcap, out), daemon=True)
     t0 = time.perf_counter()
     p.start()
-    p.join(budget_s)
+    # Read the queue FIRST, then join: Queue.put of a large row set
+    # blocks the child's feeder thread on the pipe until the parent
+    # drains it, so join-before-get deadlocks on any multi-MB oracle
+    # result (observed: 100% idle box, both processes asleep, false
+    # oracle_timeout after the full budget). get() IS the budget wait.
+    try:
+        status, cols, rows, elapsed = out.get(timeout=budget_s)
+    except Exception:  # noqa: BLE001 — timeout, or child died (OOM, crash)
+        if p.is_alive():
+            p.kill()
+        p.join()
+        return ("timeout", None, None, round(time.perf_counter() - t0, 1))
+    p.join(10)
     if p.is_alive():
         p.kill()
         p.join()
-        return ("timeout", None, None, round(time.perf_counter() - t0, 1))
-    try:
-        status, cols, rows, elapsed = out.get(timeout=10)
-    except Exception:  # noqa: BLE001 — child died (OOM, crash)
-        return ("timeout", None, None, round(time.perf_counter() - t0, 1))
     return (status, cols, rows, round(elapsed, 3))
 
 
@@ -304,7 +311,9 @@ def main() -> None:
     summary["ratio_vs_duckdb"] = round(
         summary["value"] / max(summary["duck_total"], 1e-9), 4
     )
-    out = os.path.join(REPO, "BENCH_SF1.json")
+    # a name-subset rerun must not clobber the full-catalog artifact
+    fname = "BENCH_SF1.json" if not sys.argv[1:] else "BENCH_SF1_partial.json"
+    out = os.path.join(REPO, fname)
     with open(out, "w") as f:
         f.write(json.dumps(summary) + "\n")
         f.write(
