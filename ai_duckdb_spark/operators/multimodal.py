@@ -4742,3 +4742,40 @@ def sample_frames(binary_df: DataFrame, frame_bytes: int = 64, every: int = 4) -
             )
 
     return binary_df.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def video_scene_cuts(frame_df: DataFrame, threshold_per_px: int = 16) -> DataFrame:
+    """Shot-boundary detection over a decoded frame relation (the
+    output shape of ``extract_video_frame_stats``): per video, count
+    frames, count scene CUTS — inter-frame luma-sum jumps exceeding
+    ``threshold_per_px`` per pixel (the comparison is pure integer
+    arithmetic: |sum_f - sum_{f-1}| > T*w*h, exact cross-engine) — and
+    report the largest jump. Once decode has fanned media out to rows,
+    temporal analysis is ordinary window SQL: a lag per video ordered
+    by frame index (state = one frame sum per key, bounded by
+    frames-per-video), then a per-video rollup that rides the SAME
+    doc_id hash partitioning the window installed — one shuffle total
+    downstream of the map-only decode."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frame_df.select(
+        "doc_id",
+        "width",
+        "height",
+        "sum_luma",
+        F.lag("sum_luma").over(w).alias("prev"),
+    )
+    jump = F.abs(F.col("sum_luma") - F.col("prev"))
+    is_cut = F.col("prev").isNotNull() & (
+        jump > F.lit(threshold_per_px) * F.col("width") * F.col("height")
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.when(is_cut, 1).otherwise(0)).cast("long").alias("n_cuts"),
+            F.coalesce(F.max(jump), F.lit(0)).cast("long").alias("max_jump"),
+        )
+        .orderBy("doc_id")
+    )

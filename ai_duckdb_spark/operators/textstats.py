@@ -552,3 +552,102 @@ def stratified_hash_sample_stats(
         )
         .orderBy(*strata_cols)
     )
+
+def _leakage_counts(
+    df: DataFrame, source_col: str, text_col: str, n: int
+) -> DataFrame:
+    """The (src1, src2, cnt) tagged-union tally under
+    ``source_leakage_matrix`` — src2 NULL rows are per-source marginal
+    gram counts, non-NULL rows are shared-gram pair counts. Split out so
+    tests can gate the heavy subtree's plan shape (one gram-run explode,
+    one gram exchange, one tagged-union explode, one final exchange)
+    independently of the materialization above it."""
+    runs = gram_hash_runs(
+        df.select(F.col(source_col).alias("sid"), F.col(text_col).alias("text")),
+        id_col="sid",
+        text_col="text",
+        n=n,
+    )
+    by_gram = (
+        runs.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.sort_array(F.collect_set("sid")).alias("ss"))
+    )
+    tagged = by_gram.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "  transform(ss, s -> named_struct("
+                "    'src1', s, 'src2', CAST(NULL AS STRING))),"
+                "  flatten(transform(ss, (a, i) -> transform("
+                "    slice(ss, i + 2, greatest(size(ss) - i - 1, 0)),"
+                "    b -> named_struct('src1', a, 'src2', b)))))"
+            )
+        ).alias("t")
+    )
+    return tagged.groupBy(
+        F.col("t.src1").alias("src1"), F.col("t.src2").alias("src2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def source_leakage_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cross-source n-gram leakage matrix: for every pair of sources,
+    the number of DISTINCT word-n-grams both contain, each source's
+    distinct-gram count, and the gram-set Jaccard — ordered by shared
+    count, cut to ``top_k`` pairs. The contamination audit run before
+    declaring two corpus sources independent (train/eval splits,
+    benchmark leakage — cf. the C4/benchmark-overlap audits of Dodge et
+    al. 2021 and the dedup analyses of Lee et al. 2022).
+
+    Scale design: grams ride as xxhash64 longs via ``gram_hash_runs``;
+    ONE groupBy(gram) collects each gram's source set (bounded by
+    |sources|, never |docs|); one explode emits pair tallies AND
+    singleton marginal tallies as a tagged union (src2 NULL marks a
+    marginal) into ONE final groupBy(src1, src2), and that
+    <= |sources|^2-row tally is MATERIALIZED (localCheckpoint) before
+    its three consumers (pair cut, two marginal decorations) — the
+    r9-basket multi-consumer lesson applied at both levels: the heavy
+    tokenize/hash/explode subtree runs exactly once, and the gram
+    exchange below it is additionally canonical-reused. Decoration
+    broadcasts the top_k-row cut, never the |sources|-sized marginal
+    relation. Collision bound: same 2^-64 xxhash64-vs-exact-oracle
+    note as the other gram_hash_runs consumers."""
+    # Materialize the <= |sources|^2-row tally ONCE: without the
+    # checkpoint, Catalyst pushes each consumer's src2-NULL filter below
+    # the final aggregation and the exchange, making the two agg
+    # subtrees non-canonical — the tagged-union explode then re-runs
+    # per consumer (the gram exchange itself was still reused, so only
+    # the reduce pass doubled; measured in the executed plan: 2
+    # explodes, 1 ReusedExchange). A tiny aggregate shared by multiple
+    # consumers is exactly SCALE.md's "materialize or restructure" case.
+    counts = _leakage_counts(df, source_col, text_col, n).localCheckpoint(eager=False)
+    top = (
+        counts.where(F.col("src2").isNotNull())
+        .select("src1", "src2", F.col("cnt").alias("shared_grams"))
+        .orderBy(F.desc("shared_grams"), "src1", "src2")
+        .limit(top_k)
+    )
+    m = counts.where(F.col("src2").isNull()).select(
+        F.col("src1").alias("__s"), F.col("cnt").alias("__n")
+    )
+    m1 = m.select(F.col("__s").alias("src1"), F.col("__n").alias("n_grams1"))
+    m2 = m.select(F.col("__s").alias("src2"), F.col("__n").alias("n_grams2"))
+    jac = F.col("shared_grams").cast("double") / (
+        F.col("n_grams1") + F.col("n_grams2") - F.col("shared_grams")
+    ).cast("double")
+    dec = F.broadcast(top).join(m1, "src1")
+    return (
+        F.broadcast(dec)
+        .join(m2, "src2")
+        .select(
+            "src1", "src2", "shared_grams", "n_grams1", "n_grams2",
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.desc("shared_grams"), "src1", "src2")
+    )

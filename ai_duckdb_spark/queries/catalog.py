@@ -133,6 +133,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # broadcast the 20-row cut), multimodal_audio_energy_windows (kernel
 # vectorized). COVERAGE.md carries the per-entry "last driver row" age
 # map this policy is audited by.
+# r10 NEW entries (3) take the last three slots — new operators earn a
+# driver row in their birth round (standing precedent): text_source_
+# leakage_matrix, multimodal_video_scene_cuts, source_footer_inventory.
+# To make room, three r01-stale FUNCTION-tier projections step back to
+# the r11 rotation queue (string_funcs_part, date_funcs_orders,
+# math_funcs_lineitem — single-scan expression plans, the lowest-drift
+# class in the catalog, still local-oracle-green every round); with the
+# two that never fit, FIVE r01-stale entries remain for r11.
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
     # --- r01-stale relational surface (21) ---
@@ -157,13 +165,10 @@ DRIVER_WINDOW: list[str] = [
     "case_when_price_buckets",
     "pivot_status_by_year",
     "grouping_sets_nation_segment",
-    # --- r01-stale function tier (9) ---
+    # --- r01-stale function tier (6; string/date/math step to r11) ---
     "union_all_high_value_parties",
-    "string_funcs_part",
     "regexp_funcs_part",
-    "date_funcs_orders",
     "json_extract_events",
-    "math_funcs_lineitem",
     "null_handling_status",
     "urgent_share_by_year",
     "text_token_stats",
@@ -190,6 +195,10 @@ DRIVER_WINDOW: list[str] = [
     "text_ngram_novelty",  # gram hash salted with n
     "basket_part_affinity",  # decoration join broadcasts the 20-row cut
     "multimodal_audio_energy_windows",  # kernel vectorized (numpy axis sums)
+    # --- entries NEW in r10 (3) ---
+    "text_source_leakage_matrix",
+    "multimodal_video_scene_cuts",
+    "source_footer_inventory",
 ]
 
 

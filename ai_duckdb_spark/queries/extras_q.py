@@ -1342,3 +1342,92 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FOOTER_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@register(
+    "source_footer_inventory",
+    oracle="WITH u AS ("
+    + "\n    UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" (SELECT CAST(count(*) AS BIGINT)"
+        f"  FROM pragma_table_info('{t}')) AS n_cols FROM {t}"
+        for t in _FOOTER_TABLES
+    )
+    + "\n    ) SELECT tbl, n_rows, n_cols FROM u ORDER BY tbl",
+)
+def source_footer_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only corpus inventory (S-tier, new r10): row and column
+    counts for every table of the corpus read from parquet FOOTERS
+    alone, executor-side — zero data pages touched. This is the audit
+    pass a 100 TB lake runs constantly (is the manifest consistent? did
+    yesterday's compaction lose rows?), and the reason it must not be a
+    count(*) scan: footers are KB-sized regardless of file size, so the
+    inventory costs O(files), not O(bytes). The oracle recomputes both
+    numbers the expensive way (count(*) + catalog introspection on the
+    registered views), so a footer misread, a dropped file, or a
+    row-group/page miscount all break the hash.
+
+    Scale shape: the file list becomes a DataFrame and footer reads run
+    inside mapInPandas (pyarrow.parquet.read_metadata / read_schema —
+    Arrow is executor-local), one task per file after an explicit
+    repartition — at petabyte file counts the list itself comes from a
+    catalog/manifest relation and the same map-only plan applies; the
+    per-table rollup is a groupBy over |files| KB-sized rows. Column
+    count comes from the Arrow-level schema (logical top-level fields,
+    list/struct nesting collapsed), not the physical leaf count."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..session import local_relation
+
+    files = []
+    for t in _FOOTER_TABLES:
+        for p in sorted(_glob.glob(_os.path.join(sf_dir, f"{t}.parquet"))):
+            files.append((t, p))
+    # local_relation, not createDataFrame(list): the file list must be a
+    # LocalTableScan, not a 32-task pickled-RDD scan (see session.py).
+    flist = local_relation(spark, files, "tbl string, path string").repartition(
+        max(len(files), 1)
+    )
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            tbls, rows, cols = [], [], []
+            for t, p in zip(pdf["tbl"], pdf["path"]):
+                md = pq.read_metadata(p)
+                sch = pq.read_schema(p)
+                tbls.append(t)
+                rows.append(int(md.num_rows))
+                cols.append(len(sch.names))
+            yield pd.DataFrame(
+                {
+                    "tbl": pd.Series(tbls, dtype="object"),
+                    "n_rows": pd.Series(rows, dtype="int64"),
+                    "n_cols": pd.Series(cols, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("tbl", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_cols", T.LongType()),
+        ]
+    )
+    per_file = flist.mapInPandas(_footers, schema)
+    return (
+        per_file.groupBy("tbl")
+        .agg(F.sum("n_rows").alias("n_rows"), F.max("n_cols").alias("n_cols"))
+        .orderBy("tbl")
+    )

@@ -1877,3 +1877,69 @@ def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFra
     return extract_audio_energy_windows(
         synthesize_wav_pcm_payloads(docs, "doc_id"), window=16
     )
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 14 + 1 AS INTEGER)       AS width,
+               CAST((doc_id * 3) % 12 AS INTEGER) + 1 AS height,
+               CAST(doc_id % 5 + 1 AS INTEGER)        AS n_frames
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.width, d.height, f.f AS frame_idx,
+               2 * ((d.doc_id + 13 * f.f + 3 * (x.x // 8) + 7 * (y.y // 8)) % 128) AS v
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 5)) AS f) f ON f.f < d.n_frames
+        JOIN (SELECT unnest(range(0, 14)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 12)) AS y) y ON y.y < d.height
+    ),
+    fr AS (
+        SELECT doc_id, frame_idx, width, height, sum(v) AS s
+        FROM px GROUP BY 1, 2, 3, 4
+    ),
+    d AS (
+        SELECT doc_id, width, height, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        FROM fr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (
+               WHERE prev IS NOT NULL
+                 AND abs(s - prev) > 16 * width * height) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(max(abs(s - prev)), 0) AS BIGINT) AS max_jump
+    FROM d
+    GROUP BY doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over decoded video (X9, new r10): the frame
+    relation produced by the full AVI/MJPEG container+codec walk
+    (operators/multimodal.py decode_avi_mjpeg — the same decode the
+    mjpeg_stats entry proves bit-exact) consumed by ORDINARY analytic
+    SQL: a lag window per video over frame order, a luma-delta
+    threshold scaled by frame area (pure integer arithmetic — exact
+    cross-engine), and a per-video rollup of frame count, cut count,
+    and the largest inter-frame jump. This is the shot-boundary pass of
+    a video curation pipeline, and the point of the decode->frame-
+    relation fan-out shape: once frames are rows, temporal analysis is
+    window functions, not codec code.
+
+    Scale shape: decode fans out inside mapInPandas (map-only, never
+    the driver); the window partitions by video id and orders by frame
+    index — state is one frame's sum per partition key, bounded by
+    frames-per-video, and the single shuffle is the window's hash
+    partition on doc_id; the rollup rides the SAME partitioning
+    (groupBy doc_id after a doc_id-partitioned window needs no second
+    exchange). The oracle recomputes every pixel closed-form in SQL, so
+    one hash gate covers container walk, per-frame JPEG decode, window
+    order, and threshold semantics."""
+    from ..operators.multimodal import video_scene_cuts
+
+    docs = load(spark, sf_dir, "documents")
+    fr = extract_video_frame_stats(synthesize_avi_payloads(docs, "doc_id"))
+    return video_scene_cuts(fr, threshold_per_px=16)

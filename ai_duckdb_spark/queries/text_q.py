@@ -706,3 +706,64 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py ngram_novelty_stats)."""
     docs = load(spark, sf_dir, "documents")
     return ts.ngram_novelty_stats(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "text_source_leakage_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+               l[i+3] || ' ' || l[i+4] AS gram
+        FROM toks, unnest(generate_series(1, len(l) - 4)) r(i)
+    ),
+    m AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    p AS (
+        SELECT a.source AS src1, b.source AS src2, count(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.src1, p.src2,
+           CAST(p.shared AS BIGINT) AS shared_grams,
+           CAST(m1.n AS BIGINT)     AS n_grams1,
+           CAST(m2.n AS BIGINT)     AS n_grams2,
+           CAST(p.shared AS DOUBLE)
+               / CAST(m1.n + m2.n - p.shared AS DOUBLE) AS jaccard
+    FROM p
+    JOIN m m1 ON m1.source = p.src1
+    JOIN m m2 ON m2.source = p.src2
+    ORDER BY shared_grams DESC, p.src1, p.src2
+    LIMIT 20
+    """,
+)
+def text_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit (X8, new r10): for every pair
+    of corpus sources, how many DISTINCT word-5-grams they share, with
+    per-source gram counts and the gram-set Jaccard — the leakage
+    matrix a training pipeline reads before declaring two sources
+    independent (train/eval splits, benchmark contamination — the
+    source-level view of Lee et al. 2022 / Dodge et al. 2021 C4
+    audits).
+
+    Scale shape: reuses the gram-run relation (xxhash64 fingerprints,
+    8-byte longs on the wire — operators/textstats.py gram_hash_runs),
+    then ONE groupBy(gram) collects the bounded per-gram source set
+    (|sources|, not |docs|), and one explode emits the pair AND
+    singleton tallies as a tagged union (src2=NULL marks a marginal
+    row) into ONE final groupBy(src1, src2) whose <= |sources|^2-row
+    result is MATERIALIZED (localCheckpoint) before its consumers —
+    the r9 basket multi-consumer lesson (SCALE.md) applied at both
+    levels: without the checkpoint Catalyst pushes each consumer's
+    src2-NULL filter below the final agg and re-runs the explode per
+    consumer (measured; the gram exchange still canonical-reuses, so
+    only the reduce pass doubles). The heavy tokenize+hash+explode
+    subtree runs exactly once. Decoration broadcasts the 20-row cut
+    (never the |sources|-sized marginal relation). Pair fan-out per
+    gram is bounded by |sources| choose 2, never doc x doc. The
+    xxhash64-vs-exact-string oracle pairing carries the same 2^-64
+    collision bound documented for the other gram-run consumers."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.source_leakage_matrix(docs, "source", "text", n=5, top_k=20)

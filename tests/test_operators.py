@@ -2644,3 +2644,129 @@ class TestStreamStreamLeftJoin:
         }
         assert got == exp
         assert any(cid is None for _, cid in got)  # outer rows really emitted
+
+
+class TestSourceLeakageMatrix:
+    def test_crafted_overlap(self, spark):
+        """Hand-computed 5-gram leakage: srcA and srcB share exactly
+        two distinct grams, srcC shares nothing (and so appears in NO
+        pair row — pairs exist only where shared >= 1); Jaccard is
+        shared/(n1+n2-shared) on DISTINCT gram counts (srcB's repeated
+        gram counts once); too-short docs contribute nothing."""
+        from ai_duckdb_spark.operators.textstats import source_leakage_matrix
+
+        docs = spark.createDataFrame(
+            [
+                ("A", "a b c d e f"),      # grams: abcde, bcdef
+                ("B", "a b c d e x"),      # abcde (shared), bcdex
+                ("B", "b c d e f g"),      # bcdef (shared), cdefg
+                ("B", "b c d e f g"),      # exact repeat: no new grams
+                ("C", "z y x w v"),        # zyxwv — disjoint
+                ("C", "q r"),              # too short: sentinel, dropped
+            ],
+            "source STRING, text STRING",
+        )
+        rows = source_leakage_matrix(docs, "source", "text", n=5).collect()
+        got = {
+            (r.src1, r.src2): (r.shared_grams, r.n_grams1, r.n_grams2, r.jaccard)
+            for r in rows
+        }
+        assert got == {("A", "B"): (2, 2, 4, 2 / (2 + 4 - 2))}
+
+    def test_top_k_cut_is_deterministic(self, spark):
+        """Ties at the cut boundary resolve by (shared desc, src1,
+        src2): three pairs all sharing one gram, top_k=2 keeps the two
+        lexicographically smallest pairs."""
+        from ai_duckdb_spark.operators.textstats import source_leakage_matrix
+
+        docs = spark.createDataFrame(
+            [
+                ("s1", "a b c d e"),
+                ("s2", "a b c d e"),
+                ("s3", "a b c d e"),
+            ],
+            "source STRING, text STRING",
+        )
+        rows = source_leakage_matrix(docs, "source", "text", n=5, top_k=2).collect()
+        assert [(r.src1, r.src2) for r in rows] == [("s1", "s2"), ("s1", "s3")]
+
+
+class TestVideoSceneCuts:
+    def test_crafted_threshold_boundary(self, spark):
+        """Integer threshold semantics on a hand-built frame relation
+        (w=2, h=5 -> threshold 16*10=160): a jump of exactly 160 is NOT
+        a cut (strict >), 161 is; a single-frame video reports zero
+        cuts and max_jump 0 (no predecessor); frames arrive unordered
+        and the window must order by frame_idx, not input order."""
+        from ai_duckdb_spark.operators.multimodal import video_scene_cuts
+
+        frames = spark.createDataFrame(
+            [
+                # doc 1: sums 100 -> 260 (jump 160, no cut) -> 99 (161, cut)
+                (1, 2, 2, 5, 260),
+                (1, 1, 2, 5, 100),
+                (1, 3, 2, 5, 99),
+                # doc 2: single frame
+                (2, 1, 2, 5, 42),
+            ],
+            "doc_id LONG, frame_idx INT, width INT, height INT, sum_luma LONG",
+        )
+        got = {
+            r.doc_id: (r.n_frames, r.n_cuts, r.max_jump)
+            for r in video_scene_cuts(frames, threshold_per_px=16).collect()
+        }
+        assert got == {1: (3, 1, 161), 2: (1, 0, 0)}
+
+    def test_matches_closed_form_on_decoded_fixture(self, spark):
+        """End-to-end vs a pure-Python replay of the AVI fixture's
+        closed form for a handful of doc ids spanning 1..5 frames."""
+        from ai_duckdb_spark.operators.multimodal import (
+            extract_video_frame_stats,
+            synthesize_avi_payloads,
+            video_scene_cuts,
+        )
+
+        ids = [3, 7, 11, 24, 30]  # n_frames = id%5+1 -> 4,3,2,5,1
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+        fr = extract_video_frame_stats(synthesize_avi_payloads(docs, "doc_id"))
+        got = {
+            r.doc_id: (r.n_frames, r.n_cuts, r.max_jump)
+            for r in video_scene_cuts(fr, threshold_per_px=16).collect()
+        }
+
+        def expected(i):
+            w, h, nf = i % 14 + 1, i * 3 % 12 + 1, i % 5 + 1
+            sums = []
+            for f in range(nf):
+                s = 0
+                for x in range(w):
+                    for y in range(h):
+                        s += 2 * ((i + 13 * f + 3 * (x // 8) + 7 * (y // 8)) % 128)
+                sums.append(s)
+            jumps = [abs(b - a) for a, b in zip(sums, sums[1:])]
+            return (
+                nf,
+                sum(1 for j in jumps if j > 16 * w * h),
+                max(jumps, default=0),
+            )
+
+        assert got == {i: expected(i) for i in ids}
+
+
+class TestFooterInventory:
+    def test_footer_counts_match_scans(self, spark, sf_dir):
+        """The footer-only inventory must agree with full scans on
+        every table: one output row per table, n_rows from metadata ==
+        count(*), n_cols == the DataFrame's logical column count."""
+        from ai_duckdb_spark.queries.extras_q import (
+            _FOOTER_TABLES,
+            source_footer_inventory,
+        )
+        from ai_duckdb_spark.tables import load
+
+        rows = {r.tbl: (r.n_rows, r.n_cols) for r in
+                source_footer_inventory(spark, sf_dir).collect()}
+        assert sorted(rows) == sorted(_FOOTER_TABLES)
+        for t in _FOOTER_TABLES:
+            df = load(spark, sf_dir, t)
+            assert rows[t] == (df.count(), len(df.columns)), t

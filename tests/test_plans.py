@@ -622,3 +622,55 @@ def test_cdc_chunks_single_gram_shuffle_no_cartesian(spark, sf_dir):
     # ExistingRDD) and feeds both the dup-set aggregate and the join
     # back — the HOF chunking runs a single time, not per consumer
     assert "Scan ExistingRDD" in plan
+
+
+def test_source_leakage_matrix_single_gram_subtree(spark, sf_dir):
+    """text_source_leakage_matrix: the heavy tokenize/hash/explode
+    subtree must run ONCE. The tiny (src1, src2) tally is materialized
+    (localCheckpoint) before its three consumers — without it Catalyst
+    pushes each consumer's src2-NULL filter below the final agg and
+    re-runs the tagged-union explode per consumer (measured: 2 explodes
+    even with the gram exchange reused). Gates: (a) the final plan
+    reads ONE checkpointed RDD three times and contains NO Generate at
+    all (lineage cut = single execution, structurally); decorations
+    broadcast the 20-row cut (BuildLeft, never SortMergeJoin) and the
+    cut is TakeOrderedAndProject; (b) the pre-checkpoint tally subtree
+    is exactly two explodes (gram runs, tagged union) over exactly two
+    hash exchanges (gram, final agg)."""
+    plan = _plan(spark, sf_dir, "text_source_leakage_matrix")
+    assert "Generate" not in plan
+    assert plan.count("Scan ExistingRDD") == 3, plan.count("Scan ExistingRDD")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert bhj and all("BuildLeft" in ln for ln in bhj), bhj
+
+    from ai_duckdb_spark.operators.textstats import _leakage_counts
+    from ai_duckdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sub = executed_plan(_leakage_counts(docs, "source", "text", 5))
+    assert sub.count("Generate") == 2, sub.count("Generate")
+    assert sub.count("Exchange hashpartitioning") == 2, sub
+
+
+def test_video_scene_cuts_one_shuffle_after_decode(spark, sf_dir):
+    """multimodal_video_scene_cuts: decode is map-only fan-out; the lag
+    window installs ONE doc_id hash partition and the per-video rollup
+    must ride it (no second hash exchange; the only other exchange is
+    the final presentation sort's range partition). No join anywhere."""
+    plan = _plan(spark, sf_dir, "multimodal_video_scene_cuts")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_footer_inventory_is_metadata_only_map(spark, sf_dir):
+    """source_footer_inventory: footer reads are a map over the file
+    list (MapInPandas), the rollup is one aggregation — no join, and no
+    scan of any data page (the parquet relations never appear: the only
+    scan is the in-memory file list)."""
+    plan = _plan(spark, sf_dir, "source_footer_inventory")
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    assert "FileScan parquet" not in plan
