@@ -423,7 +423,9 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, max_bucket: int | None = None
+) -> DataFrame:
     """Band the signatures; rows sharing any band bucket become candidates.
 
     The bucket key is xxhash64(band_id, band_slice) — a single int64, so
@@ -434,7 +436,22 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
     caller exact-verifies candidates — so the contract (superset of true
     banded collisions, subset removed by verify) is unchanged.
 
-    Shuffles by bucket, never enumerates the O(n²) pair space.
+    Shuffles by bucket, never enumerates the O(n²) pair space — EXCEPT
+    when the corpus makes a band bucket itself quadratic: a bucket of k
+    rows emits k(k-1)/2 pairs, and on degenerate content (boilerplate
+    floods, near-constant token sets — the sf1.0 30-word-vocab fixture
+    produced a 313M-pair candidate relation this way) one hot bucket is
+    the whole job. ``max_bucket`` is the production guard: buckets
+    larger than the cap are DROPPED before the self-join (counted with
+    one window aggregate over the same bucket partitioning the join
+    needs — no extra shuffle). With a cap the candidate relation
+    becomes a SUBSET of the banded collisions, so recall on content
+    inside hot buckets is deliberately sacrificed for bounded work —
+    the standard trade in web-scale dedup, where a bucket that holds
+    0.1% of the corpus is boilerplate by definition and its members are
+    better handled by the exact-dup or boilerplate tiers. Default None
+    keeps the exact superset contract (the catalogued tiers' pytest
+    ground truths assume it).
     """
     # slice() is 1-based; rows per band derived from the signature length.
     banded = signatures.select(
@@ -453,6 +470,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int) -> DataFrame:
             )
         ).alias("__bucket"),
     )
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("__bucket")
+        banded = banded.withColumn("__bsz", F.count("*").over(bucket_w)).where(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

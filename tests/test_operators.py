@@ -2770,3 +2770,52 @@ class TestFooterInventory:
         for t in _FOOTER_TABLES:
             df = load(spark, sf_dir, t)
             assert rows[t] == (df.count(), len(df.columns)), t
+
+
+class TestLshBucketCap:
+    def test_cap_bounds_hot_bucket_and_preserves_cold_ones(self, spark):
+        """Hot-bucket protection (the sf1.0 313M-candidate lesson): a
+        degenerate corpus where 40 docs share one token set floods a
+        band bucket; with max_bucket the flood is dropped BEFORE the
+        self-join while a small disjoint near-dup group (bucket size
+        under the cap) still produces its candidates. Without the cap
+        the contract is the exact superset: the hot clique's 780 pairs
+        all appear."""
+        from ai_duckdb_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        rows = [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+        rows += [(100, "zeta eta theta iota"), (101, "zeta eta theta iota")]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+
+        uncapped = lsh_candidate_pairs(sigs, bands=4).collect()
+        got_uncapped = {(r.id1, r.id2) for r in uncapped}
+        assert (100, 101) in got_uncapped
+        assert sum(1 for p in got_uncapped if p[0] < 100 and p[1] < 100) == 780
+
+        capped = lsh_candidate_pairs(sigs, bands=4, max_bucket=10).collect()
+        got_capped = {(r.id1, r.id2) for r in capped}
+        assert (100, 101) in got_capped  # cold bucket survives
+        assert not any(p[0] < 100 and p[1] < 100 for p in got_capped)
+
+    def test_no_cap_is_identical_to_default(self, spark, sf_dir):
+        """max_bucket=None must be byte-identical to the pre-guard
+        behavior on the real fixture (the catalogued tiers rely on the
+        exact superset contract)."""
+        from ai_duckdb_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from ai_duckdb_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").limit(300)
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+        base = {(r.id1, r.id2) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+        generous = {
+            (r.id1, r.id2)
+            for r in lsh_candidate_pairs(sigs, bands=4, max_bucket=10**9).collect()
+        }
+        assert base == generous and base
