@@ -2819,3 +2819,46 @@ class TestLshBucketCap:
             for r in lsh_candidate_pairs(sigs, bands=4, max_bucket=10**9).collect()
         }
         assert base == generous and base
+
+
+class TestSourceLeakageMatrixReference:
+    def test_matches_python_reference_on_random_corpus(self, spark):
+        """Full-matrix parity vs a pure-Python reference on a seeded
+        random corpus (small vocab so sources genuinely share grams):
+        with top_k covering every pair, the operator must reproduce the
+        reference's exact pair set, shared counts, marginals, and
+        Jaccard for all sources, including sources with zero overlap
+        (absent from pairs, still counted in others' marginals)."""
+        import random
+        from itertools import combinations
+
+        from ai_duckdb_spark.operators.textstats import source_leakage_matrix
+
+        rng = random.Random(77)
+        vocab = [f"w{i}" for i in range(9)]
+        rows = []
+        for i in range(120):
+            src = f"s{rng.randrange(6)}"
+            n_tok = rng.randint(0, 14)  # includes too-short docs
+            rows.append((src, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+        docs = spark.createDataFrame(rows, "source STRING, text STRING")
+
+        grams: dict[str, set] = {}
+        for src, text in rows:
+            toks = text.split(" ")
+            for j in range(len(toks) - 2):
+                grams.setdefault(src, set()).add(tuple(toks[j : j + 3]))
+        exp_pairs = {}
+        for a, b in combinations(sorted(grams), 2):
+            shared = len(grams[a] & grams[b])
+            if shared:
+                na, nb = len(grams[a]), len(grams[b])
+                exp_pairs[(a, b)] = (shared, na, nb, shared / (na + nb - shared))
+
+        got = {
+            (r.src1, r.src2): (r.shared_grams, r.n_grams1, r.n_grams2, r.jaccard)
+            for r in source_leakage_matrix(
+                docs, "source", "text", n=3, top_k=10**6
+            ).collect()
+        }
+        assert got == exp_pairs
