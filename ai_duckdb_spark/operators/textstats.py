@@ -342,9 +342,16 @@ def gram_hash_runs(
         f"  transform(sequence(1, size(__toks) - {n - 1}), i -> xxhash64({n}, {slots})) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")).select(
-        F.col(id_col), gram_hashes.alias("__ghash")
-    )
+    # Widen a narrow scan BEFORE the per-doc tokenize/hash/sort work:
+    # I/O-sized splits serialize this CPU-dense subtree onto 2 cores at
+    # single-file fixture scale (measured 3.8x on the sf1.0 leakage
+    # matrix — see session.widen_narrow_scan); conditional, so inert on
+    # a many-split production scan.
+    from ..session import widen_narrow_scan
+
+    base = widen_narrow_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(F.col(id_col), gram_hashes.alias("__ghash"))
     # sorted-array run-length collapse: __starts = positions opening a
     # new run; zip each start with the next start for the run length.
     # greatest(i-1, 1) keeps element_at's probe positive under ANSI; the
@@ -617,7 +624,15 @@ def source_leakage_matrix(
     exchange below it is additionally canonical-reused. Decoration
     broadcasts the top_k-row cut, never the |sources|-sized marginal
     relation. Collision bound: same 2^-64 xxhash64-vs-exact-oracle
-    note as the other gram_hash_runs consumers."""
+    note as the other gram_hash_runs consumers.
+
+    r11 scale note: the sf1.0 8x gap the r10 verdict flagged was NOT
+    this shape — staged decomposition acquitted the collect_set/
+    tagged-explode (restructures to per-set counts or a flat self-join
+    moved nothing) and convicted the 2-split scan serializing the gram
+    subtree onto 2 cores; gram_hash_runs now widens narrow scans
+    (session.widen_narrow_scan) and the entry runs 2.2 s / 1.5x at
+    sf1.0 (SCALE.md §r11)."""
     # Materialize the <= |sources|^2-row tally ONCE: without the
     # checkpoint, Catalyst pushes each consumer's src2-NULL filter below
     # the final aggregation and the exchange, making the two agg

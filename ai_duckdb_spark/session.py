@@ -59,6 +59,29 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def widen_narrow_scan(df):
+    """Repartition a relation up to the core count IF its scan is
+    narrower — the fix for CPU-dense subtrees inheriting I/O-sized
+    splits.
+
+    Spark sizes parquet splits for I/O (maxPartitionBytes=128M), so a
+    single ~100 MB documents file arrives as 2 partitions and every
+    downstream per-row expression — tokenize, per-position xxhash64,
+    array_sort — runs on 2 of 32 cores. Measured on the sf1.0 leakage
+    matrix: the gram subtree alone took 3.7 s at 2 tasks vs 1.5 s
+    widened, and the full entry fell 7.9 s -> 2.1 s with NO plan-shape
+    change (r11 decomposition; the r10-suspected collect_set/explode
+    shape measured innocent). The widen is conditional so it is inert
+    at real scale: a 100 TB scan already carries ~10^5 splits, where an
+    unconditional repartition would be a pure full-corpus shuffle.
+    ``df.rdd.getNumPartitions()`` is driver-side plan introspection —
+    no job runs."""
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)` above every
 # explode; predicate pushdown then substitutes the generator's FULL input
 # expression into those filters and pushes them below repartitions to the

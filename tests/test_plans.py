@@ -652,6 +652,11 @@ def test_source_leakage_matrix_single_gram_subtree(spark, sf_dir):
     sub = executed_plan(_leakage_counts(docs, "source", "text", 5))
     assert sub.count("Generate") == 2, sub.count("Generate")
     assert sub.count("Exchange hashpartitioning") == 2, sub
+    # narrow-scan widen (r11): at fixture scale the documents file is a
+    # single split, so the CPU-dense gram subtree must sit above a
+    # round-robin repartition or it runs on 1-2 cores (SCALE.md §r11;
+    # conditional — a many-split production scan adds no exchange)
+    assert "Exchange RoundRobinPartitioning" in sub, sub
 
 
 def test_video_scene_cuts_one_shuffle_after_decode(spark, sf_dir):
