@@ -141,64 +141,77 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # math_funcs_lineitem — single-scan expression plans, the lowest-drift
 # class in the catalog, still local-oracle-green every round); with the
 # two that never fit, FIVE r01-stale entries remain for r11.
+# r11 rotation (judge r10 item 2): the oldest-first policy drains every
+# bucket older than r07 in one window — the 3 remaining r01 entries,
+# the 10-entry r04 bucket, the full 13-entry r05 and 17-entry r06
+# buckets — plus the 4 entries r11 changed (the gram widen trio + the
+# early-stopped IRLS entry) and the first 2 of the 11 never-in-a-window
+# rows-only tiers (they get the weaker rows-only driver row; their hard
+# checks remain the pytest ground-truth gates). The 50 r10-green rows
+# rotate OUT (all auditable in CORRECTNESS_r10.json). After this
+# window, the oldest driver row anywhere in the catalog is r07.
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
-    # --- r01-stale relational surface (21) ---
-    "join_customer_orders_left",
-    "join_multiway_region_revenue",
-    "latest_order_per_customer",
-    "group_stats_priority",
-    "distinct_counts",
-    "rollup_year_status",
-    "cube_flag_status",
-    "top10_expensive_orders",
-    "orders_multisort",
-    "window_rank_in_segment",
-    "window_running_revenue",
-    "window_order_gaps",
-    "setops_customer_cohorts",
-    "customers_without_orders",
-    "customers_with_urgent_orders",
-    "orders_above_double_avg",
-    "parts_ordered_at_max_qty",
-    "having_frequent_customers",
-    "case_when_price_buckets",
-    "pivot_status_by_year",
-    "grouping_sets_nation_segment",
-    # --- r01-stale function tier (6; string/date/math step to r11) ---
-    "union_all_high_value_parties",
-    "regexp_funcs_part",
-    "json_extract_events",
-    "null_handling_status",
-    "urgent_share_by_year",
-    "text_token_stats",
-    # --- r01-stale batch events tier (6) ---
-    "events_tumbling_10min",
-    "events_sliding_1h_30m",
-    "events_sessionization",
-    "events_asof_purchase_click",
-    "events_daily_type_counts",
-    "events_dedup_minute",
-    # --- r01-stale streaming tier (6) ---
-    "streaming_tumbling_10min",
-    "streaming_sliding_1h_30m",
-    "streaming_session_windows",
-    "streaming_dedup_minute",
-    "streaming_static_enrich",
-    "streaming_stream_stream_join",
-    # --- r01-stale text stats (2) ---
-    "text_quality_scores",
-    "text_langid_confusion",
-    # --- entries CHANGED in r10 re-earn driver rows (5) ---
-    "source_schema_evolution",  # oracle filter now mirrors quality derivation
-    "text_boilerplate_ngrams",  # gram hash salted with n
-    "text_ngram_novelty",  # gram hash salted with n
-    "basket_part_affinity",  # decoration join broadcasts the 20-row cut
-    "multimodal_audio_energy_windows",  # kernel vectorized (numpy axis sums)
-    # --- entries NEW in r10 (3) ---
+    # --- the last r01-stale entries (3 — the r10 comment's "two that
+    # never fit" was a miscount: driver_row_ages shows the r01 bucket is
+    # EXACTLY these three; the never-in-any-window set is the 11
+    # rows-only tiers, two of which take slots below) ---
+    "string_funcs_part",
+    "date_funcs_orders",
+    "math_funcs_lineitem",
+    # --- the r04 bucket (10 — 9 oracle + approx_stats rows-only) ---
+    "dedup_exact_fulltext",
+    "dedup_jaccard_pairs",
+    "corpus_hash_sample",
+    "text_fingerprint_bag",
+    "token_frequency_top20",
+    "text_regex_token_count",
+    "string_funcs_extended",
+    "date_funcs_extended",
+    "setops_all_variants",
+    "approx_stats",
+    # --- the r05 bucket (13, incl the rows-only ANN/simhash tiers) ---
+    "dedup_exact_token_set",
+    "dedup_simhash",
+    "embedding_quantization",
+    "events_gap_fill_locf",
+    "group_by_all_status_year",
+    "knn_ivf_cosine",
+    "knn_ivf_persisted",
+    "knn_lsh_cosine",
+    "lateral_top2_orders",
+    "percentiles_quantity",
+    "regr_price_on_quantity",
+    "skew_salted_join_flags",
+    "vector_hof_features",
+    # --- the r06 bucket (17) ---
+    "bm25_search_topk",
+    "bpe_pair_counts",
+    "corpus_curriculum_budget",
+    "corpus_weighted_sample",
+    "dedup_graph_triangles",
+    "embedding_centroids",
+    "embedding_covariance",
+    "events_capped_sessions",
+    "knn_bruteforce_cosine",
+    "lm_bigram_score",
+    "mad_outlier_quantity",
+    "maintenance_schema_evolution",
+    "multimodal_pixel_stats",
+    "props_map_functions",
+    "streaming_langid_counts",
+    "tfidf_top_terms",
+    "vector_norm_stats",
+    # --- entries CHANGED in r11 re-earn driver rows (4): the three
+    # gram_hash_runs consumers (narrow-scan widen) + the IRLS entry
+    # (deviance-delta early stop; rows-only by design) ---
     "text_source_leakage_matrix",
-    "multimodal_video_scene_cuts",
-    "source_footer_inventory",
+    "text_boilerplate_ngrams",
+    "text_ngram_novelty",
+    "quality_logreg_weights",
+    # --- never-in-a-window rows-only tiers start rotating in (2) ---
+    "knn_ivfpq_cosine",
+    "dedup_semdedup",
 ]
 
 
