@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum, sum_sql
 from ..functions.udf import register_engine_udfs
+from .. import tables
 from ..tables import load, register_views
 from .catalog import register
 
@@ -1344,10 +1345,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FOOTER_TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# Single source of truth for the corpus table list (r10 ADVICE: this was
+# a third hardcoded copy alongside tables.py and scale_rehearsal.py).
+_FOOTER_TABLES = tables.TABLE_NAMES
 
 
 @register(
@@ -1390,12 +1390,28 @@ def source_footer_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = []
     for t in _FOOTER_TABLES:
-        for p in sorted(_glob.glob(_os.path.join(sf_dir, f"{t}.parquet"))):
-            files.append((t, p))
+        root = _os.path.join(sf_dir, f"{t}.parquet")
+        # Directory-style layouts (a multi-file dataset written by a
+        # distributed job) hold part files INSIDE {t}.parquet/ — the
+        # footer sum over part files equals the dataset row count.
+        if _os.path.isdir(root):
+            found = sorted(_glob.glob(_os.path.join(root, "*.parquet")))
+        else:
+            found = sorted(_glob.glob(root))
+        if not found:
+            # Fail loudly (r10 ADVICE): an empty glob means a wrong
+            # sf_dir or an unrecognized layout — returning an empty
+            # relation would read as "inventory clean" to a caller.
+            raise FileNotFoundError(
+                f"source_footer_inventory: no parquet files for table "
+                f"{t!r} under {sf_dir!r} (looked for {root} and "
+                f"{root}/*.parquet)"
+            )
+        files.extend((t, p) for p in found)
     # local_relation, not createDataFrame(list): the file list must be a
     # LocalTableScan, not a 32-task pickled-RDD scan (see session.py).
     flist = local_relation(spark, files, "tbl string, path string").repartition(
-        max(len(files), 1)
+        len(files)
     )
 
     def _footers(batches):

@@ -48,10 +48,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".testdata/sf1.0"))
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+sys.path.insert(0, REPO)
+from ai_duckdb_spark.tables import TABLE_NAMES as TABLES  # noqa: E402 — one list, not a third copy
 
 
 def norm(v):
@@ -110,6 +108,8 @@ def duck_eval(sql: str, budget_s: float, rowcap: int):
     The budget covers warm + timed pass together; duck_s is the timed
     pass only.
     """
+    import queue as _queue
+
     out: mp.Queue = mp.Queue()
     p = mp.Process(target=_duck_child, args=(sql, rowcap, out), daemon=True)
     t0 = time.perf_counter()
@@ -118,14 +118,31 @@ def duck_eval(sql: str, budget_s: float, rowcap: int):
     # blocks the child's feeder thread on the pipe until the parent
     # drains it, so join-before-get deadlocks on any multi-MB oracle
     # result (observed: 100% idle box, both processes asleep, false
-    # oracle_timeout after the full budget). get() IS the budget wait.
-    try:
-        status, cols, rows, elapsed = out.get(timeout=budget_s)
-    except Exception:  # noqa: BLE001 — timeout, or child died (OOM, crash)
-        if p.is_alive():
-            p.kill()
-        p.join()
-        return ("timeout", None, None, round(time.perf_counter() - t0, 1))
+    # oracle_timeout after the full budget). get() IS the budget wait —
+    # but polled 1 s at a time against p.is_alive(), so a child that
+    # dies WITHOUT putting (DuckDB OOM-kill / segfault) is detected in
+    # seconds as a distinct 'oracle_crash' instead of blocking the
+    # parent for the full budget and masquerading as a timeout
+    # (r10 ADVICE).
+    got = None
+    while got is None:
+        try:
+            got = out.get(timeout=1)
+        except _queue.Empty:
+            elapsed_total = time.perf_counter() - t0
+            if not p.is_alive():
+                # Dead child may still have a put in flight through the
+                # pipe — drain once more before declaring a crash.
+                try:
+                    got = out.get(timeout=1)
+                except _queue.Empty:
+                    p.join()
+                    return ("crash", None, None, round(elapsed_total, 1))
+            elif elapsed_total >= budget_s:
+                p.kill()
+                p.join()
+                return ("timeout", None, None, round(elapsed_total, 1))
+    status, cols, rows, elapsed = got
     p.join(10)
     if p.is_alive():
         p.kill()
@@ -243,12 +260,12 @@ def main() -> None:
                 dsql = f"SELECT {', '.join(duck_exprs)} FROM ({dsql}) __t"
             status, ocols, orows, duck_s = duck_eval(dsql, budget_s, rowcap)
             ent["duck_s"] = duck_s
-            if status == "timeout":
-                ent["status"] = "oracle_timeout"
+            if status in ("timeout", "crash"):
+                ent["status"] = f"oracle_{status}"
                 n_rows_only += 1  # Spark side ran; comparison unavailable
                 per_entry[name] = ent
                 print(
-                    f"{name}: oracle_timeout after {duck_s}s "
+                    f"{name}: {ent['status']} after {duck_s}s "
                     f"(spark {ent['spark_s']}s, {ent['rows']} rows)",
                     flush=True,
                 )

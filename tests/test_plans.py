@@ -679,3 +679,29 @@ def test_footer_inventory_is_metadata_only_map(spark, sf_dir):
     assert "Join" not in plan
     assert "MapInPandas" in plan
     assert "FileScan parquet" not in plan
+
+
+def test_lsh_max_bucket_count_rides_join_bucket_exchange(spark, sf_dir):
+    """lsh_candidate_pairs(max_bucket=...): the hot-bucket window count
+    must ride the self-join's OWN __bucket partitioning — exactly one
+    hashpartitioning exchange on __bucket materializes, the second leg
+    is a ReusedExchange of it (the docstring's 'no extra shuffle' claim,
+    gated per r10 ADVICE). Depends on plan canonicalization, so a Spark
+    upgrade or a column rename could silently regress it."""
+    from ai_duckdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ai_duckdb_spark.tables import load
+
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", 32)
+    plan = executed_plan(lsh_candidate_pairs(sigs, bands=8, max_bucket=50))
+    bucket_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(__bucket" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(bucket_exchanges) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    # the cap filter sits between the window count and the join
+    assert "__bsz" in plan and "<= 50" in plan, plan
