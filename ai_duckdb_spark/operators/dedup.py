@@ -502,6 +502,42 @@ def minhash_estimate_floor(threshold: float, num_hashes: int) -> int:
     return int(max(0.0, threshold - 3.0 * sigma) * num_hashes)
 
 
+def minhash_rep_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Identical-set collapse + MinHash signatures over the
+    representatives: returns (groups, reps, sigs), each lazily
+    checkpointed where multi-consumed. The shared front half of
+    ``_minhash_rep_pairs``, exposed so the hot-bucket cap rehearsal
+    (scripts/lsh_cap_rehearsal.py) measures ``lsh_candidate_pairs``
+    over EXACTLY the signature relation the catalogued tier bands."""
+    toks = _token_sets(df, id_col, text_col).select(
+        "__id",
+        F.array_sort(
+            F.array_distinct(F.transform("__tokens", lambda t: F.xxhash64(t)))
+        ).alias("__htoks"),
+    )
+    # collapse identical token sets: one representative per distinct set
+    groups = toks.groupBy("__htoks").agg(
+        F.min("__id").alias("__rep"), F.collect_list("__id").alias("__members")
+    ).localCheckpoint(eager=False)
+    reps = groups.select(F.col("__rep").alias("__id"), "__htoks")
+
+    # signatures over the hashed-token postings of the representatives
+    postings = reps.select("__id", F.explode("__htoks").alias("__h"))
+    mins = postings.groupBy("__id").agg(
+        *[
+            F.min(F.hash(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = mins.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    ).localCheckpoint(eager=False)
+    return groups, reps, sigs
+
+
 def _minhash_rep_pairs(
     df: DataFrame,
     id_col: str,
@@ -536,30 +572,7 @@ def _minhash_rep_pairs(
       are joined in, so most false candidates die without ever touching
       a set intersection.
     """
-    toks = _token_sets(df, id_col, text_col).select(
-        "__id",
-        F.array_sort(
-            F.array_distinct(F.transform("__tokens", lambda t: F.xxhash64(t)))
-        ).alias("__htoks"),
-    )
-    # collapse identical token sets: one representative per distinct set
-    groups = toks.groupBy("__htoks").agg(
-        F.min("__id").alias("__rep"), F.collect_list("__id").alias("__members")
-    ).localCheckpoint(eager=False)
-    reps = groups.select(F.col("__rep").alias("__id"), "__htoks")
-
-    # signatures over the hashed-token postings of the representatives
-    postings = reps.select("__id", F.explode("__htoks").alias("__h"))
-    mins = postings.groupBy("__id").agg(
-        *[
-            F.min(F.hash(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sigs = mins.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
-    ).localCheckpoint(eager=False)
+    groups, reps, sigs = minhash_rep_signatures(df, id_col, text_col, num_hashes)
     candidates = lsh_candidate_pairs(sigs, bands)
 
     # stage 1: estimate prefilter on the signatures alone — the

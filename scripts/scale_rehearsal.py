@@ -16,6 +16,21 @@ Scale-hardening the harness itself (found the hard way):
   hard-killed on timeout — ``con.interrupt()`` from a watchdog thread
   does not reliably land mid-pipeline (observed: a correlated-LATERAL
   oracle ignored it for 15+ minutes).
+- Sink-compare mode above BENCH_SF1_SINKCAP (default 200k) rows (r10
+  judge item 4): collect()/fetchall() on a ~1M-row result measures py4j
+  row pickling, not the engines (SCALE.md decomposition: 60% of
+  events_dedup_minute's wall was client materialization). Both engines
+  instead WRITE the result relation to parquet — Spark a distributed
+  ``df.write.parquet``, DuckDB a ``COPY (sql) TO``, each warm+timed —
+  and the harness hash-compares the two parquet outputs through one
+  untimed DuckDB read. This is also the protocol a 100 TB run uses:
+  big relations go to sinks, never to a driver.
+- Finishable scale oracles (r10 judge item 3): six entries keep
+  deliberately-naive quadratic SQL as their driver-gate oracle but die
+  in DuckDB at sf1.0 while Spark finishes; the rehearsal swaps in the
+  algebraically-equivalent formulations from
+  ai_duckdb_spark/queries/scale_oracles.py (equivalence machine-checked
+  vs the main oracles in tests/test_scale_oracles.py).
 - Checksum mode above BENCH_SF1_ROWCAP (default 2M) rows: the
   quadratic-OUTPUT entries (exact all-pairs Jaccard at this fixture
   family's ~8% near-dup pair density) produce ~100M qualifying pairs —
@@ -44,12 +59,14 @@ import json
 import multiprocessing as mp
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".testdata/sf1.0"))
 sys.path.insert(0, REPO)
 from ai_duckdb_spark.tables import TABLE_NAMES as TABLES  # noqa: E402 — one list, not a third copy
+from ai_duckdb_spark.queries.scale_oracles import SCALE_ORACLES  # noqa: E402
 
 
 def norm(v):
@@ -57,7 +74,16 @@ def norm(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    import datetime as _dt
     import decimal
+
+    if isinstance(v, _dt.datetime):
+        # sink-compare reads Spark's parquet (timestamps adjusted to
+        # UTC, surfaced tz-aware) and DuckDB's (naive) through the same
+        # reader — canonicalize both to naive UTC before hashing
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
 
     if isinstance(v, (int, decimal.Decimal)):
         v = float(v)
@@ -82,13 +108,24 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
-def _duck_child(sql: str, rowcap: int, out: mp.Queue) -> None:
-    """Subprocess body: own duckdb connection, fenced row fetch."""
+def _duck_child(sql: str, rowcap: int, out: mp.Queue, sink: str | None = None) -> None:
+    """Subprocess body: own duckdb connection, fenced row fetch.
+
+    With ``sink`` set, both passes are ``COPY (sql) TO <parquet>`` —
+    the engine computes AND writes the relation; nothing crosses the
+    process boundary (the parent hash-compares the parquet files).
+    """
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    if sink is not None:
+        con.execute(f"COPY ({sql}) TO '{sink}.warm' (FORMAT PARQUET)")  # warm
+        t0 = time.perf_counter()
+        con.execute(f"COPY ({sql}) TO '{sink}' (FORMAT PARQUET)")
+        out.put(("sink", None, None, time.perf_counter() - t0))
+        return
     con.sql(sql).fetchall()  # warm pass (page cache, duckdb plan)
     t0 = time.perf_counter()
     rel = con.sql(sql)
@@ -101,7 +138,7 @@ def _duck_child(sql: str, rowcap: int, out: mp.Queue) -> None:
         out.put(("ok", cols, rows, elapsed))
 
 
-def duck_eval(sql: str, budget_s: float, rowcap: int):
+def duck_eval(sql: str, budget_s: float, rowcap: int, sink: str | None = None):
     """Run oracle SQL in a kill-safe subprocess.
 
     Returns (status, cols, rows, duck_s): status in ok/too_many/timeout.
@@ -111,7 +148,7 @@ def duck_eval(sql: str, budget_s: float, rowcap: int):
     import queue as _queue
 
     out: mp.Queue = mp.Queue()
-    p = mp.Process(target=_duck_child, args=(sql, rowcap, out), daemon=True)
+    p = mp.Process(target=_duck_child, args=(sql, rowcap, out, sink), daemon=True)
     t0 = time.perf_counter()
     p.start()
     # Read the queue FIRST, then join: Queue.put of a large row set
@@ -171,6 +208,7 @@ def main() -> None:
 
     budget_s = float(os.environ.get("BENCH_SF1_TIMEOUT", "600"))
     rowcap = int(os.environ.get("BENCH_SF1_ROWCAP", "2000000"))
+    sinkcap = int(os.environ.get("BENCH_SF1_SINKCAP", "200000"))
     import threading
 
     def spark_call(fn):
@@ -219,6 +257,8 @@ def main() -> None:
                 sdf = qs[name](spark, SF_DIR)
                 n_rows = spark_call(sdf.count)
                 checksum = n_rows > rowcap
+                sinkmode = (not checksum) and n_rows > sinkcap and name in oracles
+                sink_dir = None
                 if checksum:
                     ent["compare"] = "checksum"
                     spark_aggs, duck_exprs = checksum_cols(sdf)
@@ -227,6 +267,21 @@ def main() -> None:
                         lambda: qs[name](spark, SF_DIR).agg(*spark_aggs).collect()[0]
                     )
                     ent["rows"] = int(srow["__n"])
+                elif sinkmode:
+                    ent["compare"] = "sink"
+                    sink_dir = tempfile.mkdtemp(prefix=f"sf1sink_{name}_")
+                    spark_call(  # warm: full compute + write, untimed
+                        lambda: qs[name](spark, SF_DIR)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(sink_dir, "spark_warm"))
+                    )
+                    t0 = time.perf_counter()
+                    spark_call(
+                        lambda: qs[name](spark, SF_DIR)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(sink_dir, "spark"))
+                    )
+                    ent["rows"] = n_rows
                 else:
                     spark_call(lambda: qs[name](spark, SF_DIR).collect())  # warm
                     t0 = time.perf_counter()
@@ -255,10 +310,13 @@ def main() -> None:
                 )
                 continue
 
-            dsql = oracles[name]
+            dsql = SCALE_ORACLES.get(name, oracles[name])
+            if name in SCALE_ORACLES:
+                ent["oracle"] = "scale"  # finishable formulation, equivalence pytest-gated
             if checksum:
                 dsql = f"SELECT {', '.join(duck_exprs)} FROM ({dsql}) __t"
-            status, ocols, orows, duck_s = duck_eval(dsql, budget_s, rowcap)
+            duck_sink = os.path.join(sink_dir, "duck.parquet") if sinkmode else None
+            status, ocols, orows, duck_s = duck_eval(dsql, budget_s, rowcap, sink=duck_sink)
             ent["duck_s"] = duck_s
             if status in ("timeout", "crash"):
                 ent["status"] = f"oracle_{status}"
@@ -276,6 +334,29 @@ def main() -> None:
                 ok = svals == dvals
                 if not ok:
                     ent["detail"] = f"checksum {svals} vs {dvals}"[:300]
+            elif sinkmode:
+                # untimed: hash both parquet outputs through ONE reader
+                import duckdb
+
+                con = duckdb.connect()
+                srel = con.sql(f"SELECT * FROM '{sink_dir}/spark/*.parquet'")
+                scols, srows_ = list(srel.columns), srel.fetchall()
+                drel = con.sql(f"SELECT * FROM '{sink_dir}/duck.parquet'")
+                dcols, drows_ = list(drel.columns), drel.fetchall()
+                con.close()
+                ok = (
+                    sorted(scols) == sorted(dcols)
+                    and len(srows_) == len(drows_)
+                    and value_hash(srows_, scols) == value_hash(drows_, dcols)
+                )
+                if not ok:
+                    ent["detail"] = (
+                        f"sink schema={sorted(scols) == sorted(dcols)} "
+                        f"rows={len(srows_)}vs{len(drows_)}"
+                    )
+                import shutil
+
+                shutil.rmtree(sink_dir, ignore_errors=True)
             else:
                 ok = (
                     status == "ok"
@@ -323,7 +404,11 @@ def main() -> None:
         "duck_total": round(sum(e["duck_s"] for e in batch.values()), 2),
         "budget_s": budget_s,
         "rowcap": rowcap,
-        "protocol": "one_warm_pass_then_one_timed_pass_per_side",
+        "sinkcap": sinkcap,
+        "protocol": (
+            "one_warm_pass_then_one_timed_pass_per_side;"
+            "sink_compare_above_sinkcap;scale_oracles_for_quadratic_mirrors"
+        ),
     }
     summary["ratio_vs_duckdb"] = round(
         summary["value"] / max(summary["duck_total"], 1e-9), 4

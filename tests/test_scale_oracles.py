@@ -1,0 +1,72 @@
+"""Equivalence gate for the rehearsal's finishable scale oracles.
+
+Six catalog entries keep deliberately-naive quadratic SQL as their
+driver-gate oracle; the sf1.0 rehearsal swaps in the restructured
+formulations from queries/scale_oracles.py (r10 judge item 3). Those
+rewrites are only admissible because THIS test proves, in DuckDB alone
+(no Spark involved — pure oracle-vs-oracle), that each one computes the
+exact same relation as the naive formulation: same column set, same row
+count, same order-insensitive value hash. Runs at the driver's oracle
+SF (sf0.01) like the catalog gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pytest
+
+from ai_duckdb_spark.queries import catalog
+from ai_duckdb_spark.queries.scale_oracles import SCALE_ORACLES
+from ai_duckdb_spark.tables import TABLE_NAMES, table_path
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
+        )
+    yield con
+    con.close()
+
+
+def _hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{round(v, 9) + 0.0:.9f}"
+        return str(v)
+
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def test_every_scale_oracle_has_a_registered_naive_twin():
+    for name in SCALE_ORACLES:
+        assert name in catalog.REGISTRY, name
+        assert catalog.REGISTRY[name].oracle is not None, name
+
+
+@pytest.mark.parametrize("name", sorted(SCALE_ORACLES), ids=sorted(SCALE_ORACLES))
+def test_scale_oracle_matches_naive_oracle(oracle, name):
+    naive = oracle.sql(catalog.REGISTRY[name].oracle)
+    ncols, nrows = list(naive.columns), naive.fetchall()
+    scale = oracle.sql(SCALE_ORACLES[name])
+    scols, srows = list(scale.columns), scale.fetchall()
+    assert sorted(ncols) == sorted(scols), f"{name}: column sets differ"
+    assert len(nrows) == len(srows), f"{name}: {len(nrows)} vs {len(srows)} rows"
+    assert _hash(nrows, ncols) == _hash(srows, scols), f"{name}: value hash differs"
