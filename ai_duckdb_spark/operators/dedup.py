@@ -327,6 +327,62 @@ def jaccard_pairs_exact(
     )
 
 
+def containment_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs: every ordered (a, b) with
+    |T_a ∩ T_b| / |T_a| >= threshold — "a is contained in b".
+
+    The near-dup relation symmetric Jaccard structurally misses: a
+    500-token article quoted inside a 50k-token page scores J ≈ 0.01
+    but containment 1.0 — exactly the doc-in-doc duplication (quotes,
+    wrapper boilerplate, aggregator pages, forum reposts) a training
+    corpus must catch, because the small doc's content is ALREADY in
+    the corpus through the big one. Broder's containment coefficient
+    (the other half of the resemblance/containment pair from the
+    original shingling paper).
+
+    Same inverted-index geometry as ``jaccard_pairs_exact`` — one
+    UNORDERED postings self-join and intersection count, then both
+    ordered directions are projected from that single relation (the
+    intersection is symmetric; only the normalizing size differs).
+    Scale notes: the postings join fans out by token like the Jaccard
+    tier; a prefix filter still applies on the CONTAINED side (the
+    bound |T_a| - ceil(t·|T_a|) + 1 only involves a's size) but there
+    is NO container-side length filter by construction — containment
+    against an unboundedly-larger b is legitimate, which is why the
+    unbounded scale path buckets the contained side's prefixes rather
+    than pairing full postings.
+    """
+    toks = _token_sets(df, id_col, text_col)
+    sizes = toks.select("__id", F.size("__tokens").alias("__sz"))
+    postings = (
+        toks.select("__id", F.explode("__tokens").alias("__tok"))
+        .repartition(default_parallelism(), "__tok")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
+        .agg(F.count("*").alias("__nc"))
+    )
+    sa = sizes.select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("__idb"), F.col("__sz").alias("__sb"))
+    both = inter.join(sa, "__ida").join(sb, "__idb")
+    fwd = both.select(
+        F.col("__ida").alias("contained_id"),
+        F.col("__idb").alias("container_id"),
+        (F.col("__nc").cast("double") / F.col("__sa")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("__idb").alias("contained_id"),
+        F.col("__ida").alias("container_id"),
+        (F.col("__nc").cast("double") / F.col("__sb")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= F.lit(threshold))
+
+
 def jaccard_pairs_prefix(
     df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 1
 ) -> DataFrame:
@@ -470,6 +526,16 @@ def lsh_candidate_pairs(
             )
         ).alias("__bucket"),
     )
+    # spread the self-join across the cluster by BUCKET, not by whatever
+    # partitioning the (small, often checkpointed) signature frame came
+    # in with: the join's map input is tiny but its output fans out
+    # k(k-1)/2 per bucket, and on a dense-duplicate corpus a 2-partition
+    # input serializes a ~10^8-pair fan-out onto two cores (measured at
+    # sf1.0: the uncapped candidate count sat >9 min on one task; with
+    # the bucket repartition the same count is seconds). Same geometry
+    # lesson as jaccard_pairs_prefix's repartition-by-token — and the
+    # cap's window count below rides this exact exchange for free.
+    banded = banded.repartition(default_parallelism(), "__bucket")
     if max_bucket is not None:
         bucket_w = Window.partitionBy("__bucket")
         banded = banded.withColumn("__bsz", F.count("*").over(bucket_w)).where(

@@ -85,6 +85,67 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    attr_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k cosine: neighbors restricted to
+    corpus rows whose ``attr_col`` equals the query's — the
+    "filtered vector search" shape every production retrieval system
+    needs (tenant isolation, language-matched retrieval, source or
+    license constraints on RAG candidates).
+
+    Strategy is PRE-filtering: the attribute equality is the JOIN key,
+    so only same-attribute pairs are ever scored — at selectivity s the
+    scored relation is s·|corpus|·|queries| instead of the cross
+    product, and recall is exact BY CONSTRUCTION (post-filtering an
+    unfiltered ANN top-k is the lossy alternative: the k survivors of
+    a filter applied after ranking can be fewer than k true filtered
+    neighbors). At cluster scale the corpus is written partitioned by
+    the attribute, so each query's candidate scan prunes to its
+    partition; the query side broadcasts exactly like the unfiltered
+    brute-force tier.
+
+    Output: (query_id, attr, neighbor_id, rank, similarity); ties break
+    on neighbor id.
+    """
+    c = corpus.select(
+        F.col(attr_col).alias("__attr"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cvec"),
+    )
+    q = queries.select(
+        F.col(attr_col).alias("__attr"),
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__attr")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "similarity",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (l2_norm(F.col("__qvec")) * l2_norm(F.col("__cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__attr").alias("attr"),
+            "neighbor_id",
+            "rank",
+            F.round("similarity", 4).alias("similarity"),
+        )
+    )
+
+
 def hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (unit-free; only sign matters)."""
     return [math.sin((plane + 1) * 1000003 + i * 7919) for i in range(dim)]

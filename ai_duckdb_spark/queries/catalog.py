@@ -145,11 +145,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # bucket older than r07 in one window — the 3 remaining r01 entries,
 # the 10-entry r04 bucket, the full 13-entry r05 and 17-entry r06
 # buckets — plus the 4 entries r11 changed (the gram widen trio + the
-# early-stopped IRLS entry) and the first 2 of the 11 never-in-a-window
-# rows-only tiers (they get the weaker rows-only driver row; their hard
-# checks remain the pytest ground-truth gates). The 50 r10-green rows
-# rotate OUT (all auditable in CORRECTNESS_r10.json). After this
-# window, the oldest driver row anywhere in the catalog is r07.
+# early-stopped IRLS entry) and the 2 entries r11 BUILT
+# (dedup_containment_pairs, knn_filtered_cosine — both oracle-paired;
+# birth-round precedent). The never-in-a-window rows-only tiers
+# (knn_ivfpq_cosine, dedup_semdedup first) step to the r12 queue: a
+# rows-only driver row is the weaker check, and the two new entries
+# carry full oracle hashes. The 50 r10-green rows rotate OUT (all
+# auditable in CORRECTNESS_r10.json). After this window, the oldest
+# driver row anywhere in the catalog is r07. (The r11 banded-join
+# repartition inside lsh_candidate_pairs touches the rows-only MinHash
+# tiers; their ground truths are the pytest recall gates plus the
+# scripts/lsh_cap_rehearsal.py artifact, both rerun this round.)
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
     # --- the last r01-stale entries (3 — the r10 comment's "two that
@@ -209,9 +215,9 @@ DRIVER_WINDOW: list[str] = [
     "text_boilerplate_ngrams",
     "text_ngram_novelty",
     "quality_logreg_weights",
-    # --- never-in-a-window rows-only tiers start rotating in (2) ---
-    "knn_ivfpq_cosine",
-    "dedup_semdedup",
+    # --- entries BUILT in r11 earn driver rows in their birth round ---
+    "dedup_containment_pairs",
+    "knn_filtered_cosine",
 ]
 
 

@@ -90,6 +90,52 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+        WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS nc
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT ida, idb, nc, sa.sz AS sza, sb.sz AS szb
+        FROM inter
+        JOIN sizes sa ON ida = sa.doc_id
+        JOIN sizes sb ON idb = sb.doc_id
+    )
+    SELECT contained_id, container_id, containment FROM (
+        SELECT ida AS contained_id, idb AS container_id,
+               CAST(nc AS DOUBLE) / sza AS containment
+        FROM paired
+        UNION ALL
+        SELECT idb AS contained_id, ida AS container_id,
+               CAST(nc AS DOUBLE) / szb AS containment
+        FROM paired
+    ) WHERE containment >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dups (Broder's containment
+    coefficient): ordered pairs where >= 90% of the contained doc's
+    token set appears in the container — the doc-in-doc duplication
+    (quotes, wrapper pages, aggregator reposts) that symmetric Jaccard
+    structurally misses (a short doc quoted inside a long one has
+    J ~ |short|/|long| but containment ~ 1). Bounded to doc_id < 1000
+    like the exact-Jaccard tier: one unordered inverted-index join
+    feeds both directions (operators/dedup.py containment_pairs_exact),
+    and the unbounded scale path is prefix-filtering on the CONTAINED
+    side only (no container-length bound exists by construction)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.containment_pairs_exact(docs, "doc_id", "text", threshold=0.9)
+
+
+@register(
     "dedup_prefix_jaccard_pairs",
     oracle="""
     WITH toks AS (

@@ -103,6 +103,65 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@register(
+    "knn_filtered_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1))      AS pos,
+               CAST(unnest(embedding) AS DOUBLE)         AS val
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM e GROUP BY vec_id),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.val * c.val) AS dp
+        FROM e q
+        JOIN lab lq ON q.vec_id = lq.vec_id
+        JOIN lab lc ON lc.label = lq.label
+        JOIN e c ON c.vec_id = lc.vec_id AND q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               dp / sqrt(nq.sq * nc.sq) AS sim_raw,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dp / sqrt(nq.sq * nc.sq) DESC, neighbor_id
+               ) AS rank
+        FROM dots
+        JOIN norms nq ON dots.query_id = nq.vec_id
+        JOIN norms nc ON dots.neighbor_id = nc.vec_id
+    )
+    SELECT s.query_id, lq.label AS attr, s.neighbor_id,
+           CAST(s.rank AS BIGINT) AS rank,
+           round(s.sim_raw, 4) AS similarity
+    FROM scored s JOIN lab lq ON s.query_id = lq.vec_id
+    WHERE s.rank <= 5
+    """,
+)
+def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact top-5 cosine for queries vec_id < 20:
+    neighbors must share the query's label — the filtered vector
+    search every production retrieval stack needs (tenant isolation,
+    language-matched RAG, license-constrained candidates).
+
+    PRE-filtering semantics (operators/similarity.py
+    cosine_topk_filtered): the label is the JOIN key, so recall under
+    the filter is exact by construction — unlike post-filtering an
+    unfiltered ANN list, which can return < k survivors. At cluster
+    scale the corpus is written partitioned by the attribute so each
+    query scans only its partition; here the label join prunes the
+    scored relation to ~1/|labels| of the cross product the unfiltered
+    brute-force tier pays."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.cosine_topk_filtered(emb, queries, attr_col="label", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 _IVF_MODELS: dict[str, list[list[float]]] = {}
 
 

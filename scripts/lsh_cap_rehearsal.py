@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -72,10 +73,24 @@ def main() -> None:
     bucket_sizes = banded.groupBy("__bucket").agg(F.count("*").alias("sz"))
     bucket_sizes = bucket_sizes.localCheckpoint()
 
-    t0 = time.perf_counter()
-    cand_u = dedup.lsh_candidate_pairs(sigs, bands)
-    n_u = cand_u.count()
-    wall_u = round(time.perf_counter() - t0, 2)
+    # Materialize each candidate relation ONCE to parquet and time the
+    # write (the sink protocol — a 100 TB dedup writes its candidate
+    # relation, it never collects it), then run every downstream count
+    # against the parquet. localCheckpoint is NOT safe here: a
+    # quarter-billion-pair relation overflows the memory store and an
+    # evicted localCheckpoint block is a lost block (observed:
+    # "Block rdd_54_20 does not exist" mid-recall-join).
+    pairs_dir = tempfile.mkdtemp(prefix="lshcap_")
+
+    def materialize(cand, tag):
+        out = os.path.join(pairs_dir, tag)
+        t0 = time.perf_counter()
+        cand.write.mode("overwrite").parquet(out)
+        wall = round(time.perf_counter() - t0, 2)
+        dfp = spark.read.parquet(out)
+        return dfp, dfp.count(), wall
+
+    cand_u, n_u, wall_u = materialize(dedup.lsh_candidate_pairs(sigs, bands), "uncapped")
     print(
         json.dumps(
             {
@@ -97,10 +112,9 @@ def main() -> None:
         ).localCheckpoint()
         n_hot_docs = hot_docs.count()
 
-        t0 = time.perf_counter()
-        cand_c = dedup.lsh_candidate_pairs(sigs, bands, max_bucket=cap)
-        n_c = cand_c.count()
-        wall_c = round(time.perf_counter() - t0, 2)
+        cand_c, n_c, wall_c = materialize(
+            dedup.lsh_candidate_pairs(sigs, bands, max_bucket=cap), f"cap{cap}"
+        )
 
         # non-boilerplate slice: neither member in any over-cap bucket
         def nb(cand):
@@ -137,6 +151,9 @@ def main() -> None:
             }
         )
     )
+    import shutil
+
+    shutil.rmtree(pairs_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -2897,3 +2897,63 @@ class TestSourceLeakageMatrixReference:
             ).collect()
         }
         assert got == exp_pairs
+
+
+class TestContainmentPairs:
+    def test_asymmetric_containment(self, spark):
+        """Containment is directional: a short doc fully inside a long
+        one scores 1.0 as (contained=short, container=long); the
+        reverse direction scores |short|/|long| and must be filtered
+        out. Jaccard would miss the pair entirely at the same 0.9 bar."""
+        from ai_duckdb_spark.operators.dedup import (
+            containment_pairs_exact,
+            jaccard_pairs_exact,
+        )
+
+        rows = [
+            (1, "alpha beta gamma"),                                   # ⊂ 2
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "kappa lamda mu nu xi"),                               # disjoint
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_pairs_exact(df, "doc_id", "text", 0.9).collect()
+        }
+        assert got == {(1, 2): 1.0}
+        # the same pair is invisible to symmetric Jaccard at 0.9
+        assert jaccard_pairs_exact(df, "doc_id", "text", 0.9).count() == 0
+
+    def test_mutual_containment_both_directions(self, spark):
+        """Identical sets contain each other: both ordered rows emitted."""
+        from ai_duckdb_spark.operators.dedup import containment_pairs_exact
+
+        rows = [(1, "a b c"), (2, "c b a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_pairs_exact(df, "doc_id", "text", 0.9).collect()
+        }
+        assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+class TestFilteredCosineTopk:
+    def test_filter_is_pre_not_post(self, spark):
+        """Every neighbor shares the query's attribute, and the top-k is
+        the top-k OF THE FILTERED set — a same-label far vector must
+        outrank a cross-label near-identical one (the case post-filtered
+        ANN drops)."""
+        from ai_duckdb_spark.operators.similarity import cosine_topk_filtered
+
+        rows = [
+            (0, 0, [1.0, 0.0, 0.0]),
+            (1, 1, [1.0, 0.01, 0.0]),   # nearest overall, WRONG label
+            (2, 0, [0.6, 0.8, 0.0]),    # same label, farther
+            (3, 0, [0.0, 1.0, 0.0]),    # same label, farthest
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+        out = cosine_topk_filtered(
+            df, df.filter("vec_id = 0"), attr_col="label", k=2
+        ).collect()
+        assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+        assert all(r["attr"] == 0 for r in out)
