@@ -23,17 +23,19 @@ Why each rewrite is exact (not approximate):
   Group to per-distinct-price max sizes, then a running max ordered by
   price gives both tests in O(n log n) — the same per-x-maxima +
   running-max plan operators/skyline.py runs distributed.
-- fuzzy_name_pairs_blocked: PassJoin pigeonhole (Li et al., VLDB'12).
-  Split each name into 3 contiguous segments; <=2 edits can break at
-  most 2 of them (a substitution touches one char, an insert/delete
-  breaks only the segment it lands in), so one segment survives intact
-  and appears in the partner string shifted by at most the net indel
-  balance, i.e. +/-2. Indexing all 3 segments per name and probing all
-  (assumed-length in lb+/-2) x (segment) x (shift in +/-2) substrings of
-  the partner is therefore a LOSSLESS candidate filter; candidates are
-  then verified with the same levenshtein() both engines share.
-  (Assumes names of length >= 3 so all segments are non-empty — TPC-H
-  p_name is 5 joined color words, length >= 25.)
+- fuzzy_name_pairs_blocked: factor through DISTINCT (brand, name)
+  groups. The metric depends only on the name VALUES, so group first
+  (64 distinct names in this fixture; 1.6k (brand, name) groups),
+  evaluate levenshtein once per distinct name pair per brand, and
+  recover pair counts as products of group sizes (cnt_a * cnt_b for
+  distinct names — each unordered part pair is counted once because
+  exactly one orientation satisfies a.key < b.key; cnt*(cnt-1)/2 at
+  distance 0 within a group). Exact for ANY corpus; it degrades to the
+  naive quadratic only when all names are distinct, which is also the
+  regime where the naive oracle itself is feasible. (A PassJoin
+  segment-pigeonhole variant was tried first and IS lossless, but on
+  7-12-char names its 2-4-char segments collide massively and the
+  candidate join exceeded the rehearsal budget at sf1.0.)
 - dedup_embedding_cosine / dedup_semantic_exact /
   pipeline_semantic_corpus: the naive oracles explode vectors into
   (vec_id, pos, val) rows and join on pos — O(N^2 * d) ROWS through a
@@ -84,60 +86,26 @@ SCALE_ORACLES: dict[str, str] = {
                OR r.mx_le > CAST(p.p_size AS INTEGER))
     """,
     "fuzzy_name_pairs_blocked": """
-    WITH p AS (
-        SELECT p_partkey, p_brand, p_name, length(p_name) AS ln FROM part
+    WITH g AS (
+        SELECT p_brand, p_name, count(*) AS cnt
+        FROM part GROUP BY 1, 2
     ),
-    -- 3-segment tiling of each name: l1 = ln//3, l2 = (ln-l1)//2, l3 = rest
-    a_idx AS (
-        SELECT p_partkey, p_brand, ln AS la, i.i,
-               CASE i.i WHEN 1 THEN 1
-                        WHEN 2 THEN 1 + ln // 3
-                        ELSE 1 + ln // 3 + (ln - ln // 3) // 2 END AS pos,
-               substr(p_name,
-                      CASE i.i WHEN 1 THEN 1
-                               WHEN 2 THEN 1 + ln // 3
-                               ELSE 1 + ln // 3 + (ln - ln // 3) // 2 END,
-                      CASE i.i WHEN 1 THEN ln // 3
-                               WHEN 2 THEN (ln - ln // 3) // 2
-                               ELSE ln - ln // 3 - (ln - ln // 3) // 2 END) AS seg
-        FROM p, (SELECT unnest([1, 2, 3]) AS i) i
+    cross_names AS (
+        SELECT a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) AS edit_dist,
+               a.cnt * b.cnt AS pairs
+        FROM g a JOIN g b
+          ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
     ),
-    -- probe side: every substring of b that could equal segment i of an
-    -- a-string of length la in [lb-2, lb+2], shifted by at most +/-2
-    b_idx AS (
-        SELECT p_partkey, p_brand, la.la, i.i,
-               substr(p_name,
-                      CASE i.i WHEN 1 THEN 1
-                               WHEN 2 THEN 1 + la.la // 3
-                               ELSE 1 + la.la // 3 + (la.la - la.la // 3) // 2 END + sh.sh,
-                      CASE i.i WHEN 1 THEN la.la // 3
-                               WHEN 2 THEN (la.la - la.la // 3) // 2
-                               ELSE la.la - la.la // 3 - (la.la - la.la // 3) // 2 END) AS probe,
-               CASE i.i WHEN 1 THEN 1
-                        WHEN 2 THEN 1 + la.la // 3
-                        ELSE 1 + la.la // 3 + (la.la - la.la // 3) // 2 END + sh.sh AS qpos
-        FROM p b,
-             LATERAL (SELECT unnest([b.ln - 2, b.ln - 1, b.ln, b.ln + 1, b.ln + 2]) AS la) la,
-             (SELECT unnest([1, 2, 3]) AS i) i,
-             (SELECT unnest([-2, -1, 0, 1, 2]) AS sh) sh
-        WHERE la.la >= 3
-    ),
-    cand AS (
-        SELECT DISTINCT least(s.p_partkey, t.p_partkey)    AS k1,
-                        greatest(s.p_partkey, t.p_partkey) AS k2
-        FROM a_idx s
-        JOIN b_idx t
-          ON s.p_brand = t.p_brand AND s.i = t.i AND s.la = t.la
-         AND s.seg = t.probe AND s.p_partkey <> t.p_partkey
-        WHERE t.qpos >= 1 AND length(s.seg) > 0
+    same_names AS (
+        SELECT p_brand AS brand,
+               CAST(0 AS BIGINT) AS edit_dist,
+               cnt * (cnt - 1) // 2 AS pairs
+        FROM g WHERE cnt > 1
     )
-    SELECT x.p_brand AS brand,
-           levenshtein(x.p_name, y.p_name) AS edit_dist,
-           count(*) AS n_pairs
-    FROM cand c
-    JOIN p x ON x.p_partkey = c.k1
-    JOIN p y ON y.p_partkey = c.k2
-    WHERE levenshtein(x.p_name, y.p_name) <= 2
+    SELECT brand, edit_dist, CAST(sum(pairs) AS BIGINT) AS n_pairs
+    FROM (SELECT * FROM cross_names UNION ALL SELECT * FROM same_names) t
     GROUP BY brand, edit_dist
     ORDER BY brand, edit_dist
     """,
