@@ -502,32 +502,38 @@ def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant).
 
     Exactness: levenshtein is an integer metric with identical
-    unit-cost semantics in both engines; counts are exact. Scale shape:
-    pairs are generated block-locally (|block|² not |table|²), and the
-    expensive metric is (a) preceded by the free |len(a)-len(b)| <= k
-    lower-bound filter, and (b) the BANDED 3-arg levenshtein (O(len×k)
-    per pair, -1 past the threshold), computed ONCE in a projection
-    (14.6 s → 9.1 s at sf0.1). Join geometry (r4): the build side is a
-    BROADCAST and the stream side is round-robin repartitioned first —
-    a shuffled self-join here has tiny MAP output (the table) but a
-    ~400× fan-out inside the join, so AQE coalesces the exchange to
-    one partition and every metric evaluation lands on one core
-    (measured 6.9 s); broadcasting keeps the fan-out on the stream
-    side's 32 partitions with no pair shuffle at all (1.5 s, same 75
-    rows). At 100 TB the stream side stays partitioned by input splits
-    and only the blocked dimension broadcasts; salt the block key if a
-    brand runs hot."""
+    unit-cost semantics in both engines; counts are exact. Scale shape
+    (r11): the metric depends only on the name VALUES, so the entry
+    first collapses to DISTINCT (brand, name) groups with counts — the
+    same identical-set collapse the MinHash tier runs before banding —
+    and the quadratic comparison runs over distinct names per block,
+    never over rows; row-level pair counts are recovered exactly as
+    count products (cnt_a·cnt_b across distinct names — each unordered
+    row pair is counted once because exactly one orientation satisfies
+    key_a < key_b — plus C(cnt,2) at distance 0 within a group). On a
+    duplicative catalog this is the whole game (sf1.0: 200k parts but
+    64 distinct names — 0.69 BILLION row-level banded levenshteins
+    became ~1.6k: 25.1 s → sub-second); with all-distinct names it
+    degrades to exactly the old row-level join. The metric leg keeps
+    the r4 geometry: the distinct-name side BROADCASTS (a blocked
+    dimension is small by definition) against a repartitioned stream
+    side, the free |len(a)-len(b)| <= 2 bound precedes the BANDED
+    3-arg levenshtein, and the banded form's -1 sentinel is filtered
+    after one projection. At 100 TB: distinct names per block is the
+    collapse's only growth axis; salt the block key if a brand runs
+    hot."""
     from ..session import default_parallelism
 
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = part.repartition(default_parallelism()).alias("a")
-    b = F.broadcast(part).alias("b")
+    g = part.groupBy("p_brand", "p_name").agg(F.count("*").alias("cnt"))
+    a = g.repartition(default_parallelism()).alias("a")
+    b = F.broadcast(g).alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
-    return (
+    cross_names = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.col("a.p_name") < F.col("b.p_name"))
             & (
                 F.abs(
                     F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
@@ -535,10 +541,22 @@ def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 2
             ),
         )
-        .select(F.col("a.p_brand").alias("brand"), dist.alias("edit_dist"))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            dist.alias("edit_dist"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("pairs"),
+        )
         .filter(F.col("edit_dist") >= 0)  # banded form returns -1 past k
+    )
+    same_names = g.filter(F.col("cnt") > 1).select(
+        F.col("p_brand").alias("brand"),
+        F.lit(0).cast("int").alias("edit_dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("pairs"),
+    )
+    return (
+        cross_names.unionByName(same_names)
         .groupBy("brand", "edit_dist")
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum("pairs").cast("long").alias("n_pairs"))
         .orderBy("brand", "edit_dist")
     )
 
