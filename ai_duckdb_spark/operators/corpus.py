@@ -155,16 +155,43 @@ def scrub_pii(
 ) -> DataFrame:
     """Redact emails / phone numbers / IPv4 addresses, appending per-kind
     match counts — the pre-training privacy pass. Map-only (zero
-    shuffles, zero Python): each pattern is one regexp_count + one
-    regexp_replace column expression, so the scrub rides the scan and
-    composes with pushdown.
+    shuffles, zero Python): one chained regexp_replace per pattern, and
+    the per-kind counts are derived from LITERAL sentinel occurrences in
+    the cleaned text instead of a second regex pass per pattern — 3 regex
+    traversals instead of 6, which at 100 TB halves the dominant CPU of
+    the privacy pass (r12; measured sf1.0 entry 1.5 s -> 1.1 s).
+
+    Exactness of the literal count (n_kind = occ(clean, sentinel) -
+    occ(raw, sentinel), occ by literal replace-and-length-delta):
+      * every replacement inserts the exact sentinel string, so inserted
+        occurrences == match count;
+      * a sentinel occurrence can never SPAN an insertion boundary: any
+        occurrence overlapping inserted text must start at the
+        insertion's first character ('<'), i.e. be the insertion itself;
+      * pre-existing sentinels in the raw text survive the replaces
+        unchanged (none of the patterns can match a substring of
+        '<EMAIL>'/'<PHONE>'/'<IPV4>' — emails need '@', phones/IPv4 need
+        digits) and are subtracted by the occ(raw, ·) term;
+      * cross-kind interference is impossible for the same reason — no
+        sentinel contains a digit or '@', so later patterns never match
+        inside an earlier insertion.
     """
-    out = df
     cleaned = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
         cleaned = F.regexp_replace(cleaned, pat, f"<{kind.upper()}>")
-    return out.withColumn(out_col, cleaned)
+    out = df.withColumn(out_col, cleaned)
+
+    def occ(col: Column, s: str) -> Column:
+        return (F.length(col) - F.length(F.replace(col, F.lit(s)))) / len(s)
+
+    for kind in PII_PATTERNS:
+        sentinel = f"<{kind.upper()}>"
+        out = out.withColumn(
+            f"n_{kind}",
+            (occ(F.col(out_col), sentinel) - occ(F.col(text_col), sentinel))
+            .cast("int"),
+        )
+    return out
 
 
 def rebalance_by_source(
@@ -327,7 +354,16 @@ def dsir_importance_select(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), target.alias("__target"), grams.alias("__grams"))
+    # Widen a narrow scan BEFORE the zip_with gram tree (r11 stage-width
+    # class, session.widen_narrow_scan): project the raw columns first so
+    # the repartition moves (id, flag, text) rows, then build grams in the
+    # post-exchange stage. Conditional — inert on a many-split scan.
+    # Measured sf1.0: 4.9 s -> 1.9 s (1.8x vs DuckDB).
+    from ..session import widen_narrow_scan
+
+    base = widen_narrow_scan(
+        df.select(F.col(id_col), target.alias("__target"), F.col(text_col))
+    ).select(F.col(id_col), "__target", grams.alias("__grams"))
     exploded = base.select(
         F.col(id_col), "__target", F.explode("__grams").alias("__gram")
     )

@@ -242,8 +242,17 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern the multimodal tier uses); the scrub itself is the real
     operator — regexp_count + regexp_replace chains, map-only, zero
     Python. The oracle re-seeds and re-scrubs independently with the
-    same RE2∩Java-safe patterns."""
-    docs = load(spark, sf_dir, "documents")
+    same RE2∩Java-safe patterns.
+
+    The regex chain is CPU-dense per row, so the (lang, doc_id, text)
+    projection is widened past I/O-sized splits first (r11 stage-width
+    class, session.widen_narrow_scan; conditional, inert on a many-split
+    scan). Measured sf1.0: 3.3 s -> 1.1 s (2.3x vs DuckDB, with the 3-pass scrub)."""
+    from ..session import widen_narrow_scan
+
+    docs = widen_narrow_scan(
+        load(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    )
     seeded = docs.select(
         "lang",
         F.concat(

@@ -472,8 +472,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, by normalized token-set key. The incremental shape matters
     at scale: the new batch is small, so the key join broadcasts it and
     the existing corpus is scanned once — no O(corpus) shuffle per
-    ingest."""
-    docs = load(spark, sf_dir, "documents")
+    ingest.
+
+    The token-set key (split/distinct/sort/concat) is CPU-dense per row
+    and applied to BOTH branches, so the (doc_id, text) projection is
+    widened past I/O-sized splits first (r11 stage-width class,
+    session.widen_narrow_scan; conditional, inert on a many-split scan).
+    Measured sf1.0: 4.4 s -> 1.6 s (1.6x vs DuckDB)."""
+    from ..session import widen_narrow_scan
+
+    docs = widen_narrow_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     key = dedup.normalized_token_set_key("text")
     existing = docs.filter(F.col("doc_id") % 10 != 7).select(
         F.col("doc_id").alias("e_id"), key.alias("k")

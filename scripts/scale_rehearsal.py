@@ -64,6 +64,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".testdata/sf1.0"))
+# Entries whose first timed pass lands under this gate get a SECOND timed
+# pass, min taken, BOTH engines (r12 protocol). A single timed pass proved
+# 2-4x noisy on the CPU-dense text entries — JIT/GC inside a session that
+# has been compiling other entries' codegen; min-of-2 is the steady-state
+# estimator the 100 TB claim actually rests on. Entries above the gate
+# (the quadratic/sink monsters) keep one pass so the rehearsal stays
+# budget-bounded.
+RETRY_GATE_S = float(os.environ.get("BENCH_SF1_RETRY_GATE", "30"))
 sys.path.insert(0, REPO)
 from ai_duckdb_spark.tables import TABLE_NAMES as TABLES  # noqa: E402 — one list, not a third copy
 from ai_duckdb_spark.queries.scale_oracles import SCALE_ORACLES  # noqa: E402
@@ -124,7 +132,13 @@ def _duck_child(sql: str, rowcap: int, out: mp.Queue, sink: str | None = None) -
         con.execute(f"COPY ({sql}) TO '{sink}.warm' (FORMAT PARQUET)")  # warm
         t0 = time.perf_counter()
         con.execute(f"COPY ({sql}) TO '{sink}' (FORMAT PARQUET)")
-        out.put(("sink", None, None, time.perf_counter() - t0))
+        elapsed = time.perf_counter() - t0
+        if elapsed < RETRY_GATE_S:  # min-of-2 timed (r12 protocol)
+            t0 = time.perf_counter()
+            con.execute(f"COPY ({sql}) TO '{sink}.t2' (FORMAT PARQUET)")
+            elapsed = min(elapsed, time.perf_counter() - t0)
+            os.remove(f"{sink}.t2")
+        out.put(("sink", None, None, elapsed))
         return
     con.sql(sql).fetchall()  # warm pass (page cache, duckdb plan)
     t0 = time.perf_counter()
@@ -132,6 +146,10 @@ def _duck_child(sql: str, rowcap: int, out: mp.Queue, sink: str | None = None) -
     cols = list(rel.columns)
     rows = rel.fetchmany(rowcap + 1)
     elapsed = time.perf_counter() - t0
+    if elapsed < RETRY_GATE_S:  # min-of-2 timed (r12 protocol)
+        t0 = time.perf_counter()
+        con.sql(sql).fetchmany(rowcap + 1)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     if len(rows) > rowcap:
         out.put(("too_many", None, None, elapsed))
     else:
@@ -251,6 +269,8 @@ def main() -> None:
     n_pass = n_rows_only = n_fail = 0
     for name in names:
         ent: dict = {}
+        sink_dir = None  # lifecycle owned by the finally below (r11 ADVICE:
+        # oracle-timeout/crash 'continue' paths used to leak the tempdir)
         try:
             t_all = time.perf_counter()
             try:
@@ -258,29 +278,38 @@ def main() -> None:
                 n_rows = spark_call(sdf.count)
                 checksum = n_rows > rowcap
                 sinkmode = (not checksum) and n_rows > sinkcap and name in oracles
-                sink_dir = None
                 if checksum:
                     ent["compare"] = "checksum"
                     spark_aggs, duck_exprs = checksum_cols(sdf)
+
+                    def _run_checksum():
+                        return qs[name](spark, SF_DIR).agg(*spark_aggs).collect()[0]
+
                     t0 = time.perf_counter()
-                    srow = spark_call(
-                        lambda: qs[name](spark, SF_DIR).agg(*spark_aggs).collect()[0]
-                    )
+                    srow = spark_call(_run_checksum)
+                    spark_s = time.perf_counter() - t0
+                    if spark_s < RETRY_GATE_S:  # min-of-2 timed (r12)
+                        t0 = time.perf_counter()
+                        spark_call(_run_checksum)
+                        spark_s = min(spark_s, time.perf_counter() - t0)
                     ent["rows"] = int(srow["__n"])
                 elif sinkmode:
                     ent["compare"] = "sink"
                     sink_dir = tempfile.mkdtemp(prefix=f"sf1sink_{name}_")
-                    spark_call(  # warm: full compute + write, untimed
-                        lambda: qs[name](spark, SF_DIR)
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(sink_dir, "spark_warm"))
-                    )
+
+                    def _run_sink(sub):
+                        qs[name](spark, SF_DIR).write.mode("overwrite").parquet(
+                            os.path.join(sink_dir, sub)
+                        )
+
+                    spark_call(lambda: _run_sink("spark_warm"))  # warm, untimed
                     t0 = time.perf_counter()
-                    spark_call(
-                        lambda: qs[name](spark, SF_DIR)
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(sink_dir, "spark"))
-                    )
+                    spark_call(lambda: _run_sink("spark"))
+                    spark_s = time.perf_counter() - t0
+                    if spark_s < RETRY_GATE_S:  # min-of-2 timed (r12)
+                        t0 = time.perf_counter()
+                        spark_call(lambda: _run_sink("spark_t2"))
+                        spark_s = min(spark_s, time.perf_counter() - t0)
                     ent["rows"] = n_rows
                 else:
                     spark_call(lambda: qs[name](spark, SF_DIR).collect())  # warm
@@ -288,6 +317,11 @@ def main() -> None:
                     sdf = qs[name](spark, SF_DIR)
                     cols = sdf.columns
                     rows = spark_call(sdf.collect)
+                    spark_s = time.perf_counter() - t0
+                    if spark_s < RETRY_GATE_S:  # min-of-2 timed (r12)
+                        t0 = time.perf_counter()
+                        spark_call(lambda: qs[name](spark, SF_DIR).collect())
+                        spark_s = min(spark_s, time.perf_counter() - t0)
                     ent["rows"] = len(rows)
             except Exception as exc:  # noqa: BLE001
                 if "cancelled" not in str(exc).lower():
@@ -298,7 +332,7 @@ def main() -> None:
                 per_entry[name] = ent
                 print(f"{name}: spark_timeout after {ent['spark_s']}s", flush=True)
                 continue
-            ent["spark_s"] = round(time.perf_counter() - t0, 3)
+            ent["spark_s"] = round(spark_s, 3)
 
             if name not in oracles:
                 ent["status"] = "rows_only"
@@ -354,9 +388,6 @@ def main() -> None:
                         f"sink schema={sorted(scols) == sorted(dcols)} "
                         f"rows={len(srows_)}vs{len(drows_)}"
                     )
-                import shutil
-
-                shutil.rmtree(sink_dir, ignore_errors=True)
             else:
                 ok = (
                     status == "ok"
@@ -379,6 +410,11 @@ def main() -> None:
             ent["status"] = "error"
             ent["detail"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1
+        finally:
+            if sink_dir is not None:  # every exit path, incl. continue/raise
+                import shutil
+
+                shutil.rmtree(sink_dir, ignore_errors=True)
         per_entry[name] = ent
         mode = "(checksum) " if ent.get("compare") == "checksum" else ""
         print(
@@ -392,6 +428,16 @@ def main() -> None:
         for n, e in per_entry.items()
         if e.get("status") == "pass" and not n.startswith("streaming_")
     }
+    # Streaming entries carry micro-batch trigger/state-store framework
+    # tax that a batch-SQL twin never pays; the sf0.1 bench already
+    # reports them as their own line, and so does the rehearsal (r11
+    # judge item 3) — the headline ratio measures PLANS, the streaming
+    # line measures the framework.
+    streaming = {
+        n: e
+        for n, e in per_entry.items()
+        if n.startswith("streaming_") and "spark_s" in e
+    }
     summary = {
         "metric": "scale_rehearsal_sf1_total",
         "value": round(sum(e["spark_s"] for e in batch.values()), 2),
@@ -402,17 +448,38 @@ def main() -> None:
         "n_fail": n_fail,
         "n_entries": len(per_entry),
         "duck_total": round(sum(e["duck_s"] for e in batch.values()), 2),
+        "streaming_overhead_total": round(
+            sum(e["spark_s"] for e in streaming.values()), 2
+        ),
+        "streaming_duck_total": round(
+            sum(e.get("duck_s") or 0 for e in streaming.values()), 2
+        ),
+        "n_streaming": len(streaming),
         "budget_s": budget_s,
         "rowcap": rowcap,
         "sinkcap": sinkcap,
+        "retry_gate_s": RETRY_GATE_S,
         "protocol": (
-            "one_warm_pass_then_one_timed_pass_per_side;"
-            "sink_compare_above_sinkcap;scale_oracles_for_quadratic_mirrors"
+            "one_warm_pass_then_min_of_2_timed_passes_under_retry_gate_per_side;"
+            "sink_compare_above_sinkcap;scale_oracles_for_quadratic_mirrors;"
+            "headline_batch_only_streaming_lined_separately"
         ),
     }
     summary["ratio_vs_duckdb"] = round(
         summary["value"] / max(summary["duck_total"], 1e-9), 4
     )
+    if batch:
+        top = max(batch, key=lambda n: batch[n]["spark_s"])
+        summary["top_cost_entry"] = {
+            "name": top,
+            "spark_s": batch[top]["spark_s"],
+            "duck_s": batch[top]["duck_s"],
+        }
+        summary["ratio_ex_top1"] = round(
+            (summary["value"] - batch[top]["spark_s"])
+            / max(summary["duck_total"] - batch[top]["duck_s"], 1e-9),
+            4,
+        )
     # a name-subset rerun must not clobber the full-catalog artifact
     fname = "BENCH_SF1.json" if not sys.argv[1:] else "BENCH_SF1_partial.json"
     out = os.path.join(REPO, fname)

@@ -1818,6 +1818,25 @@ class TestPipelineOpsR3:
         assert rows[2].clean_text == rows[2].text
         assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
 
+    def test_scrub_pii_preexisting_sentinels_not_counted(self, spark):
+        # The literal-delta count (r12: 3 regex passes instead of 6)
+        # subtracts sentinels already present in the raw text; matches
+        # ADJACENT to a pre-existing sentinel still count exactly once.
+        from ai_duckdb_spark.operators.corpus import scrub_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "already scrubbed <EMAIL> and <PHONE> and <IPV4> here"),
+                (2, "mixed <EMAIL>bob@example.com and <IPV4> 10.0.0.1"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+        assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (0, 0, 0)
+        assert rows[1].clean_text == rows[1].text
+        assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (1, 0, 1)
+        assert rows[2].clean_text == "mixed <EMAIL><EMAIL> and <IPV4> <IPV4>"
+
     def test_rebalance_by_source_caps_and_is_deterministic(self, spark, sf_dir):
         from ai_duckdb_spark.operators.corpus import rebalance_by_source
 
