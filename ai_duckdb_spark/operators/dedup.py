@@ -346,13 +346,16 @@ def containment_pairs_exact(
     UNORDERED postings self-join and intersection count, then both
     ordered directions are projected from that single relation (the
     intersection is symmetric; only the normalizing size differs).
-    Scale notes: the postings join fans out by token like the Jaccard
-    tier; a prefix filter still applies on the CONTAINED side (the
-    bound |T_a| - ceil(t·|T_a|) + 1 only involves a's size) but there
-    is NO container-side length filter by construction — containment
-    against an unboundedly-larger b is legitimate, which is why the
-    unbounded scale path buckets the contained side's prefixes rather
-    than pairing full postings.
+    Scale notes: THIS function is the bounded tier — a plain full
+    postings self-join, quadratic in postings, correct for the
+    doc_id-bounded catalog entry but NOT an unbounded-corpus plan. No
+    prefix filter is implemented here (r11 ADVICE: an earlier draft of
+    this docstring read as if one were). The sub-quadratic design an
+    unbounded variant would use — future/design-only, no code path
+    exists yet — is prefix-filtering the CONTAINED side only (the
+    AllPairs bound |T_a| - ceil(t·|T_a|) + 1 involves just a's size;
+    there is NO container-side length bound by construction, since
+    containment against an unboundedly-larger b is legitimate).
     """
     toks = _token_sets(df, id_col, text_col)
     sizes = toks.select("__id", F.size("__tokens").alias("__sz"))
@@ -479,6 +482,37 @@ def minhash_signatures(
     )
 
 
+def banded_buckets(signatures: DataFrame, bands: int) -> DataFrame:
+    """The (__id, __bucket) banded projection of a MinHash signature
+    relation: one xxhash64(band_id, band_slice) bucket per band per row.
+
+    THE single definition of the banding expression — lsh_candidate_pairs
+    builds its self-join input from this, and scripts/lsh_cap_rehearsal.py
+    builds its hot-bucket census from the same call (r11 ADVICE: an
+    inline re-implementation there could silently desynchronize the cap
+    measurements from what the cap actually drops).
+
+    slice() is 1-based; rows per band are derived from the signature
+    length so callers can band any num_hashes divisible by ``bands``.
+    """
+    return signatures.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b,
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                        (F.size(F.col("signature")) / bands).cast("int"),
+                    ),
+                ),
+            )
+        ).alias("__bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int, max_bucket: int | None = None
 ) -> DataFrame:
@@ -509,23 +543,7 @@ def lsh_candidate_pairs(
     keeps the exact superset contract (the catalogued tiers' pytest
     ground truths assume it).
     """
-    # slice() is 1-based; rows per band derived from the signature length.
-    banded = signatures.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b,
-                    F.slice(
-                        F.col("signature"),
-                        b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                        (F.size(F.col("signature")) / bands).cast("int"),
-                    ),
-                ),
-            )
-        ).alias("__bucket"),
-    )
+    banded = banded_buckets(signatures, bands)
     # spread the self-join across the cluster by BUCKET, not by whatever
     # partitioning the (small, often checkpointed) signature frame came
     # in with: the join's map input is tiny but its output fans out
@@ -971,6 +989,17 @@ def embedding_cosine_pairs(
     ``>=`` decision across physical strategies (up to 1 ulp apart
     otherwise).
 
+    The ``>= threshold`` decision itself is taken on ``round(cosine,
+    4)`` — the precision the operator EMITS — in every tier, and the
+    paired oracles threshold on the same rounded value (r11 ADVICE): a
+    different summation order (hash-agg sum in the naive oracle, SIMD
+    array_cosine_similarity in the sf1.0 scale oracle) can sit a few
+    ulps across an unrounded cut, and thresholding at emitted precision
+    makes inclusion exactly as robust as the values being hashed. The
+    numpy kernel pre-masks with a 1e-4-relaxed cut and leaves the
+    authoritative rounded comparison to the same Spark ``F.round``
+    expression the other tiers use.
+
     Domain: zero-norm vectors have no defined cosine and are excluded
     from pairing by an identical ``sum(x²) > 0`` pre-filter in every
     tier (under ANSI mode the JVM division would otherwise raise
@@ -1031,7 +1060,9 @@ def embedding_cosine_pairs(
                         # NaN >= t is TRUE in Spark's ordering — keep NaNs
                         with np.errstate(divide="ignore", invalid="ignore"):
                             cos = acc / np.sqrt(sq_a[i1][:, None] * sq_a[None, :])
-                        mask = ((cos >= threshold) | np.isnan(cos)) & (
+                        # relaxed pre-mask; the exact rounded cut is the
+                        # F.round filter below (see docstring)
+                        mask = ((cos >= threshold - 1e-4) | np.isnan(cos)) & (
                             ids_a[i1][:, None] < ids_a[None, :]
                         )
                         r, c = np.nonzero(mask)
@@ -1040,14 +1071,24 @@ def embedding_cosine_pairs(
                                 "id1": ids_a[i1][r],
                                 "id2": ids_a[c],
                                 "__raw": cos[r, c],
+                                # pandas NaN crosses Arrow as NULL (pandas
+                                # uses NaN for missing); carry the NaN-ness
+                                # explicitly so the JVM side can restore it
+                                # and this tier emits NaN like the others
+                                "__nan": np.isnan(cos[r, c]),
                             }
                         )
 
+            restored = F.when(
+                F.col("__nan"), F.lit(float("nan")).cast("double")
+            ).otherwise(F.col("__raw"))
             return (
                 v.select("__id")
                 .repartition(default_parallelism())
-                .mapInPandas(_score, "id1 long, id2 long, __raw double")
-                .select("id1", "id2", F.round("__raw", 4).alias("cosine"))
+                .mapInPandas(_score, "id1 long, id2 long, __raw double, __nan boolean")
+                .withColumn("__rawf", restored)
+                .filter(F.round("__rawf", 4) >= threshold)
+                .select("id1", "id2", F.round("__rawf", 4).alias("cosine"))
             )
         strategy = "broadcast"  # non-integer ids: keep the JVM tier
 
@@ -1065,7 +1106,7 @@ def embedding_cosine_pairs(
         return (
             a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
             .withColumn("__raw", raw)
-            .filter(F.col("__raw") >= threshold)
+            .filter(F.round(F.col("__raw"), 4) >= threshold)
             .select("id1", "id2", F.round("__raw", 4).alias("cosine"))
         )
 
@@ -1086,6 +1127,6 @@ def embedding_cosine_pairs(
     return (
         dots.join(n1, "id1")
         .join(n2, "id2")
-        .filter(raw >= threshold)
+        .filter(F.round(raw, 4) >= threshold)
         .select("id1", "id2", F.round(raw, 4).alias("cosine"))
     )

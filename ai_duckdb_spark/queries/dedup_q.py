@@ -312,7 +312,7 @@ def dedup_bigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN norms n1 ON dots.id1 = n1.vec_id
     JOIN norms n2 ON dots.id2 = n2.vec_id
-    WHERE dp / sqrt(n1.sq * n2.sq) >= 0.4
+    WHERE round(dp / sqrt(n1.sq * n2.sq), 4) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,7 +775,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots
         JOIN norms n1 ON dots.id1 = n1.vec_id
         JOIN norms n2 ON dots.id2 = n2.vec_id
-        WHERE dp / sqrt(n1.sq * n2.sq) >= 0.3
+        WHERE round(dp / sqrt(n1.sq * n2.sq), 4) >= 0.3
     )
     SELECT label,
            count(*) AS n_vectors,
@@ -892,7 +892,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots
         JOIN norms n1 ON dots.id1 = n1.vec_id
         JOIN norms n2 ON dots.id2 = n2.vec_id
-        WHERE dp / sqrt(n1.sq * n2.sq) >= 0.3
+        WHERE round(dp / sqrt(n1.sq * n2.sq), 4) >= 0.3
     ),
     sem_survivors AS (
         SELECT * FROM exact_survivors

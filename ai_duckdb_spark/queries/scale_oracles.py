@@ -44,7 +44,11 @@ Why each rewrite is exact (not approximate):
   O(N^2 * d) FLOPs with zero row explosion (the single-node analogue of
   the BLAS-blocked pair kernel in operators/dedup.py
   embedding_cosine_pairs). Verified bit-compatible with the
-  sum-of-products form at the entries' 4-decimal rounding.
+  sum-of-products form at the entries' 4-decimal rounding. Both
+  formulations (and every Spark tier) take the >= threshold decision on
+  round(sim, 4) — the emitted precision — so a pair sitting a few ulps
+  across the cut under a different summation order cannot flip
+  inclusion without also flipping the hashed value (r11 ADVICE).
 - dedup_prefix_jaccard_pairs: token-SET grouping. Unigram Jaccard is a
   function of the distinct-token SET, so group docs by their exact
   sorted token set first: distinct sets S (|S| << N on any duplicative
@@ -114,14 +118,14 @@ SCALE_ORACLES: dict[str, str] = {
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(array_cosine_similarity(a.emb, b.emb), 4) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE array_cosine_similarity(a.emb, b.emb) >= 0.4
+    WHERE round(array_cosine_similarity(a.emb, b.emb), 4) >= 0.4
     """,
     "dedup_semantic_exact": f"""
     WITH {_COSINE_PAIRS_CTE},
     dups AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE array_cosine_similarity(a.emb, b.emb) >= 0.3
+        WHERE round(array_cosine_similarity(a.emb, b.emb), 4) >= 0.3
     )
     SELECT label,
            count(*) AS n_vectors,
@@ -141,7 +145,7 @@ SCALE_ORACLES: dict[str, str] = {
     sem_dups AS (
         SELECT DISTINCT b.vec_id AS doc_id
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE array_cosine_similarity(a.emb, b.emb) >= 0.3
+        WHERE round(array_cosine_similarity(a.emb, b.emb), 4) >= 0.3
     ),
     sem_survivors AS (
         SELECT * FROM exact_survivors

@@ -52,24 +52,11 @@ def main() -> None:
     groups, reps, sigs = dedup.minhash_rep_signatures(docs, "doc_id", "text", 32)
     n_reps = sigs.count()  # materializes the checkpointed signature frame
 
-    # the banded bucket relation, identical to lsh_candidate_pairs' input
+    # the banded bucket relation — the SAME projection lsh_candidate_pairs
+    # joins on (shared helper, so the census can't desynchronize from
+    # what the cap actually drops)
     bands = 8
-    banded = sigs.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b,
-                    F.slice(
-                        F.col("signature"),
-                        b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                        (F.size(F.col("signature")) / bands).cast("int"),
-                    ),
-                ),
-            )
-        ).alias("__bucket"),
-    ).localCheckpoint()
+    banded = dedup.banded_buckets(sigs, bands).localCheckpoint()
     bucket_sizes = banded.groupBy("__bucket").agg(F.count("*").alias("sz"))
     bucket_sizes = bucket_sizes.localCheckpoint()
 

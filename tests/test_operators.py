@@ -51,13 +51,17 @@ class TestDedup:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         expected = {(1, 2), (1, 5), (2, 5), (4, 5)}
         for strat in ("kernel", "broadcast", "posjoin"):
-            got = {
-                (r.id1, r.id2)
-                for r in dedup.embedding_cosine_pairs(
-                    emb, threshold=0.5, strategy=strat
-                ).collect()
-            }
+            out = dedup.embedding_cosine_pairs(
+                emb, threshold=0.5, strategy=strat
+            ).collect()
+            got = {(r.id1, r.id2) for r in out}
             assert got == expected, f"strategy={strat}: {got}"
+            # NaN pairs must emit cosine=NaN (not NULL) in EVERY tier —
+            # the kernel's pandas NaN used to cross Arrow as NULL (r12)
+            for r in out:
+                assert r.cosine is not None, f"strategy={strat}: NULL cosine {r}"
+                if 5 in (r.id1, r.id2):
+                    assert math.isnan(r.cosine), f"strategy={strat}: {r}"
 
     def test_minhash_lsh_recall_vs_exact(self, spark, sf_dir):
         """LSH candidates must recover nearly all true >=0.9 pairs."""
