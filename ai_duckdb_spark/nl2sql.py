@@ -26,6 +26,57 @@ from typing import Protocol
 import pandas as pd
 
 
+def load_env_file(path: str | None = None) -> dict[str, str]:
+    """Reference-parity ``.env`` loading (reference app.py:12
+    ``load_dotenv()``): pick up GEMINI_API_KEY / OPENAI_* etc. from a
+    dotenv file without overriding variables already set in the
+    process environment.
+
+    Uses python-dotenv when installed; otherwise a minimal parser with
+    the same core semantics — ``KEY=VALUE`` lines, optional ``export ``
+    prefix, ``#`` comments and blank lines ignored, matching single or
+    double quotes stripped, existing env vars NEVER overridden. With no
+    ``path``, searches ``.env`` upward from the current directory (the
+    find_dotenv behavior the reference relies on when launched from a
+    subdirectory). Returns the variables newly applied.
+    """
+    if path is None:
+        d = os.getcwd()
+        while True:
+            cand = os.path.join(d, ".env")
+            if os.path.isfile(cand):
+                path = cand
+                break
+            parent = os.path.dirname(d)
+            if parent == d:
+                return {}
+            d = parent
+    if not os.path.isfile(path):
+        return {}
+    try:
+        from dotenv import dotenv_values  # noqa: PLC0415
+
+        parsed = {k: v for k, v in dotenv_values(path).items() if v is not None}
+    except ImportError:
+        parsed = {}
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                if line.startswith("export "):
+                    line = line[len("export ") :]
+                key, _, val = line.partition("=")
+                key, val = key.strip(), val.strip()
+                if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
+                    val = val[1:-1]
+                if key:
+                    parsed[key] = val
+    applied = {k: v for k, v in parsed.items() if k not in os.environ}
+    os.environ.update(applied)
+    return applied
+
+
 def build_prompt(file_name: str, data_info: dict, question: str) -> str:
     """Schema-grounded prompt, reference contract (doc.py:172-190)."""
     head_df = pd.DataFrame(data_info.get("前5行数据", []))
@@ -109,6 +160,7 @@ class GeminiSqlGenerator:
 
     def __init__(self, model: str = "gemini-2.5-flash"):
         self.model = model
+        load_env_file()  # reference app.py:12 parity; never overrides
         self.api_key = os.environ.get("GEMINI_API_KEY")
         if not self.api_key:
             raise RuntimeError("GEMINI_API_KEY not set")
@@ -145,6 +197,7 @@ class OpenAICompatSqlGenerator:
         transport=None,
         timeout: float = 60.0,
     ):
+        load_env_file()  # reference app.py:12 parity; never overrides
         self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL", "")).rstrip("/")
         self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
         self.model = model or os.environ.get("OPENAI_MODEL", "gpt-4o-mini")

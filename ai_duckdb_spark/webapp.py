@@ -37,6 +37,9 @@ def create_app(upload_folder: str = "uploads", db_path: str = "chat_history.db")
     from flask import Flask, jsonify, render_template, request, session  # app-layer import
     from werkzeug.utils import secure_filename
 
+    from .nl2sql import load_env_file
+
+    load_env_file()  # reference app.py:12 load_dotenv() parity
     app = Flask(__name__)
     app.secret_key = os.environ.get("APP_SECRET_KEY")
     if not app.secret_key:

@@ -637,12 +637,51 @@ class TestNl2Sql:
         assert seen["body"]["model"] == "m"
         assert "data_table" in seen["body"]["messages"][0]["content"]
 
-    def test_openai_compat_requires_base_url(self, monkeypatch):
+    def test_openai_compat_requires_base_url(self, monkeypatch, tmp_path):
         from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
 
         monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+        monkeypatch.chdir(tmp_path)  # no .env anywhere up from tmp
         with pytest.raises(RuntimeError):
             OpenAICompatSqlGenerator()
+
+    def test_load_env_file_semantics(self, monkeypatch, tmp_path):
+        """Reference app.py:12 load_dotenv() parity: KEY=VALUE lines,
+        export prefix, quotes, comments; existing env NEVER overridden;
+        the file is found by walking UP from cwd."""
+        import os
+
+        from ai_duckdb_spark.nl2sql import load_env_file
+
+        (tmp_path / ".env").write_text(
+            "# comment\n"
+            "GEMINI_API_KEY=from-dotenv\n"
+            "export OPENAI_BASE_URL='http://dotenv.local/v1'\n"
+            'OPENAI_MODEL="m-dotenv"\n'
+            "ALREADY_SET=loser\n"
+            "not a kv line\n"
+        )
+        sub = tmp_path / "a" / "b"
+        sub.mkdir(parents=True)
+        monkeypatch.chdir(sub)  # upward search finds tmp_path/.env
+        for k in ("GEMINI_API_KEY", "OPENAI_BASE_URL", "OPENAI_MODEL"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.setenv("ALREADY_SET", "winner")
+        applied = load_env_file()
+        assert applied["GEMINI_API_KEY"] == "from-dotenv"
+        assert os.environ["OPENAI_BASE_URL"] == "http://dotenv.local/v1"
+        assert os.environ["OPENAI_MODEL"] == "m-dotenv"
+        assert os.environ["ALREADY_SET"] == "winner"  # no override
+        assert "ALREADY_SET" not in applied
+
+    def test_openai_compat_picks_up_dotenv(self, monkeypatch, tmp_path):
+        from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
+
+        (tmp_path / ".env").write_text("OPENAI_BASE_URL=http://dotenv.local/v1\n")
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+        gen = OpenAICompatSqlGenerator(api_key="k", transport=lambda *a: {})
+        assert gen.base_url == "http://dotenv.local/v1"
 
 
 # ---------------------------------------------------------------------------
