@@ -386,6 +386,12 @@ def containment_pairs_exact(
     return fwd.unionAll(rev).filter(F.col("containment") >= F.lit(threshold))
 
 
+# Max prefix postings per (token, chunk) cell in the AllPairs self-join.
+# Bounds per-task fan-out work at ~chunk * n_t pair probes; rare tokens
+# (the common case on a Zipfian corpus) get k=1 and pay no replication.
+_PREFIX_CHUNK = 1024
+
+
 def jaccard_pairs_prefix(
     df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 1
 ) -> DataFrame:
@@ -413,16 +419,39 @@ def jaccard_pairs_prefix(
     flips, because a single stopword shingle with df=k contributes k²/2
     join rows to the plain plan and zero to this one. Results are
     pytest-verified identical, so swapping is a pure planning choice.
+
+    Duplication collapse (r12 — the same lesson as the fuzzy-names
+    group-factoring and the identical-set scale oracle, now applied to
+    the OPERATOR): Jaccard depends only on the token SET, so docs are
+    first grouped by their exact set and the whole prefix/candidate/
+    verify pipeline runs once per DISTINCT set; qualifying set pairs
+    fan back out to doc pairs, and same-set doc pairs are emitted as
+    exact 1.0s without ever entering the join. On a corpus where this
+    entry's output is large — which means duplicative by definition —
+    the quadratic stages shrink by the square of the collapse factor
+    (sf1.0 fixture: 50k docs -> 33.6k sets; pre-distinct candidates
+    912M -> ~410M), and on an all-distinct corpus the collapse costs
+    one linear window shuffle and changes nothing. The result relation
+    is bit-identical (pytest: prefix == inverted-index tier).
     """
     if shingle_n > 1:
         toks = _shingle_sets(df, id_col, text_col, shingle_n)
     else:
         toks = _token_sets(df, id_col, text_col)
-    # materialize once: the token-set frame feeds BOTH the prefix/postings
+    toks = toks.withColumn("__sz", F.size("__tokens"))
+    # collapse identical token sets: set id = min doc id over the set
+    # group (deterministic, no synthetic ids to desync on retry)
+    setw = Window.partitionBy("__tokens")
+    mem = toks.withColumn("__sid", F.min("__id").over(setw)).localCheckpoint()
+    # materialize once: the distinct-set frame feeds the prefix/postings
     # side and the two verification sides — without this the tokenization
     # scan (split + array_distinct over the full corpus) runs three times
-    toks = toks.withColumn("__sz", F.size("__tokens")).localCheckpoint()
-    postings = toks.select("__id", "__sz", F.explode("__tokens").alias("__tok"))
+    sets = (
+        mem.filter(F.col("__id") == F.col("__sid"))
+        .select(F.col("__sid").alias("__id"), "__tokens", "__sz")
+        .localCheckpoint()
+    )
+    postings = sets.select("__id", "__sz", F.explode("__tokens").alias("__tok"))
 
     freq = postings.groupBy("__tok").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
@@ -431,16 +460,44 @@ def jaccard_pairs_prefix(
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1)
         .select("__id", "__sz", "__tok")
-        # candidate generation is the quadratic-ish step: spread the join
-        # over the cluster by token, not by input file split
-        .repartition(default_parallelism(), "__tok")
+        .localCheckpoint()  # feeds the chunk census + both join sides
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    # Hot-posting-list skew split (r12): the self-join's fan-out work is
+    # proportional to the SQUARE of each token's prefix-posting count,
+    # and partitioning by token alone serializes a hot list onto one
+    # core (sf1.0 fixture: 97% of all prefix rows live in 4 tokens; the
+    # candidate stage plus its partial-distinct ran 3-wide on a 32-core
+    # box). Split each token's postings into <= _PREFIX_CHUNK-row
+    # chunks: the build side keeps its chunk id, the probe side is
+    # replicated once per chunk (k_t = ceil(n_t / chunk), so rare
+    # tokens replicate 1x and only hot lists pay), and (token, chunk)
+    # becomes the equi-key — per-cell work is bounded by chunk * n_t
+    # and the cells spread across the cluster. Pair completeness is
+    # unchanged: every (a, b) meets in exactly one cell (b's chunk).
+    chunks = prefix.groupBy("__tok").agg(
+        F.ceil(F.count("*") / F.lit(_PREFIX_CHUNK)).cast("int").alias("__k")
+    )
+    withk = prefix.join(chunks, "__tok")
+    # pin the cell partitioning EXPLICITLY on both sides: the join input
+    # is only megabytes, so AQE's byte-based coalescing would fuse the
+    # cells back onto a handful of tasks and re-serialize the pair
+    # fan-out the chunk split exists to spread (measured: 1 running task
+    # on a 32-core box). A user repartition is exempt from coalescing,
+    # and both sides sharing it means the join adds no extra exchange.
+    n_part = default_parallelism()
+    bside = withk.withColumn(
+        "__c", F.pmod(F.xxhash64("__id"), F.col("__k"))
+    ).repartition(n_part, "__tok", "__c")
+    aside = withk.withColumn(
+        "__c", F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
+    ).repartition(n_part, "__tok", "__c")
+    a = aside.alias("a")
+    b = bside.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__c") == F.col("b.__c"))
             & (F.col("a.__id") < F.col("b.__id"))
             # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
             & (F.lit(threshold) * F.col("a.__sz") <= F.col("b.__sz"))
@@ -449,16 +506,39 @@ def jaccard_pairs_prefix(
         .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
         .distinct()
     )
-    t1 = toks.select(F.col("__id").alias("id1"), F.col("__tokens").alias("__t1"), F.col("__sz").alias("sz1"))
-    t2 = toks.select(F.col("__id").alias("id2"), F.col("__tokens").alias("__t2"), F.col("__sz").alias("sz2"))
+    t1 = sets.select(F.col("__id").alias("id1"), F.col("__tokens").alias("__t1"), F.col("__sz").alias("sz1"))
+    t2 = sets.select(F.col("__id").alias("id2"), F.col("__tokens").alias("__t2"), F.col("__sz").alias("sz2"))
     n_common = F.size(F.array_intersect(F.col("__t1"), F.col("__t2")))
     raw = n_common.cast("double") / (F.col("sz1") + F.col("sz2") - n_common)
-    return (
+    set_pairs = (
         candidates.join(t1, "id1")
         .join(t2, "id2")
         .filter(raw >= threshold)
-        .select("id1", "id2", raw.alias("jaccard"))
+        .select(
+            F.col("id1").alias("__s1"),
+            F.col("id2").alias("__s2"),
+            raw.alias("jaccard"),
+        )
     )
+    # fan qualifying SET pairs back out to doc pairs (output-sized work);
+    # the set ids don't order the member doc ids, so re-normalize
+    m1 = mem.select(F.col("__sid").alias("__s1"), F.col("__id").alias("__ida"))
+    m2 = mem.select(F.col("__sid").alias("__s2"), F.col("__id").alias("__idb"))
+    cross = set_pairs.join(m1, "__s1").join(m2, "__s2").select(
+        F.least("__ida", "__idb").alias("id1"),
+        F.greatest("__ida", "__idb").alias("id2"),
+        "jaccard",
+    )
+    # same-set doc pairs are Jaccard 1.0 exactly (n_common == sz):
+    # emitted directly, never joined
+    dup1 = mem.select(F.col("__sid").alias("__s"), F.col("__id").alias("id1"))
+    dup2 = mem.select(F.col("__sid").alias("__s"), F.col("__id").alias("id2"))
+    same = (
+        dup1.join(dup2, "__s")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(same)
 
 
 def minhash_signatures(
@@ -890,6 +970,48 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
     positives either.
     """
     return simhash_pairs_from_sigs(simhash64(df, id_col, text_col), max_hamming)
+
+
+def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PORTABLE 60-bit SimHash per row: md5-derived bit votes, so the
+    fingerprint is a pure function of the data and an oracle can
+    recompute it bit-for-bit — the graduation of the SimHash class from
+    rows-only to oracle-paired (r12; the xxhash64 tier above stays as
+    the faster engine-internal variant, like murmur3 MinHash vs the
+    exact Jaccard tiers).
+
+    Per distinct token: h = int(first 15 hex chars of md5(token)) — a
+    60-bit non-negative integer both engines parse identically (md5 hex
+    is already relied on cross-engine by corpus_stratified_sample).
+    Per bit b: vote_b = sum over tokens of (2*bit_b(h) - 1); fingerprint
+    bit b is set iff vote_b > 0 (ties -> 0, deterministic). All integer
+    arithmetic — no libm, no engine hash. One explode + one 60-column
+    aggregation (single shuffle), same shape as simhash64.
+    """
+    postings = (
+        _token_sets(df, id_col, text_col)
+        .select("__id", F.explode("__tokens").alias("__tok"))
+        .select(
+            "__id",
+            F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+    )
+    bit_votes = postings.groupBy("__id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"__b{i}")
+            for i in range(60)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(60):
+        acc = acc + F.when(
+            F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_votes.select(F.col("__id").alias("doc_id"), acc.alias("simhash"))
 
 
 def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int) -> DataFrame:

@@ -654,6 +654,48 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_exactk_sample",
+    oracle="""
+    SELECT doc_id, lang, rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS rank
+        FROM documents
+    )
+    WHERE rank <= 200
+    """,
+)
+def corpus_exactk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k-per-stratum sampling (new r12): exactly 200 docs per
+    language, drawn by content-hash order — the fixed-budget companion
+    to the rate-based corpus_stratified_sample (a rate draw's stratum
+    size is binomial; an eval-set or annotation budget needs exactly k).
+    Hash order makes the draw reproducible under any partitioning,
+    engine, or retry; the doc_id tiebreak makes row_number total.
+
+    Scale shape: one window shuffle keyed by stratum. The rank is only
+    needed up to k, so at 100 TB the window is preceded by a cheap
+    hash-prefix pre-filter (keep rows with md5 < bound chosen so ~3k
+    survive per stratum, exact by construction since md5 order IS the
+    sort key) — the same two-phase trick TakeOrderedAndProject plays
+    for global top-k; at fixture scale the plain window is the honest
+    measure."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 200)
+    )
+
+
+@register(
     "corpus_stratified_sample",
     oracle="""
     SELECT lang, source,

@@ -258,6 +258,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 1000
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, 16),
+                   p -> (strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1)::BIGINT
+                        << (4 * (15 - p)))) AS BIGINT) AS hv
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, unnest(range(0, 60)) r(b)
+        GROUP BY doc_id, b
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS f
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, ORACLE-PAIRED (new r12): the fingerprint
+    is a 60-bit majority vote over md5-derived token bits
+    (operators/dedup.py simhash60_md5) — a pure integer function of the
+    data, so DuckDB recomputes every fingerprint and every hamming
+    distance bit-for-bit. This graduates the SimHash capability class
+    from rows-only (the xxhash64 tier, whose hash family is
+    engine-internal) to hash-exact at the driver, the same move that
+    graduated sampled_lineitem_stats in r9.
+
+    The Spark side pairs through the lossless pigeonhole blocking
+    (4 blocks for hamming <= 3 — a pair differing in <= 3 bits shares
+    at least one untouched block), never the quadratic all-pairs; the
+    oracle brute-forces the same relation, which is why the entry is
+    doc_id-bounded like the other exact ground-truth tiers."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sigs = dedup.simhash60_md5(docs, "doc_id", "text")
+    return dedup.simhash_pairs_from_sigs(sigs, max_hamming=3)
+
+
+@register(
     "dedup_bigram_jaccard_pairs",
     oracle="""
     WITH sh AS (

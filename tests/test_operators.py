@@ -174,6 +174,35 @@ class TestDedup:
             }
             assert exact and pref == exact
 
+    def test_simhash60_md5_portable_and_blocking_lossless(self, spark, sf_dir):
+        """The portable fingerprint is a pure function of the token SET
+        (order-insensitive, engine-hash-free), and the pigeonhole
+        blocking recovers EXACTLY the brute-force hamming<=3 relation."""
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "zz yy xx ww vv")],
+            ["doc_id", "text"],
+        )
+        sigs = {r.doc_id: r.simhash for r in dedup.simhash60_md5(df, "doc_id", "text").collect()}
+        assert sigs[1] == sigs[2] != sigs[3]
+        assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        sig_rows = dedup.simhash60_md5(docs, "doc_id", "text").collect()
+        fps = {r.doc_id: r.simhash for r in sig_rows}
+        brute = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+        }
+        blocked = {
+            (r.id1, r.id2, r.hamming)
+            for r in dedup.simhash_pairs_from_sigs(
+                dedup.simhash60_md5(docs, "doc_id", "text"), max_hamming=3
+            ).collect()
+        }
+        assert brute and blocked == brute
+
     def test_simhash_identical_docs_collide(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "zz yy xx ww vv")],
@@ -1670,6 +1699,22 @@ class TestConnectedComponents:
 
 
 class TestCorpusOps:
+    def test_exactk_sample_budget_and_determinism(self, spark, sf_dir):
+        """corpus_exactk_sample returns exactly min(k, |stratum|) rows
+        per language, identically across runs (hash order, no seed)."""
+        from ai_duckdb_spark.queries.corpus_q import corpus_exactk_sample
+
+        docs = load(spark, sf_dir, "documents")
+        stratum_sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        first = corpus_exactk_sample(spark, sf_dir).collect()
+        per_lang: dict[str, int] = {}
+        for r in first:
+            per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        for lang, n in per_lang.items():
+            assert n == min(200, stratum_sizes[lang]), lang
+        again = {(r.doc_id, r.lang, r.rank) for r in corpus_exactk_sample(spark, sf_dir).collect()}
+        assert again == {(r.doc_id, r.lang, r.rank) for r in first}
+
     def test_dsir_importance_crafted(self, spark):
         """DSIR integer scoring on a crafted corpus: 'a b' occurs 4x
         corpus-wide of which 3 in target docs; per-doc sums follow, and
