@@ -667,21 +667,35 @@ class TestNl2Sql:
         for k in ("GEMINI_API_KEY", "OPENAI_BASE_URL", "OPENAI_MODEL"):
             monkeypatch.delenv(k, raising=False)
         monkeypatch.setenv("ALREADY_SET", "winner")
+        # monkeypatch.delenv on an ALREADY-missing key registers no undo,
+        # so the vars load_env_file applies must be popped explicitly or
+        # they leak into later tests (bit the webapp surface tests once:
+        # a leaked OPENAI_BASE_URL flipped default_generator online)
         applied = load_env_file()
-        assert applied["GEMINI_API_KEY"] == "from-dotenv"
-        assert os.environ["OPENAI_BASE_URL"] == "http://dotenv.local/v1"
-        assert os.environ["OPENAI_MODEL"] == "m-dotenv"
-        assert os.environ["ALREADY_SET"] == "winner"  # no override
-        assert "ALREADY_SET" not in applied
+        try:
+            assert applied["GEMINI_API_KEY"] == "from-dotenv"
+            assert os.environ["OPENAI_BASE_URL"] == "http://dotenv.local/v1"
+            assert os.environ["OPENAI_MODEL"] == "m-dotenv"
+            assert os.environ["ALREADY_SET"] == "winner"  # no override
+            assert "ALREADY_SET" not in applied
+        finally:
+            for k in applied:
+                os.environ.pop(k, None)
 
     def test_openai_compat_picks_up_dotenv(self, monkeypatch, tmp_path):
         from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
 
+        import os
+
         (tmp_path / ".env").write_text("OPENAI_BASE_URL=http://dotenv.local/v1\n")
         monkeypatch.chdir(tmp_path)
         monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
-        gen = OpenAICompatSqlGenerator(api_key="k", transport=lambda *a: {})
-        assert gen.base_url == "http://dotenv.local/v1"
+        try:
+            gen = OpenAICompatSqlGenerator(api_key="k", transport=lambda *a: {})
+            assert gen.base_url == "http://dotenv.local/v1"
+        finally:
+            # delenv-on-missing registers no undo; see the leak note above
+            os.environ.pop("OPENAI_BASE_URL", None)
 
 
 # ---------------------------------------------------------------------------
