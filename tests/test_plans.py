@@ -705,3 +705,28 @@ def test_lsh_max_bucket_count_rides_join_bucket_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
     # the cap filter sits between the window count and the join
     assert "__bsz" in plan and "<= 50" in plan, plan
+
+
+def test_prefix_jaccard_candidate_join_spreads_by_token_chunk(spark, sf_dir):
+    """jaccard_pairs_prefix (r12): the candidate self-join must key on
+    (token, chunk), not token alone — partitioning by token serializes
+    92% of the sf1.0 fan-out onto the handful of hot posting lists. The
+    chunk partitioning is a USER repartition on both sides precisely so
+    AQE's byte-based coalescing cannot re-fuse the cells (the join input
+    is only megabytes; the fan-out is what needs the width), so the plan
+    must carry (__tok, __c) hashpartitioning exchanges that survive into
+    the executed plan."""
+    from ai_duckdb_spark.operators.dedup import jaccard_pairs_prefix
+    from ai_duckdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    plan = executed_plan(jaccard_pairs_prefix(docs, "doc_id", "text", 0.9))
+    cell_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(__tok" in ln and "__c#" in ln
+    ]
+    assert len(cell_exchanges) >= 1, plan
+    # the probe side replicates per chunk: the explode over the chunk
+    # sequence must be present (rare tokens get k=1 and replicate once)
+    assert "sequence(0," in plan, plan
