@@ -213,6 +213,10 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "pipeline_semantic_corpus",
     "dedup_prefix_jaccard_pairs",
+    # late-r12 widen wave 2 (events-table JSON parse, same class):
+    # variant_json_stats is already in the r07 bucket above
+    "props_map_functions",
+    "json_extract_events",
     # --- entries BUILT in r12 (birth-round precedent): the approx
     # winsorize twin (rows-only), the oracle-paired portable SimHash
     # (graduates the SimHash class to hash-exact), and the exact-k
@@ -220,7 +224,7 @@ DRIVER_WINDOW: list[str] = [
     "winsorized_approx_stats",
     "dedup_simhash_portable",
     "corpus_exactk_sample",
-    # --- r08 bucket drain begins (13 of 47, alphabetical) ---
+    # --- r08 bucket drain begins (11 of 47, alphabetical) ---
     "corpus_contamination",
     "corpus_gopher_rules",
     "dedup_bigram_jaccard_pairs",
@@ -232,8 +236,6 @@ DRIVER_WINDOW: list[str] = [
     "maintenance_snapshot_diff",
     "multimodal_adpcm_sample_stats",
     "multimodal_binary_ingest",
-    "multimodal_frame_sample",
-    "multimodal_g711_sample_stats",
 ]
 
 

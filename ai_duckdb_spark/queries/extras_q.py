@@ -148,8 +148,16 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed JSON functions (F5): parse props into map<string,bigint>,
     explode to key/value rows, aggregate per key — the generic pipeline
     for heterogeneous JSON payloads (the fixture has one key; the plan
-    shape is key-count-agnostic)."""
-    events = load(spark, sf_dir, "events")
+    shape is key-count-agnostic).
+
+    The per-row from_json parse is CPU-dense, so the props projection is
+    widened past I/O-sized splits first (the r11/r12 stage-width class,
+    session.widen_narrow_scan — the sf1.0 events file is one split, so
+    the parse ran on 1 of 32 cores; conditional, inert on a many-split
+    scan). Measured sf1.0: 3.0 s -> 1.2 s (residual is fresh-session job floor)."""
+    from ..session import widen_narrow_scan
+
+    events = widen_narrow_scan(load(spark, sf_dir, "events").select("props"))
     kv = events.select(
         F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "val")
     )
@@ -565,8 +573,16 @@ def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``variant_get`` — unlike per-expression ``get_json_object``,
     which re-parses the string for every extraction. At 100 TB the parse
     happens at ingest and the variant column is what's stored; shredded
-    access stays columnar."""
-    events = load(spark, sf_dir, "events")
+    access stays columnar.
+
+    The parse_json pass is widened past I/O-sized splits first (r12
+    stage-width class — the single-split sf1.0 events scan serialized
+    the parse onto one core). Measured sf1.0: 2.4 s -> 2.0 s cold-session protocol (the parse itself parallelized; the residual is job floor)."""
+    from ..session import widen_narrow_scan
+
+    events = widen_narrow_scan(
+        load(spark, sf_dir, "events").select("event_type", "props")
+    )
     v = events.select("event_type", F.parse_json("props").alias("v"))
     k = F.variant_get("v", "$.k", "bigint")
     return (

@@ -91,6 +91,7 @@ _R12_CHANGED = {
     "corpus_dsir_select", "dedup_incremental", "dedup_embedding_cosine",
     "pipeline_semantic_corpus", "dedup_prefix_jaccard_pairs",
     "dedup_semantic_exact",  # via the rounded cosine cut (also r07-stale)
+    "props_map_functions", "json_extract_events",  # events-JSON widen wave
 }
 # entries BUILT in r12 earn driver rows in their birth round
 _R12_BUILT = {
