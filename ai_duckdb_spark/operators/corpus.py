@@ -161,6 +161,14 @@ def scrub_pii(
     traversals instead of 6, which at 100 TB halves the dominant CPU of
     the privacy pass (r12; measured sf1.0 entry 1.5 s -> 1.1 s).
 
+    Semantics: n_kind counts redactions PERFORMED — pattern k applied to
+    the text as the earlier replaces left it — which is the redaction
+    ledger a privacy pass actually needs. This differs from counting
+    raw-text matches only when a match of one kind swallows another
+    kind's match (e.g. a phone-shaped local-part inside an email); the
+    paired oracle uses the same sequential formula, and the hypothesis
+    property test pins both against an independent re.subn chain.
+
     Exactness of the literal count (n_kind = occ(clean, sentinel) -
     occ(raw, sentinel), occ by literal replace-and-length-delta):
       * every replacement inserts the exact sentinel string, so inserted

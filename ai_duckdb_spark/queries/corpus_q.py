@@ -209,17 +209,28 @@ _IPV4_RE = cp.PII_PATTERNS["ipv4"]
                        ELSE '' END AS text
         FROM documents
     ),
-    scrubbed AS (
-        SELECT lang,
-               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
-               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
-               len(regexp_extract_all(text, '{_IPV4_RE}'))  AS n_ipv4,
-               length(text)
-                 - length(regexp_replace(regexp_replace(regexp_replace(text,
-                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{_PHONE_RE}', '<PHONE>', 'g'),
-                       '{_IPV4_RE}', '<IPV4>', 'g')) AS chars_delta
+    cleaned AS (
+        SELECT lang, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IPV4_RE}', '<IPV4>', 'g') AS ct
         FROM seeded
+    ),
+    scrubbed AS (
+        -- counts = redactions PERFORMED (sequential semantics), the same
+        -- literal sentinel-delta formula the engine uses — input-agnostic
+        -- pairing even when a match of one kind swallows another kind's
+        -- match (operators/corpus.py scrub_pii exactness notes)
+        SELECT lang,
+               (length(ct) - length(replace(ct, '<EMAIL>', ''))) // 7
+                 - (length(text) - length(replace(text, '<EMAIL>', ''))) // 7 AS n_email,
+               (length(ct) - length(replace(ct, '<PHONE>', ''))) // 7
+                 - (length(text) - length(replace(text, '<PHONE>', ''))) // 7 AS n_phone,
+               (length(ct) - length(replace(ct, '<IPV4>', ''))) // 6
+                 - (length(text) - length(replace(text, '<IPV4>', ''))) // 6 AS n_ipv4,
+               length(text) - length(ct) AS chars_delta
+        FROM cleaned
     )
     SELECT lang,
            count(*)                                        AS n_docs,

@@ -392,3 +392,124 @@ class TestCodecProperties:
         dw, dh, rows = M.decode_jpeg_pixels(M.make_jpeg_image(w, h, f))
         assert (dw, dh) == (w, h)
         assert all(rows[y][x] == f(x, y) for y in range(h) for x in range(w))
+
+
+# ---------------------------------------------------------------------------
+# r12 rewrites pinned against independent pure-Python references.
+# ---------------------------------------------------------------------------
+
+
+class TestR12RewriteProperties:
+    _pii_text = st.one_of(
+        st.text(alphabet="ab01.-@ <>EMAILPHONE", max_size=40),
+        # composites that actually exercise the patterns, including the
+        # cross-kind-swallow case (phone-shaped local part of an email)
+        st.tuples(
+            st.sampled_from(["x", "555-010-1234", "<EMAIL>", "10.0.3.9", ""]),
+            st.sampled_from(
+                ["u1@a.bc", "555-123-4567@mail.com", "<PHONE>", "1.2.3.4", "z"]
+            ),
+        ).map(lambda t: f"{t[0]} {t[1]} end"),
+    )
+
+    @staticmethod
+    def _ref_scrub(text: str) -> tuple[str, int, int, int]:
+        """Independent sequential-redaction reference (re.subn chain)."""
+        import re
+
+        from ai_duckdb_spark.operators.corpus import PII_PATTERNS
+
+        counts = []
+        for kind, pat in PII_PATTERNS.items():
+            text, n = re.subn(pat, f"<{kind.upper()}>", text)
+            counts.append(n)
+        return (text, *counts)
+
+    @given(st.lists(_pii_text, min_size=1, max_size=6))
+    @settings(max_examples=15, deadline=None)
+    def test_scrub_pii_matches_re_subn_chain(self, spark, texts):
+        """scrub_pii's literal-delta counts == an independent re.subn
+        sequential redaction on adversarial inputs (pre-existing
+        sentinels, overlapping kinds, empty strings)."""
+        from ai_duckdb_spark.operators.corpus import scrub_pii
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        for i, t in enumerate(texts):
+            clean, ne, np_, ni = self._ref_scrub(t)
+            r = got[i]
+            assert (r.clean_text, r.n_email, r.n_phone, r.n_ipv4) == (
+                clean,
+                ne,
+                np_,
+                ni,
+            ), (t, r)
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["w0", "w1", "w2", "w3", "w4", "w5"]),
+                min_size=1,
+                max_size=5,
+                unique=True,
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        st.sampled_from([0.5, 0.75, 0.9]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_prefix_jaccard_collapse_equals_exact(self, spark, token_sets, t):
+        """The r12 duplication-collapse + chunk-split rewrite of
+        jaccard_pairs_prefix must return EXACTLY jaccard_pairs_exact's
+        relation on random small-vocabulary corpora — tiny vocab forces
+        hot postings, duplicate sets (the same-set 1.0 path), and the
+        cross-set fan-back all at once."""
+        from ai_duckdb_spark.operators import dedup
+
+        rows = [(i, " ".join(s)) for i, s in enumerate(token_sets)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {
+            (r.id1, r.id2, round(r.jaccard, 9))
+            for r in dedup.jaccard_pairs_exact(df, "doc_id", "text", t).collect()
+        }
+        pref = {
+            (r.id1, r.id2, round(r.jaccard, 9))
+            for r in dedup.jaccard_pairs_prefix(df, "doc_id", "text", t).collect()
+        }
+        assert pref == exact, (token_sets, t)
+
+    @staticmethod
+    def _ref_simhash60(tokens: set[str]) -> int:
+        import hashlib
+
+        votes = [0] * 60
+        for tok in tokens:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    @given(
+        st.lists(
+            st.lists(
+                st.text(alphabet="abcde0", min_size=1, max_size=6),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_simhash60_md5_matches_python_reference(self, spark, docs):
+        """The portable fingerprint == an independent hashlib.md5
+        majority-vote reference on arbitrary token multisets (the
+        operator dedups tokens; the reference uses the set)."""
+        from ai_duckdb_spark.operators import dedup
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.simhash for r in dedup.simhash60_md5(df, "doc_id", "text").collect()}
+        for i, toks in enumerate(docs):
+            assert got[i] == self._ref_simhash60(set(toks)), (toks, got[i])
