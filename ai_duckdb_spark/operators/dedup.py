@@ -1060,6 +1060,88 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def minhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """PORTABLE MinHash signatures: permutation ``i`` hashes a token to
+    the 60-bit integer from the first 15 hex chars of
+    ``md5(i || ':' || token)`` and takes the min over the distinct-token
+    set — a pure function of the data, so an oracle engine recomputes
+    every signature component bit-for-bit (the r12 simhash60_md5 move
+    applied to the MinHash family; the murmur3 `minhash_signatures`
+    above stays as the faster engine-internal production tier).
+
+    Same single-shuffle shape as minhash_signatures: one explode + one
+    groupBy computing all ``num_hashes`` mins in a single aggregation
+    pass. Returns (__id, signature array<long>).
+    """
+    postings = _token_sets(df, id_col, text_col).select(
+        "__id", F.explode("__tokens").alias("__tok")
+    )
+    mins = postings.groupBy("__id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("__tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_banded_pairs_exact(sigs: DataFrame, bands: int) -> DataFrame:
+    """Candidate pairs sharing at least one EXACT band slice — the
+    engine-independent banding twin of lsh_candidate_pairs.
+
+    The production tier buckets on xxhash64(band, slice) (one long per
+    row, faster join key) and tolerates hash collisions because its
+    callers exact-verify candidates; here the bucket key is the literal
+    decimal rendering of (band, slice) — collision-free by
+    construction — so the candidate relation is EXACTLY the
+    "shares >= 1 band" set an oracle brute-forces, making the composed
+    MinHash pipeline hash-matchable at the driver. Same sub-quadratic
+    shape: shuffle by bucket, self-join per bucket.
+    """
+    rows = (F.size(F.col("signature")) / bands).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.slice(F.col("signature"), b * rows + 1, rows),
+    )
+    banded = sigs.select(
+        "__id",
+        F.posexplode(slices).alias("__band", "__slice"),
+    ).select(
+        "__id",
+        F.concat_ws(
+            ",",
+            F.col("__band").cast("string"),
+            F.concat_ws(",", F.transform("__slice", lambda x: x.cast("string"))),
+        ).alias("__bucket"),
+    )
+    banded = banded.repartition(default_parallelism(), "__bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+        .distinct()
+    )
+
+
 # Auto-strategy boundary for exact cosine all-pairs: one corpus copy
 # must fit in every executor to broadcast (vectors are array<double>, so
 # ~8 bytes/dim/row + arrow overhead). 256 MB leaves headroom in a 4 GB
