@@ -38,17 +38,31 @@ def load_env_file(path: str | None = None) -> dict[str, str]:
     double quotes stripped, existing env vars NEVER overridden. With no
     ``path``, searches ``.env`` upward from the current directory (the
     find_dotenv behavior the reference relies on when launched from a
-    subdirectory). Returns the variables newly applied.
+    subdirectory), BOUNDED (r13, r12 ADVICE): the walk stops at the
+    first directory that looks like a project root (contains ``.git``
+    or ``pyproject.toml``) and never climbs past the user's home
+    directory — an unbounded walk would let a stray ``.env`` in $HOME
+    or / silently inject API keys into every launch from below it.
+    Returns the variables newly applied.
     """
     if path is None:
-        d = os.getcwd()
+        home = os.path.expanduser("~")
+        start = os.getcwd()
+        d = start
         while True:
+            if d == home and d != start:
+                # climbed INTO $HOME from below: a ~/.env is not this
+                # project's config — only load it when launched from ~
+                return {}
             cand = os.path.join(d, ".env")
             if os.path.isfile(cand):
                 path = cand
                 break
+            at_marker = os.path.isdir(os.path.join(d, ".git")) or os.path.isfile(
+                os.path.join(d, "pyproject.toml")
+            )
             parent = os.path.dirname(d)
-            if parent == d:
+            if at_marker or parent == d:
                 return {}
             d = parent
     if not os.path.isfile(path):
@@ -70,6 +84,10 @@ def load_env_file(path: str | None = None) -> dict[str, str]:
                 key, val = key.strip(), val.strip()
                 if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
                     val = val[1:-1]
+                elif "#" in val:
+                    # python-dotenv parity: an unquoted value ends at the
+                    # first ' #' inline comment (quoted values keep '#')
+                    val = re.split(r"\s+#", val, 1)[0].rstrip()
                 if key:
                     parsed[key] = val
     applied = {k: v for k, v in parsed.items() if k not in os.environ}

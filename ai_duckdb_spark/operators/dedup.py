@@ -1202,7 +1202,13 @@ def embedding_cosine_pairs(
     makes inclusion exactly as robust as the values being hashed. The
     numpy kernel pre-masks with a 1e-4-relaxed cut and leaves the
     authoritative rounded comparison to the same Spark ``F.round``
-    expression the other tiers use.
+    expression the other tiers use. (Residual boundary note, r12
+    ADVICE: a cosine landing EXACTLY on a 4th-decimal half-boundary
+    relies on Spark's exact-decimal HALF_UP round and DuckDB's
+    float-multiply round agreeing — this ulp-boundary class pre-existed
+    on the unrounded cut and has never surfaced in an oracle run; if
+    one ever does, switch to an epsilon-widened cut plus rounded
+    emission.)
 
     Domain: zero-norm vectors have no defined cosine and are excluded
     from pairing by an identical ``sum(x²) > 0`` pre-filter in every

@@ -171,71 +171,84 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # is already in the r07 bucket above), and dedup_prefix_jaccard_pairs
 # (duplication-collapse rewrite). Plus the entry r12 BUILT
 # (winsorized_approx_stats, rows-only by design — birth-round
-# precedent). The remaining 15 slots begin draining the 47-entry r08
-# bucket alphabetically. The 50 r11-green rows rotate OUT (auditable in
-# CORRECTNESS_r11.json). After this window the oldest driver row
-# anywhere is r08.
+# precedent). The remaining 11 slots begin draining the r08 bucket
+# alphabetically (11 of its then-43 remaining entries — COVERAGE.md and
+# tests/test_catalog_oracle.py carry the same count). The 50 r11-green
+# rows rotate OUT (auditable in CORRECTNESS_r11.json). After this window
+# the oldest driver row anywhere is r08.
+# r13 rotation (judge r12 item 3): oldest-first drains the ENTIRE
+# remaining r08 bucket — all 32 entries per scripts/driver_row_ages.py
+# (multimodal codec tier, pandas_udf_token_count, pipeline_training_
+# corpus, range_join_recent_activity — also r13-CHANGED: bucketized
+# equi-join — recursive_cte_monthly_series, scd2_customer_price_history,
+# search_term_proximity, sink_csv_gzip_roundtrip, stats_corr_qty_price,
+# the two r08 streaming entries, string_agg_nations_by_region,
+# window_analytics_suite). Plus the entry r13 CHANGED outside that
+# bucket (corpus_chunk_windows — dead global ORDER BY dropped; standing
+# precedent: changed code re-earns a driver row in the round it
+# changes) and the two entries r13 BUILT (dedup_minhash_portable,
+# dedup_minhash_portable_components — the md5-portable graduation of
+# the MinHash family, judge r12 item 4; birth-round precedent). The
+# remaining 14 slots begin draining the 41-entry r09 bucket
+# alphabetically (computed_projection .. multimodal_audio_headers).
+# The 47 r12-green rows rotate OUT (auditable in CORRECTNESS_r12.json).
+# After this window the oldest driver row anywhere is r09.
 DRIVER_WINDOW: list[str] = [
     "flagship_revenue_argmax",
-    # --- the r07 bucket (23) ---
+    # --- the full remaining r08 bucket (32, alphabetical) ---
+    "multimodal_frame_sample",
+    "multimodal_g711_sample_stats",
+    "multimodal_gif_interlaced_stats",
+    "multimodal_gif_pixel_stats",
+    "multimodal_image_features",
+    "multimodal_image_headers",
+    "multimodal_jpeg420_stats",
+    "multimodal_jpeg_color_stats",
+    "multimodal_jpeg_luma_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg_resize_stats",
+    "multimodal_png_alpha_stats",
+    "multimodal_png_gray16_stats",
+    "multimodal_png_interlaced_stats",
+    "multimodal_png_palette_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_resize_stats",
+    "multimodal_stereo_sample_stats",
+    "multimodal_tiff_pixel_stats",
+    "multimodal_video_mjpeg_stats",
+    "pandas_udf_token_count",
+    "pipeline_training_corpus",
+    "range_join_recent_activity",  # also r13-CHANGED (bucketized join)
+    "recursive_cte_monthly_series",
+    "scd2_customer_price_history",
+    "search_term_proximity",
+    "sink_csv_gzip_roundtrip",
+    "stats_corr_qty_price",
+    "streaming_incremental_dedup",
+    "streaming_stateful_user_totals",
+    "string_agg_nations_by_region",
+    "window_analytics_suite",
+    # --- entry CHANGED in r13 re-earns a driver row ---
     "corpus_chunk_windows",
-    "corpus_pack_sequences",
-    "dedup_exact_spans",
-    "dedup_semantic_exact",  # also r12-changed (rounded cosine cut)
-    "dedup_survivors",
-    "multimodal_audio_sample_stats",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "sink_bucketed_join",
-    "sink_orc_roundtrip",
-    "sink_partitioned_roundtrip",
-    "skew_salted_counts",
-    "skyline_parts",
-    "stats_ols_probe",
-    "summarize_orders",
-    "unpivot_customer_metrics",
-    "variant_json_stats",
-    # --- deferred rows-only tiers earn their (weaker) driver rows ---
-    "knn_ivfpq_cosine",
-    "dedup_semdedup",
-    # --- entries CHANGED in r12 re-earn driver rows (8) ---
-    "corpus_pii_scrub",
-    "text_repetition_metrics",
-    "lm_bigram_score",
-    "corpus_dsir_select",
-    "dedup_incremental",
-    "dedup_embedding_cosine",
-    "pipeline_semantic_corpus",
-    "dedup_prefix_jaccard_pairs",
-    # late-r12 widen wave 2 (events-table JSON parse, same class):
-    # variant_json_stats is already in the r07 bucket above
-    "props_map_functions",
-    "json_extract_events",
-    # --- entries BUILT in r12 (birth-round precedent): the approx
-    # winsorize twin (rows-only), the oracle-paired portable SimHash
-    # (graduates the SimHash class to hash-exact), and the exact-k
-    # stratified sampler ---
-    "winsorized_approx_stats",
-    "dedup_simhash_portable",
-    "corpus_exactk_sample",
-    # --- r08 bucket drain begins (11 of 47, alphabetical) ---
-    "corpus_contamination",
-    "corpus_gopher_rules",
-    "dedup_bigram_jaccard_pairs",
-    "dedup_cdc_chunks",
-    "dedup_components",
-    "full_outer_nation_parties",
-    "grouped_zscore_pandas",
-    "hybrid_search_rrf",
-    "maintenance_snapshot_diff",
-    "multimodal_adpcm_sample_stats",
-    "multimodal_binary_ingest",
+    # --- entries BUILT in r13 (birth-round precedent): the md5-portable
+    # MinHash graduation, pair + connectivity granularity ---
+    "dedup_minhash_portable",
+    "dedup_minhash_portable_components",
+    # --- r09 bucket drain begins (14 of 41, alphabetical) ---
+    "computed_projection",
+    "corpus_length_buckets",
+    "corpus_source_rebalance",
+    "corpus_stratified_sample",
+    "corpus_temperature_resample",
+    "corpus_train_split",
+    "events_funnel_conversion",
+    "events_peak_hourly_rate",
+    "events_retention_cohorts",
+    "filter_project_pushdown",
+    "fuzzy_name_pairs_blocked",
+    "maintenance_compact_files",
+    "maintenance_incremental_agg",
+    "multimodal_audio_headers",
 ]
 
 

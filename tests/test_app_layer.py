@@ -682,6 +682,78 @@ class TestNl2Sql:
             for k in applied:
                 os.environ.pop(k, None)
 
+    def test_env_walk_stops_at_project_root_marker(self, monkeypatch, tmp_path):
+        """r13 (r12 ADVICE): the upward .env search is BOUNDED — a .git
+        or pyproject.toml marker marks the project root, and a stray
+        .env in some directory ABOVE the project must not inject keys."""
+        import os
+
+        from ai_duckdb_spark.nl2sql import load_env_file
+
+        (tmp_path / ".env").write_text("SNEAKY_KEY=oops\n")
+        proj = tmp_path / "proj"
+        (proj / ".git").mkdir(parents=True)
+        sub = proj / "src"
+        sub.mkdir()
+        monkeypatch.chdir(sub)
+        monkeypatch.delenv("SNEAKY_KEY", raising=False)
+        applied = load_env_file()
+        try:
+            assert applied == {}
+            assert "SNEAKY_KEY" not in os.environ
+        finally:
+            os.environ.pop("SNEAKY_KEY", None)
+
+    def test_env_walk_does_not_climb_into_home(self, monkeypatch, tmp_path):
+        """~/.env loads only when launched FROM ~, never discovered by
+        climbing into it from an unmarked subtree."""
+        import os
+
+        from ai_duckdb_spark.nl2sql import load_env_file
+
+        monkeypatch.setenv("HOME", str(tmp_path))
+        (tmp_path / ".env").write_text("HOME_ENV_KEY=fromhome\n")
+        sub = tmp_path / "plain" / "subdir"  # no marker anywhere
+        sub.mkdir(parents=True)
+        monkeypatch.delenv("HOME_ENV_KEY", raising=False)
+        monkeypatch.chdir(sub)
+        applied_from_sub = load_env_file()
+        monkeypatch.chdir(tmp_path)
+        applied_from_home = load_env_file()
+        try:
+            assert applied_from_sub == {}
+            assert applied_from_home == {"HOME_ENV_KEY": "fromhome"}
+        finally:
+            os.environ.pop("HOME_ENV_KEY", None)
+
+    def test_env_fallback_parser_strips_inline_comments(self, monkeypatch, tmp_path):
+        """python-dotenv parity in the no-dotenv fallback parser (r12
+        ADVICE): an UNQUOTED value ends at the first whitespace-#
+        inline comment; quoted values keep their '#'; '#' embedded
+        without whitespace is part of the value."""
+        import os
+        import sys
+
+        from ai_duckdb_spark.nl2sql import load_env_file
+
+        env = tmp_path / ".env"
+        env.write_text(
+            "PLAIN=value # trailing comment\n"
+            "QUOTED='keep # this'\n"
+            "EMBEDDED=a#b\n"
+        )
+        for k in ("PLAIN", "QUOTED", "EMBEDDED"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.setitem(sys.modules, "dotenv", None)  # force fallback
+        applied = load_env_file(str(env))
+        try:
+            assert applied["PLAIN"] == "value"
+            assert applied["QUOTED"] == "keep # this"
+            assert applied["EMBEDDED"] == "a#b"
+        finally:
+            for k in applied:
+                os.environ.pop(k, None)
+
     def test_openai_compat_picks_up_dotenv(self, monkeypatch, tmp_path):
         from ai_duckdb_spark.nl2sql import OpenAICompatSqlGenerator
 

