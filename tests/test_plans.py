@@ -743,19 +743,16 @@ def test_chunk_windows_is_shuffle_free_map(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_range_join_is_bucketized_equi_join(spark, sf_dir):
-    """range_join_recent_activity (r13, judge r12 item 1): the join key
-    must be (user, ts-bucket), not user alone — keying on user_id alone
-    fans every error out against the user's whole event history before
-    the 5-minute filter runs (9.6x at sf1.0). The bucket column must
-    appear IN the join key list (not merely in the post-join filter),
-    and the two-bucket candidate explode must be present."""
+def test_range_join_is_single_shuffle_window_frame(spark, sf_dir):
+    """range_join_recent_activity (r13, judge r12 item 1): the
+    self-range-join must plan as ONE user-keyed exchange feeding a
+    sliding RANGE-frame window — no join at all (the user-id-only
+    equi-join fanned every error against the user's whole history,
+    9.6x at sf1.0; even the bucketized equi-join shape costs 3
+    exchanges to the window's 1)."""
     plan = _plan(spark, sf_dir, "range_join_recent_activity")
-    join_lines = [
-        ln
-        for ln in plan.splitlines()
-        if "Join" in ln and "user_id" in ln
-    ]
-    assert join_lines, plan
-    assert any("__bkt" in ln and "a_bkt" in ln for ln in join_lines), plan
-    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "RangeFrame, -300000000" in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], plan
