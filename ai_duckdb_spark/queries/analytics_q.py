@@ -348,7 +348,16 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling are deterministic and both percent_rank and cume_dist are
     integer-ratio divisions, bit-identical cross-engine. The filter is
     applied AFTER the window (QUALIFY semantics): ranks are over the
-    full partition, the output is just the expensive tail."""
+    full partition, the output is just the expensive tail.
+
+    Scale note (r13 jobs audit): the window partition key has only 5
+    distinct values, so the sort runs on at most 5 tasks whatever the
+    cluster width — that is SEMANTIC (percent_rank/cume_dist rank a row
+    against its entire priority class); at 100 TB this entry would move
+    to a two-pass distributed rank (per-partition histogram + offset
+    merge). No trailing global sort (the driver hash is
+    order-insensitive; the oracle's ORDER BY never binds) — the 5-key
+    window exchange+sort is the documented floor (SCALE.md)."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
@@ -364,7 +373,6 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_totalprice") > 490000)
         .drop("o_totalprice")
-        .orderBy("o_orderpriority", "o_orderkey")
     )
 
 

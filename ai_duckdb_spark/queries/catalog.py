@@ -189,8 +189,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # changes) and the two entries r13 BUILT (dedup_minhash_portable,
 # dedup_minhash_portable_components — the md5-portable graduation of
 # the MinHash family, judge r12 item 4; birth-round precedent). The
-# remaining 14 slots begin draining the 41-entry r09 bucket
-# alphabetically (computed_projection .. multimodal_audio_headers).
+# five entries the r13 jobs-count audit CHANGED also re-earn rows
+# (join_customer_orders_left — agg pushed below the join,
+# events_dedup_minute — timestamp-keyed grouping, tfidf_top_terms —
+# single-pass aggregate + term-window df, window_distribution_suite and
+# text_rarity_scores — dead trailing sorts dropped; the last two are
+# r09-bucket members entering early). The remaining 9 slots begin
+# draining the 41-entry r09 bucket alphabetically (computed_projection
+# .. events_retention_cohorts).
 # The 47 r12-green rows rotate OUT (auditable in CORRECTNESS_r12.json).
 # After this window the oldest driver row anywhere is r09.
 DRIVER_WINDOW: list[str] = [
@@ -234,7 +240,13 @@ DRIVER_WINDOW: list[str] = [
     # MinHash graduation, pair + connectivity granularity ---
     "dedup_minhash_portable",
     "dedup_minhash_portable_components",
-    # --- r09 bucket drain begins (14 of 41, alphabetical) ---
+    # --- entries CHANGED by the r13 jobs-count audit (5) ---
+    "join_customer_orders_left",
+    "events_dedup_minute",
+    "tfidf_top_terms",
+    "window_distribution_suite",
+    "text_rarity_scores",
+    # --- r09 bucket drain begins (9 of 41, alphabetical) ---
     "computed_projection",
     "corpus_length_buckets",
     "corpus_source_rebalance",
@@ -244,11 +256,6 @@ DRIVER_WINDOW: list[str] = [
     "events_funnel_conversion",
     "events_peak_hourly_rate",
     "events_retention_cohorts",
-    "filter_project_pushdown",
-    "fuzzy_name_pairs_blocked",
-    "maintenance_compact_files",
-    "maintenance_incremental_agg",
-    "multimodal_audio_headers",
 ]
 
 

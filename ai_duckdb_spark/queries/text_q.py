@@ -339,9 +339,11 @@ def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-rarity quality scores for every document (X8 beyond
     the reference — the CCNet perplexity-filter signal as exact integer
     corpus-frequency means; see operators/textstats.py
-    token_rarity_stats for the scale/exactness argument)."""
+    token_rarity_stats for the scale/exactness argument). No trailing
+    global sort (r13 jobs audit — the driver hash is order-insensitive
+    and a 50k-row range exchange bought nothing)."""
     docs = load(spark, sf_dir, "documents")
-    return ts.token_rarity_stats(docs, "doc_id", "text").orderBy("doc_id")
+    return ts.token_rarity_stats(docs, "doc_id", "text")
 
 
 @register(

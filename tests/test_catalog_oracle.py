@@ -88,9 +88,14 @@ _R13_STALE_SUBSET = {
     "search_term_proximity", "sink_csv_gzip_roundtrip",
     "streaming_incremental_dedup", "streaming_stateful_user_totals",
     "string_agg_nations_by_region", "window_analytics_suite",
-    "computed_projection", "multimodal_audio_headers",  # r09 drain begins
+    "computed_projection", "events_retention_cohorts",  # r09 drain begins
 }
-_R13_CHANGED = {"range_join_recent_activity", "corpus_chunk_windows"}
+_R13_CHANGED = {
+    "range_join_recent_activity", "corpus_chunk_windows",
+    # the r13 jobs-count audit rewrites
+    "join_customer_orders_left", "events_dedup_minute", "tfidf_top_terms",
+    "window_distribution_suite", "text_rarity_scores",
+}
 # entries BUILT in r13 earn driver rows in their birth round
 _R13_BUILT = {"dedup_minhash_portable", "dedup_minhash_portable_components"}
 
