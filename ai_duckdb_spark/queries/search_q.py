@@ -456,6 +456,21 @@ def search_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.filter(
         F.array_contains(toks, "hash") & F.array_contains(toks, "join")
     )
+    # r13: the gate keeps ~63% of docs (it selects candidates, it does
+    # not prune the corpus), so the 4-HOF position projection below is
+    # the entry's real cost — and it inherited the documents file's
+    # I/O-sized split count (1-2 tasks at sf1.0; the r11 narrow-scan
+    # class, session.widen_narrow_scan). Widen the SURVIVORS: the
+    # array_contains gate still runs at the scan (pushdown substitutes
+    # it below the repartition — O(len) per doc, the cheap part), the
+    # exchange then carries candidate (doc_id, __toks) rows and the
+    # position HOFs + TakeOrdered heaps run on every core. Conditional,
+    # so inert on a real many-split corpus scan. Measured sf1.0: warm
+    # median 2.30 s -> 1.43 s (min 1.92 -> 1.29; jobs 2 -> 3, the
+    # widen's extra stage; scan+gate alone is ~0.7 s of the residue).
+    from ..session import widen_narrow_scan
+
+    docs = widen_narrow_scan(docs)
     pos = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
         F.array().cast("array<int>")
     )

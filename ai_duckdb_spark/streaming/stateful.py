@@ -74,9 +74,22 @@ def _update_user_totals(
 
 
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary-stateful running totals per user over the event stream."""
+    """Arbitrary-stateful running totals per user over the event stream.
+
+    The state function reads only ``value`` (plus the grouping key), but
+    applyInPandasWithState is opaque to Catalyst — without an explicit
+    projection EVERY event column (event_id, event_type, ts, the props
+    JSON string) is shuffled to the state partitions and crosses the
+    JVM→Arrow→pandas boundary per key (optimization guide §4: pass only
+    the columns the function needs). Narrowing to (user_id, value)
+    halved the measured batch time at sf1.0 (addBatch ~8.0 s → ~4.3 s,
+    same host, 1M rows / 15k keys / 1 micro-batch — r13 audit; the
+    residue is the per-key state-machine floor: 15k GroupState
+    roundtrips + per-group pandas slices, which IS the operator being
+    exercised)."""
     out = (
         _event_stream(spark, sf_dir)
+        .select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_totals,
@@ -143,6 +156,7 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         _event_stream(spark, sf_dir)
+        .select("user_id", "value")  # same §4 narrowing as the aIPWS tier
         .groupBy("user_id")
         .transformWithStateInPandas(
             Processor(),

@@ -612,6 +612,7 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned in TestCountMin).
     """
     from ..operators import sketches
+    from ..session import widen_narrow_scan
 
     out = scratch_dir("cms_sink_")
     ckpt = scratch_dir("cms_ckpt_")
@@ -619,7 +620,14 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _document_stream(spark, sf_dir).select("text")
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        toks = batch_df.select(
+        # r13: a file-source micro-batch inherits the source's I/O-sized
+        # split count (1-2 partitions for the single fixture file), and
+        # cms_build's map side fans every token to depth cells (explode +
+        # 4×xxhash64 per token — the CPU-dense part). Inside foreachBatch
+        # this is a plain batch DataFrame, so the narrow-scan widen
+        # applies as-is and the fan runs on every core; the (d, bucket)
+        # count that follows shuffles ≤ depth×width rows either way.
+        toks = widen_narrow_scan(batch_df).select(
             F.explode(F.split(F.col("text"), " ")).alias("tok")
         ).filter(F.length("tok") > 0)
         (
@@ -644,7 +652,7 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
     )
     toks = (
-        spark.read.parquet(table_path(sf_dir, "documents"))
+        widen_narrow_scan(spark.read.parquet(table_path(sf_dir, "documents")).select("text"))
         .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.length("tok") > 0)
     )
