@@ -861,7 +861,9 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.percentile`` is proven in tests. A 3-value partition key caps
     reduce parallelism at 3; the exact-percentile contract pins that
     (both engines sort per group) — at 100 TB the profiling answer is
-    approx_percentile/t-digest, catalogued separately (approx_stats)."""
+    approx_percentile/t-digest, catalogued separately (approx_stats).
+    When to use which tier: SCALE.md §"r13: winsorized exact vs approx —
+    the decision table"."""
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
@@ -934,7 +936,9 @@ def winsorized_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     error), so the ground truth is the exact entry — pytest bounds the
     approx fences against winsorized_price_stats' exact fences and the
     clipped-mass counts against the exact 1%-per-side contract
-    (tests/test_operators.py TestSortBasedPercentileFences)."""
+    (tests/test_operators.py TestSortBasedPercentileFences). When to
+    use which tier: SCALE.md §"r13: winsorized exact vs approx — the
+    decision table"."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     q = F.percentile_approx("l_extendedprice", F.lit([0.01, 0.99]), F.lit(10000))
     fences = li.groupBy("l_returnflag").agg(
