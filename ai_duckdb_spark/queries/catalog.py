@@ -179,8 +179,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # r13 rotation (judge r12 item 3): oldest-first drains the ENTIRE
 # remaining r08 bucket — all 32 entries per scripts/driver_row_ages.py
 # (multimodal codec tier, pandas_udf_token_count, pipeline_training_
-# corpus, range_join_recent_activity — also r13-CHANGED: bucketized
-# equi-join — recursive_cte_monthly_series, scd2_customer_price_history,
+# corpus, range_join_recent_activity — also r13-CHANGED: single-shuffle
+# RANGE-frame window — recursive_cte_monthly_series, scd2_customer_price_history,
 # search_term_proximity, sink_csv_gzip_roundtrip, stats_corr_qty_price,
 # the two r08 streaming entries, string_agg_nations_by_region,
 # window_analytics_suite). Plus the entry r13 CHANGED outside that
@@ -224,7 +224,7 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_video_mjpeg_stats",
     "pandas_udf_token_count",
     "pipeline_training_corpus",
-    "range_join_recent_activity",  # also r13-CHANGED (bucketized join)
+    "range_join_recent_activity",  # also r13-CHANGED (RANGE-frame window)
     "recursive_cte_monthly_series",
     "scd2_customer_price_history",
     "search_term_proximity",

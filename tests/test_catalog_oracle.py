@@ -78,9 +78,10 @@ def test_entry_smoke(spark):
 # the entry r13 changed outside it (corpus_chunk_windows — dead sort
 # dropped; range_join_recent_activity, also changed, is in the r08
 # bucket), adds the 2 entries r13 built (portable-MinHash graduation),
-# and begins the r09 drain with the remaining 14 slots (alphabetical,
-# computed_projection .. multimodal_audio_headers). A spot subset pins
-# the policy without duplicating the whole list.
+# and begins the r09 drain with the remaining 9 slots (alphabetical,
+# computed_projection .. events_retention_cohorts — the count in
+# queries/catalog.py and COVERAGE.md must agree with this one). A spot
+# subset pins the policy without duplicating the whole list.
 _R13_STALE_SUBSET = {
     "multimodal_frame_sample", "multimodal_video_mjpeg_stats",
     "pandas_udf_token_count", "pipeline_training_corpus",

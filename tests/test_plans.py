@@ -595,6 +595,10 @@ def test_term_proximity_no_explode_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+    # r13 widen: the position-HOF projection runs ABOVE a round-robin
+    # repartition of the gate's survivors (stage-width fix; the
+    # candidate gate itself stays pushed at the scan below it)
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_term_proximity_split_never_inside_position_lambda(spark, sf_dir):
