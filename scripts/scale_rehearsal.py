@@ -219,6 +219,26 @@ def main() -> None:
     from ai_duckdb_spark.session import get_spark
 
     spark = get_spark(app_name="scale_rehearsal_sf1")
+
+    # Parquet-WRITER warm-up, once per session, outside every timed
+    # region (r13 verdict item 1): first-in-session sink writes paid
+    # 3-4x of their steady cost in writer-path JIT (measured r13: eight
+    # back-to-back 200k-row sink writes ran 8.9 -> ~2.0 s with identical
+    # plans/jobs), so whichever sink-mode entry ran first inherited that
+    # warm-down as its own number ([7.245, 6.299] for
+    # range_join_recent_activity in the committed r13 artifact vs ~2.0 s
+    # steady). Two throwaway 200k-row writes warm codegen + the parquet
+    # committer before any entry is timed. Additive: no timed number's
+    # methodology changes.
+    _wdir = tempfile.mkdtemp(prefix="sf1_writer_warmup_")
+    for _i in range(2):
+        spark.range(200_000).selectExpr(
+            "id", "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) / 7 AS d"
+        ).write.mode("overwrite").parquet(os.path.join(_wdir, "w"))
+    import shutil as _shutil
+
+    _shutil.rmtree(_wdir, ignore_errors=True)
+
     import __spark_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
@@ -273,6 +293,10 @@ def main() -> None:
         # oracle-timeout/crash 'continue' paths used to leak the tempdir)
         try:
             t_all = time.perf_counter()
+            spark_passes: list[float] = []  # populated by the timed passes;
+            # also emitted on the spark_timeout path so a first pass that
+            # SUCCEEDED before a cancelled second one survives into the
+            # artifact (r13 ADVICE)
             try:
                 sdf = qs[name](spark, SF_DIR)
                 n_rows = spark_call(sdf.count)
@@ -334,6 +358,10 @@ def main() -> None:
                     raise
                 ent["status"] = "spark_timeout"
                 ent["spark_s"] = round(time.perf_counter() - t_all, 1)
+                if spark_passes:  # partial pass evidence survives the
+                    # timeout (r13 ADVICE: a cancelled SECOND min-of-2
+                    # pass used to drop the successful first pass)
+                    ent["spark_passes"] = [round(p, 3) for p in spark_passes]
                 n_fail += 1
                 per_entry[name] = ent
                 print(f"{name}: spark_timeout after {ent['spark_s']}s", flush=True)

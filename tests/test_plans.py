@@ -597,8 +597,14 @@ def test_term_proximity_no_explode_topk(spark, sf_dir):
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
     # r13 widen: the position-HOF projection runs ABOVE a round-robin
     # repartition of the gate's survivors (stage-width fix; the
-    # candidate gate itself stays pushed at the scan below it)
-    assert "RoundRobinPartitioning" in plan
+    # candidate gate itself stays pushed at the scan below it).
+    # widen_narrow_scan is CONDITIONAL (session.py) — on a 1-core runner
+    # (SPARK_GRAFT_CPUS=1) no exchange is inserted, so the assertion is
+    # guarded to keep the plan gate host-independent (r13 ADVICE).
+    from ai_duckdb_spark.session import default_parallelism
+
+    if default_parallelism() > 1:
+        assert "RoundRobinPartitioning" in plan
 
 
 def test_term_proximity_split_never_inside_position_lambda(spark, sf_dir):
@@ -659,8 +665,12 @@ def test_source_leakage_matrix_single_gram_subtree(spark, sf_dir):
     # narrow-scan widen (r11): at fixture scale the documents file is a
     # single split, so the CPU-dense gram subtree must sit above a
     # round-robin repartition or it runs on 1-2 cores (SCALE.md §r11;
-    # conditional — a many-split production scan adds no exchange)
-    assert "Exchange RoundRobinPartitioning" in sub, sub
+    # conditional — a many-split production scan adds no exchange, and
+    # a 1-core runner inserts none either, hence the guard; r13 ADVICE)
+    from ai_duckdb_spark.session import default_parallelism
+
+    if default_parallelism() > 1:
+        assert "Exchange RoundRobinPartitioning" in sub, sub
 
 
 def test_video_scene_cuts_one_shuffle_after_decode(spark, sf_dir):

@@ -70,3 +70,26 @@ def test_scale_oracle_matches_naive_oracle(oracle, name):
     assert sorted(ncols) == sorted(scols), f"{name}: column sets differ"
     assert len(nrows) == len(srows), f"{name}: {len(nrows)} vs {len(srows)} rows"
     assert _hash(nrows, ncols) == _hash(srows, scols), f"{name}: value hash differs"
+
+
+def test_portable_components_contracted_oracle_matches_naive(oracle):
+    """r14: dedup_minhash_portable_components' REGISTERED oracle became
+    the materialized + twice-contracted + residual-recursion form (the
+    r13 verdict item 4 headline-integrity fix — the naive reachability
+    CTE re-evaluated the md5 prefix every recursion round). Same
+    admissibility rule as the rehearsal's scale oracles: the rewrite is
+    only allowed because this test proves, in DuckDB alone, that both
+    formulations compute the identical relation."""
+    from ai_duckdb_spark.queries.dedup_q import (
+        _MINHASH_PORTABLE_COMPONENTS_NAIVE_ORACLE,
+    )
+
+    naive = oracle.sql(_MINHASH_PORTABLE_COMPONENTS_NAIVE_ORACLE)
+    ncols, nrows = list(naive.columns), naive.fetchall()
+    fast = oracle.sql(
+        catalog.REGISTRY["dedup_minhash_portable_components"].oracle
+    )
+    fcols, frows = list(fast.columns), fast.fetchall()
+    assert sorted(ncols) == sorted(fcols)
+    assert len(nrows) == len(frows)
+    assert _hash(nrows, ncols) == _hash(frows, fcols)
