@@ -59,7 +59,7 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def widen_narrow_scan(df):
+def widen_narrow_scan(df, *keys):
     """Repartition a relation up to the core count IF its scan is
     narrower — the fix for CPU-dense subtrees inheriting I/O-sized
     splits.
@@ -75,10 +75,21 @@ def widen_narrow_scan(df):
     at real scale: a 100 TB scan already carries ~10^5 splits, where an
     unconditional repartition would be a pure full-corpus shuffle.
     ``df.rdd.getNumPartitions()`` is driver-side plan introspection —
-    no job runs."""
+    no job runs.
+
+    With ``keys`` the exchange is HASH partitioning on those columns
+    instead of round-robin (r14): a keyless ``repartition(n)`` first
+    LOCALLY SORTS every input partition (sortBeforeRepartition, on by
+    default since SPARK-23207, so retried tasks reproduce the same
+    row-to-partition assignment) — on a 1-2-split scan that sort runs
+    single-threaded over the whole relation, exactly the serialization
+    the widen exists to remove. Hash partitioning is deterministic per
+    row, needs no such sort, and a downstream operator keyed the same
+    way can reuse the exchange. Use a high-cardinality key (guide
+    §2.5: 20-100x more distinct values than partitions)."""
     n = default_parallelism()
     if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
+        return df.repartition(n, *keys) if keys else df.repartition(n)
     return df
 
 

