@@ -133,15 +133,21 @@ def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load(spark, sf_dir, "events")
     frame_us = 300 * 1_000_000  # 5 minutes, in the order key's unit
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-frame_us, 0)
-    )
+    w = Window.partitionBy("user_id").orderBy("__us").rangeBetween(-frame_us, 0)
+    # r14 (guide §2.3 "narrower types"): the user-keyed exchange used to
+    # carry the raw timestamp AND the event_type string only for the
+    # post-window equality filter — fold them map-side into the 8-byte
+    # order key and a 1-byte error flag (~40% fewer shuffle bytes/row on
+    # a 4-column relation; result proven row-identical at sf1.0).
     return (
-        events.select("event_id", "user_id", "event_type", "ts")
+        events.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("__us"),
+            (F.col("event_type") == "error").alias("__err"),
+        )
         .withColumn("__cnt", F.count("*").over(w))
-        .filter(F.col("event_type") == "error")
+        .filter(F.col("__err"))
         .select(
             F.col("event_id").alias("error_event_id"),
             "user_id",
