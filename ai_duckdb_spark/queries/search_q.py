@@ -468,9 +468,13 @@ def search_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so inert on a real many-split corpus scan. Measured sf1.0: warm
     # median 2.30 s -> 1.43 s (min 1.92 -> 1.29; jobs 2 -> 3, the
     # widen's extra stage; scan+gate alone is ~0.7 s of the residue).
+    # r14: widen HASH-KEYED on doc_id — the keyless form's
+    # sortBeforeRepartition locally sorted the survivor (doc_id,
+    # token-array) rows inside the 2-task scan stage before fanning out
+    # (min 1.279 -> 1.236 s same-session A/B; rows proven identical).
     from ..session import widen_narrow_scan
 
-    docs = widen_narrow_scan(docs)
+    docs = widen_narrow_scan(docs, "doc_id")
     pos = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
         F.array().cast("array<int>")
     )

@@ -595,16 +595,18 @@ def test_term_proximity_no_explode_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
-    # r13 widen: the position-HOF projection runs ABOVE a round-robin
-    # repartition of the gate's survivors (stage-width fix; the
-    # candidate gate itself stays pushed at the scan below it).
+    # r13 widen: the position-HOF projection runs ABOVE a repartition
+    # of the gate's survivors (stage-width fix; the candidate gate
+    # itself stays pushed at the scan below it). r14: the exchange is
+    # hash-keyed on doc_id — keyless round-robin paid a local
+    # sortBeforeRepartition of the survivor token arrays.
     # widen_narrow_scan is CONDITIONAL (session.py) — on a 1-core runner
     # (SPARK_GRAFT_CPUS=1) no exchange is inserted, so the assertion is
     # guarded to keep the plan gate host-independent (r13 ADVICE).
     from ai_duckdb_spark.session import default_parallelism
 
     if default_parallelism() > 1:
-        assert "RoundRobinPartitioning" in plan
+        assert "Exchange hashpartitioning(doc_id" in plan, plan
 
 
 def test_term_proximity_split_never_inside_position_lambda(spark, sf_dir):
