@@ -19,8 +19,17 @@ aggregate, not a collect of labels).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Residual-edge ceiling for finishing components with a driver-side
+# union-find after the min-label pre-contraction (r14): 200k edges is
+# ~3 MB of collected longs — the documented bounded-driver-collect
+# class. Parameterized so a cluster run can raise/lower it; above the
+# cap the distributed star loop runs unchanged.
+_RESIDUAL_UNIONFIND_CAP = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_CAP", "200000"))
 
 
 def connected_components(
@@ -136,39 +145,111 @@ def connected_components_twophase(
     chain-shaped component at web scale. Same output contract as
     :func:`connected_components`.
     """
-    e = (
+    e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    nodes = e.select(F.col("a").alias("node")).unionAll(
-        e.select(F.col("b").alias("node"))
-    ).distinct().localCheckpoint()
 
-    converged = False
-    n_edges = e.count()
-    for _ in range(max_iterations):
-        stepped = _small_star(_large_star(e)).localCheckpoint()
-        # both sides are DISTINCT edge sets, so |A|=|B| ∧ A\B=∅ ⟹ A=B;
-        # the count is a cheap agg on the checkpointed frame and skips
-        # the exceptAll job entirely on non-converged rounds
-        n_stepped = stepped.count()
-        converged = n_stepped == n_edges and stepped.exceptAll(e).isEmpty()
-        e, n_edges = stepped, n_stepped
-        if converged:
-            break
-    if not converged:
-        raise RuntimeError(
-            f"two-phase components did not converge in {max_iterations} rounds"
-        )
-
-    # converged edges are (child, root); roots map to themselves
-    child_labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
-    roots = nodes.join(child_labels, "node", "left_anti").select(
-        "node", F.col("node").alias("component")
+    # r14 pre-contraction (measured on the portable-MinHash graph: the
+    # star loop took 4 driver-coordinated rounds ~13 AQE jobs each, all
+    # job floor at fixture scale): one min-label hooking pass —
+    # l1(v) = min(v, min(neighbors)) — then re-key the edges to labels.
+    # Near-dup similarity graphs are DENSE (clusters are near-cliques),
+    # so one hop collapses most components onto their minimum and the
+    # star loop runs on the small residual between local minima. Exact
+    # for any graph: contraction preserves connectivity, the component
+    # minimum m always has l1(m) = m so it survives as its own
+    # representative, and the final composition walks v -> l1(v) ->
+    # residual label. This is the same hooking step the DuckDB scale
+    # oracle for dedup_minhash_portable_components runs (dedup_q.py).
+    und0 = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    l1 = (
+        und0.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("__lbl"))
+        .localCheckpoint()
     )
-    return child_labels.unionAll(roots)
+    la = l1.select(F.col("a").alias("__na"), F.col("__lbl").alias("__la"))
+    lb = l1.select(F.col("a").alias("__nb"), F.col("__lbl").alias("__lb"))
+    e = (
+        und0.join(la, und0.a == la.__na)
+        .join(lb, und0.b == lb.__nb)
+        .select(F.col("__la").alias("a"), F.col("__lb").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    n_edges = e.count()
+    if n_edges <= _RESIDUAL_UNIONFIND_CAP:
+        # The hooked residual is model-sized (dense dedup graphs leave a
+        # few hundred edges between local minima — measured 111,591 ->
+        # 494 on the sf0.1 portable-MinHash graph, where the star loop
+        # then spent 3 driver-coordinated rounds x ~13 AQE jobs of pure
+        # scheduling floor on KB-size data). Collect the residual ONCE
+        # (capped: 200k edges ≈ 3 MB of longs, the same bounded-driver-
+        # collect class as the broadcast kernels) and finish with exact
+        # union-find; labels return as a LocalTableScan and compose
+        # distributively. Above the cap the O(log n) star loop runs
+        # unchanged — the 100 TB path.
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for ra, rb in rows:
+            xa, xb = find(ra), find(rb)
+            if xa != xb:
+                parent[max(xa, xb)] = min(xa, xb)
+        mapping = sorted({x for ab in rows for x in ab})
+        from ..session import local_relation
+
+        if not mapping:
+            return l1.select(
+                F.col("a").alias("node"), F.col("__lbl").alias("component")
+            )
+        node_t = e.schema["a"].dataType.simpleString()
+        child_labels = local_relation(
+            e.sparkSession,
+            [(n, find(n)) for n in mapping],
+            f"__rep {node_t}, __root {node_t}",
+        )
+    else:
+        converged = False
+        for _ in range(max_iterations):
+            stepped = _small_star(_large_star(e)).localCheckpoint()
+            # both sides are DISTINCT edge sets, so |A|=|B| ∧ A\B=∅ ⟹
+            # A=B; the count is a cheap agg on the checkpointed frame
+            # and skips the exceptAll job on non-converged rounds
+            n_stepped = stepped.count()
+            converged = n_stepped == n_edges and stepped.exceptAll(e).isEmpty()
+            e, n_edges = stepped, n_stepped
+            if converged:
+                break
+        if not converged:
+            raise RuntimeError(
+                f"two-phase components did not converge in {max_iterations} rounds"
+            )
+
+        # converged residual edges are (child, root); a representative
+        # with no residual edge roots itself
+        child_labels = e.select(
+            F.col("a").alias("__rep"), F.col("b").alias("__root")
+        )
+    labels = l1.join(
+        child_labels, l1.__lbl == child_labels.__rep, "left"
+    ).select(
+        F.col("a").alias("node"),
+        F.coalesce(F.col("__root"), F.col("__lbl")).alias("component"),
+    )
+    return labels
 
 
 def pagerank(
