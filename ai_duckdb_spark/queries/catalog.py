@@ -199,7 +199,82 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # .. events_retention_cohorts).
 # The 47 r12-green rows rotate OUT (auditable in CORRECTNESS_r12.json).
 # After this window the oldest driver row anywhere is r09.
+# r14 rotation (judge r13 item 6): oldest-first drains the ENTIRE
+# remaining r09 bucket — all 30 entries per scripts/driver_row_ages.py
+# (the TPC-H q1-q21 tier, the r09 streaming quartet, text histogram/
+# vocabulary, winsorized_price_stats, zorder, fuzzy names, maintenance
+# pair, sampled stats, source_token_cosine, temporal_filter,
+# filter_project_pushdown, multimodal_audio_headers). Plus the entries
+# r14 CHANGED (standing precedent: changed code re-earns a driver row
+# in the round it changes): window_distribution_suite (two-pass
+# distributed rank), range_join_recent_activity (narrowed shuffle),
+# search_term_proximity (hash-keyed widen), and the three oracle-paired
+# consumers of the rewritten connected-components operator —
+# dedup_minhash_portable_components (whose DuckDB oracle also became
+# the finishable contracted form), dedup_components, dedup_survivors.
+# The remaining 13 slots begin draining the 43-entry r10 bucket
+# alphabetically (basket_part_affinity .. grouping_sets_nation_segment).
+# The 50 r13-green rows rotate OUT (auditable in CORRECTNESS_r13.json).
+# After this window the oldest driver row anywhere is r10.
 DRIVER_WINDOW: list[str] = [
+    "flagship_revenue_argmax",
+    # --- the full remaining r09 bucket (30, alphabetical) ---
+    "filter_project_pushdown",
+    "fuzzy_name_pairs_blocked",
+    "maintenance_compact_files",
+    "maintenance_incremental_agg",
+    "multimodal_audio_headers",
+    "q11_important_stock",
+    "q12_priority_by_line_class",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_order_check",
+    "q5_local_supplier_volume",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "sampled_lineitem_stats",
+    "source_token_cosine",
+    "streaming_foreachbatch_sink",
+    "streaming_stream_stream_leftjoin",
+    "streaming_topk_tokens",
+    "streaming_watermark_latedrop",
+    "temporal_filter",
+    "text_length_histogram",
+    "text_vocabulary_stats",
+    "winsorized_price_stats",
+    "zorder_locality_buckets",
+    # --- entries CHANGED in r14 re-earn driver rows (6) ---
+    "window_distribution_suite",
+    "range_join_recent_activity",
+    "search_term_proximity",
+    "dedup_minhash_portable_components",
+    "dedup_components",
+    "dedup_survivors",
+    # --- r10 bucket drain begins (13 of 43, alphabetical) ---
+    "basket_part_affinity",
+    "case_when_price_buckets",
+    "cube_flag_status",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "distinct_counts",
+    "events_asof_purchase_click",
+    "events_daily_type_counts",
+    "events_sessionization",
+    "events_sliding_1h_30m",
+    "events_tumbling_10min",
+    "group_stats_priority",
+    "grouping_sets_nation_segment",
+]
+
+# r13 window (superseded by the r14 rotation above; kept for the
+# CORRECTNESS_r13 audit trail):
+_DRIVER_WINDOW_R13: list[str] = [
     "flagship_revenue_argmax",
     # --- the full remaining r08 bucket (32, alphabetical) ---
     "multimodal_frame_sample",
