@@ -988,8 +988,19 @@ def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     arithmetic — no libm, no engine hash. One explode + one 60-column
     aggregation (single shuffle), same shape as simhash64.
     """
+    from ..session import widen_narrow_scan
+
+    # r14 (stage-width class): the split + array_distinct + per-token
+    # md5 fan below runs in the SCAN stage, and the doc_id-bounded scan
+    # is one split — measured 0.87 s single-threaded for 1000 docs at
+    # sf0.1. Conditional hash-keyed widen (no sortBeforeRepartition;
+    # inert on a many-split production scan).
     postings = (
-        _token_sets(df, id_col, text_col)
+        _token_sets(
+            widen_narrow_scan(df.select(id_col, text_col), id_col),
+            id_col,
+            text_col,
+        )
         .select("__id", F.explode("__tokens").alias("__tok"))
         .select(
             "__id",
@@ -1075,9 +1086,15 @@ def minhash_signatures_md5(
     groupBy computing all ``num_hashes`` mins in a single aggregation
     pass. Returns (__id, signature array<long>).
     """
-    postings = _token_sets(df, id_col, text_col).select(
-        "__id", F.explode("__tokens").alias("__tok")
-    )
+    from ..session import widen_narrow_scan
+
+    # r14 (stage-width class, same fix as simhash60_md5): num_hashes
+    # md5 evaluations per token otherwise run inside the one-split
+    # doc_id-bounded scan stage; conditional keyed widen spreads the
+    # fan, inert on a many-split scan.
+    postings = _token_sets(
+        widen_narrow_scan(df.select(id_col, text_col), id_col), id_col, text_col
+    ).select("__id", F.explode("__tokens").alias("__tok"))
     mins = postings.groupBy("__id").agg(
         *[
             F.min(

@@ -211,9 +211,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # search_term_proximity (hash-keyed widen), and the three oracle-paired
 # consumers of the rewritten connected-components operator —
 # dedup_minhash_portable_components (whose DuckDB oracle also became
-# the finishable contracted form), dedup_components, dedup_survivors.
-# The remaining 13 slots begin draining the 43-entry r10 bucket
-# alphabetically (basket_part_affinity .. grouping_sets_nation_segment).
+# the finishable contracted form), dedup_components, dedup_survivors,
+# and dedup_simhash_portable (md5 tokenize-fan widened past the
+# one-split doc_id-bounded scan). The remaining 12 slots begin draining
+# the 43-entry r10 bucket alphabetically (basket_part_affinity ..
+# group_stats_priority).
 # The 50 r13-green rows rotate OUT (auditable in CORRECTNESS_r13.json).
 # After this window the oldest driver row anywhere is r10.
 DRIVER_WINDOW: list[str] = [
@@ -249,14 +251,15 @@ DRIVER_WINDOW: list[str] = [
     "text_vocabulary_stats",
     "winsorized_price_stats",
     "zorder_locality_buckets",
-    # --- entries CHANGED in r14 re-earn driver rows (6) ---
+    # --- entries CHANGED in r14 re-earn driver rows (7) ---
     "window_distribution_suite",
     "range_join_recent_activity",
     "search_term_proximity",
     "dedup_minhash_portable_components",
     "dedup_components",
     "dedup_survivors",
-    # --- r10 bucket drain begins (13 of 43, alphabetical) ---
+    "dedup_simhash_portable",  # md5-fan widened (stage-width class)
+    # --- r10 bucket drain begins (12 of 43, alphabetical) ---
     "basket_part_affinity",
     "case_when_price_buckets",
     "cube_flag_status",
@@ -269,7 +272,6 @@ DRIVER_WINDOW: list[str] = [
     "events_sliding_1h_30m",
     "events_tumbling_10min",
     "group_stats_priority",
-    "grouping_sets_nation_segment",
 ]
 
 # r13 window (superseded by the r14 rotation above; kept for the

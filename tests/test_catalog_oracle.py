@@ -88,13 +88,15 @@ _R14_STALE_SUBSET = {
     "sampled_lineitem_stats", "source_token_cosine",
     "streaming_foreachbatch_sink", "streaming_watermark_latedrop",
     "temporal_filter", "winsorized_price_stats", "zorder_locality_buckets",
-    "basket_part_affinity", "grouping_sets_nation_segment",  # r10 drain begins
+    "basket_part_affinity", "group_stats_priority",  # r10 drain begins
 }
 _R14_CHANGED = {
     "window_distribution_suite", "range_join_recent_activity",
     "search_term_proximity", "dedup_minhash_portable_components",
     # oracle-paired consumers of the rewritten CC operator
     "dedup_components", "dedup_survivors",
+    # md5 tokenize-fan widened (stage-width class)
+    "dedup_simhash_portable",
 }
 
 
